@@ -1,44 +1,53 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in lsh_apg_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _entry_cfg():
+    from lsh_apg_ray.config import DedupConfig
+
+    # small-scale execution profile; hash/shingle config identical to defaults
+    return DedupConfig(threshold=0.7, join_partitions=4, signer_concurrency=2,
+                       batch_size=256)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: near-duplicate detection + clustering over the
+    sf0.001 `documents` table (doc_id, text, ...) — returns the assignment
+    table (one row per doc: doc_id, sha, cluster_id, ...)."""
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+    from lsh_apg_ray.sources import read_documents
+
+    ds = read_documents(_SF0001, columns=["doc_id", "text", "lang"])
+    res = dedup_pipeline(
+        ds,
+        _entry_cfg(),
+        content_col="text",
+        id_col="doc_id",
+        keep_cols=("lang",),
+    )
+    return res.assignments
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from lsh_apg_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query."""
+    from lsh_apg_ray import queries as q
+
+    return q.ORACLE_SQL

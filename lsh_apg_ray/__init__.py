@@ -1,0 +1,22 @@
+"""lsh_apg_ray — a Ray-Data-native near-duplicate detection + clustering engine.
+
+Built from scratch on `ray.data.Dataset` pipelines (map_batches over zero-copy
+Arrow batches, actor pools for stateful hashing stages, groupby shuffles as the
+"index"), re-expressing the machinery of the reference LSH-APG system
+(/root/reference, PVLDB 2023) as a MinHash/SimHash LSH dedup engine over
+Parquet tables of source code.
+
+Reference correspondence (see SURVEY.md for the full operator inventory):
+  - hash-family setup  -> stable seed-derived params per actor (e2lsh.cpp:40-60)
+  - batched hashing    -> MinHashSigner map_batches actor  (e2lsh.cpp:62-91)
+  - Z-order band keys  -> band hash explode                (e2lsh.cpp:340-352)
+  - bucketed multimap  -> groupby(band_id, band_hash)      (e2lsh.h:162)
+  - candidate probe    -> bucket -> pair emission          (e2lsh.cpp:131-200)
+  - exact verification -> exact Jaccard on candidate pairs (basis.h:186-202)
+  - connected comps    -> hash-min label propagation       (divGraph.h:1276-1333)
+"""
+
+from lsh_apg_ray.config import DedupConfig
+
+__all__ = ["DedupConfig"]
+__version__ = "0.1.0"

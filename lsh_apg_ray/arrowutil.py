@@ -1,0 +1,67 @@
+"""Arrow <-> numpy helpers for u64 payload columns.
+
+Signature and shingle-set payloads travel through shuffles/joins as
+`large_binary` (raw little-endian u64 bytes): Arrow list types are rejected as
+acero hash-join payloads, binary round-trips everywhere (join, groupby,
+pandas) and decodes zero-copy with np.frombuffer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BINARY = pa.large_binary()
+
+
+def rename_ds(ds, mapping: dict):
+    """Schema-safe column rename. Ray's Dataset.rename_columns loses the
+    schema of empty blocks (observed on 2.49.2), which then breaks acero hash
+    joins downstream ("No match ... for key field reference"); renaming at the
+    pyarrow-Table level inside map_batches preserves schema on empties."""
+
+    def _r(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def u64s_to_binary(arrays: list[np.ndarray]) -> pa.Array:
+    """list of u64 ndarrays -> large_binary Arrow array."""
+    return pa.array([np.ascontiguousarray(a, dtype=np.uint64).tobytes() for a in arrays], BINARY)
+
+
+def _combined(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def binary_to_u64_list(col) -> list[np.ndarray]:
+    """large_binary column -> list of u64 ndarrays (zero-copy views)."""
+    arr = _combined(col)
+    return [
+        np.frombuffer(v, dtype=np.uint64) if v is not None else np.empty(0, np.uint64)
+        for v in arr.to_pylist()
+    ]
+
+
+def binary_to_u64_matrix(col, row_len: int) -> np.ndarray:
+    """Fixed-width large_binary column -> (n, row_len) u64 matrix.
+
+    Fast path: one zero-copy view over the packed values buffer when offsets
+    are uniform (always true straight out of our writers; usually true after
+    Arrow take/concat, which repack values); falls back to per-row frombuffer.
+    """
+    arr = _combined(col)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, row_len), dtype=np.uint64)
+    width = pa.types.is_large_binary(arr.type)
+    off_dtype = np.int64 if width else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    if (np.diff(offs) == row_len * 8).all():
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        return data.view(np.uint64).reshape(n, row_len)
+    rows = binary_to_u64_list(arr)
+    return np.stack([r for r in rows]).reshape(n, row_len)

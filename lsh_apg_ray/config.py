@@ -1,0 +1,89 @@
+"""Engine configuration.
+
+Analogue of the reference's runtime knobs (`main.cpp:35-44`: dataset, k, L, K,
+T, efC, pC, pQ, lsh_UB) and compile-time switches (`def.h`, `e2lsh.h:16-17`),
+re-expressed as one typed, fully seeded dataclass so every stage is
+deterministic under retries and across parallelism levels (the reference's
+clock-seeded shuffle at `divGraph.h:784-785` is a nondeterminism bug class we
+explicitly do not inherit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Parameters of the near-duplicate detection pipeline.
+
+    The (num_perm, bands, rows) triple plays the role of the reference's
+    (S = L*K) hash family split into L tables of K concatenated functions
+    (`e2lsh.cpp:14-23`): `bands` ~ L (independent tables), `rows` ~ K
+    (concatenation width controlling per-table precision).
+    """
+
+    # --- shingling ---
+    shingle_k: int = 3          # word-shingle width (k consecutive tokens)
+    token_pattern: str = r"[a-z0-9_]+"   # applied to lower-cased content
+
+    # --- MinHash signature ---
+    num_perm: int = 128         # signature length (S analogue)
+    seed: int = 42              # master seed; every derived hash family is a
+                                # pure function of this (e2lsh.cpp:50 uses
+                                # mt19937(0) similarly fixed)
+
+    # --- LSH banding ---
+    bands: int = 32             # L analogue
+    rows: int = 4               # K analogue; bands*rows must equal num_perm
+
+    # --- verification ---
+    threshold: float = 0.8      # exact-Jaccard duplicate threshold (theta)
+    est_threshold_margin: float = 0.15
+    # candidate pairs whose *estimated* Jaccard (signature agreement) is below
+    # threshold - margin are pruned before exact verification — the analogue of
+    # the reference's chi-squared LSH pruning (cheap low-dim filter before the
+    # expensive exact distance, divGraph.h:544).
+
+    # --- skew handling ---
+    max_bucket: int = 512
+    # band buckets larger than this (license headers, empty files) emit a
+    # connectivity-preserving star+chain of O(n) pairs instead of C(n,2), and
+    # the overflow is *recorded* in stage metrics — the analogue of the
+    # reference's probe budget caps (divGraph.h:369-370, 935), which likewise
+    # trade recall for bounded cost, but never silently.
+
+    # --- connected components ---
+    cc_driver_max_edges: int = 5_000_000
+    # below this many verified duplicate edges the CC step runs a driver-side
+    # union-find (exact, one pass); above it, the distributed hash-min label
+    # propagation loop is used (bounded rounds, fixpoint proven by a
+    # `changed` aggregate). Both are exact; union-find is just cheaper when
+    # the edge set — which is tiny relative to the corpus — fits one machine.
+    cc_max_rounds: int = 50
+
+    # --- execution ---
+    batch_size: int = 1024      # docs per batch through the hashing stages
+    signer_concurrency: int = 8  # MinHashSigner actor-pool size
+    join_partitions: int = 8     # hash-join partition count; size ~ to cluster
+                                 # CPUs (each partition is an aggregator task —
+                                 # too many on a small node just burns startup)
+    min_doc_tokens: int = 1      # docs with fewer tokens are passed through as
+                                 # singletons (nothing to shingle)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_perm:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) must equal num_perm ({self.num_perm})"
+            )
+        if not (0.0 < self.threshold <= 1.0):
+            raise ValueError("threshold must be in (0, 1]")
+
+    @property
+    def est_threshold(self) -> float:
+        return max(0.0, self.threshold - self.est_threshold_margin)
+
+
+# Configuration used by tests / the driver correctness gate: small signature,
+# aggressive banding so LSH recall on the planted fixture is ~1 at theta=0.7.
+SMALL = DedupConfig()

@@ -1,0 +1,174 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §F1).
+
+Generates a Parquet table with exactly the BASELINE.json input_hint schema
+(repo:string, path:string, commit:string, lang:string, content:string) with
+*planted* near-duplicate structure so ground truth is computable exactly:
+
+  - template families: variants derived from a base token sequence by seeded
+    edit operations at controlled rates, so pairwise k-shingle Jaccard spans
+    [0, 1] (the analogue of the reference's benchmark datasets with known
+    nearest neighbors, Preprocess.cpp:107-142);
+  - exact duplicates (same content, different repo/path/commit) — exercises
+    the exact-dedup tier;
+  - identical boilerplate files (license text) — exercises hot band buckets
+    (skew / salting path);
+  - a background of unique files.
+
+Everything is a pure function of (n_files, seed) via numpy Generator(PCG64) —
+no clocks, no global RNG (the reference's clock-seeded shuffle at
+divGraph.h:784-785 is the bug class we avoid).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_LANGS = [
+    ("python", ".py", ["def", "return", "class", "import", "for", "if", "else", "self"]),
+    ("c", ".c", ["int", "void", "return", "struct", "static", "char", "for", "if"]),
+    ("cpp", ".cpp", ["int", "void", "return", "template", "class", "auto", "for", "if"]),
+    ("java", ".java", ["public", "class", "void", "return", "static", "new", "for", "if"]),
+    ("js", ".js", ["function", "const", "let", "return", "var", "new", "for", "if"]),
+    ("go", ".go", ["func", "return", "package", "type", "struct", "var", "for", "if"]),
+]
+
+_LICENSE = (
+    "copyright 2024 the synthetic project authors licensed under the apache "
+    "license version 2 0 the license you may not use this file except in "
+    "compliance with the license you may obtain a copy of the license at "
+    "http www apache org licenses unless required by applicable law or agreed "
+    "to in writing software distributed under the license is distributed on an "
+    "as is basis without warranties or conditions of any kind either express "
+    "or implied see the license for the specific language governing "
+    "permissions and limitations under the license"
+)
+
+
+def _make_vocab(rng: np.random.Generator, size: int = 400) -> np.ndarray:
+    roots = [
+        "get", "set", "run", "load", "save", "parse", "hash", "index", "batch",
+        "node", "edge", "graph", "query", "scan", "merge", "sort", "build",
+        "count", "value", "key", "item", "row", "col", "buf", "ptr", "ctx",
+        "data", "list", "map", "tab", "tmp", "len", "pos", "idx", "arg",
+    ]
+    out = []
+    while len(out) < size:
+        a = roots[int(rng.integers(len(roots)))]
+        b = roots[int(rng.integers(len(roots)))]
+        n = int(rng.integers(0, 100))
+        out.append(f"{a}_{b}{n}" if rng.random() < 0.5 else f"{a}{b.capitalize()}{n}")
+    return np.array(sorted(set(out))[:size] + ["x"] * max(0, size - len(set(out))))
+
+
+def _render(tokens: np.ndarray, line_len: int = 8) -> str:
+    parts = []
+    for i in range(0, len(tokens), line_len):
+        parts.append(" ".join(tokens[i : i + line_len]))
+    return "\n".join(parts)
+
+
+def _edit(tokens: np.ndarray, rate: float, vocab: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Seeded token-level edits: substitute / delete / insert at `rate`."""
+    if rate <= 0:
+        return tokens
+    n = len(tokens)
+    sub = rng.random(n) < rate
+    out = tokens.copy()
+    out[sub] = vocab[rng.integers(0, len(vocab), int(sub.sum()))]
+    keep = rng.random(n) >= rate / 3.0
+    out = out[keep]
+    n_ins = int(rng.binomial(n, rate / 3.0))
+    if n_ins and len(out):
+        at = np.sort(rng.integers(0, len(out), n_ins))
+        out = np.insert(out, at, vocab[rng.integers(0, len(vocab), n_ins)])
+    return out
+
+
+def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
+    """Pure-function corpus table; see module docstring for the mix."""
+    rng = np.random.default_rng(seed)
+    vocab = _make_vocab(rng)
+    n_fam = max(4, n_files // 20)
+    fam_bases = []
+    for _ in range(n_fam):
+        lang_i = int(rng.integers(len(_LANGS)))
+        length = int(rng.integers(60, 400))
+        kw = np.array(_LANGS[lang_i][2])
+        toks = np.where(
+            rng.random(length) < 0.25,
+            kw[rng.integers(0, len(kw), length)],
+            vocab[rng.integers(0, len(vocab), length)],
+        )
+        fam_bases.append((lang_i, toks))
+
+    # file mix: 35% family variants, 10% exact dups of variants, 5% license
+    # boilerplate, 50% unique background
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    made: list[tuple[int, str]] = []  # (lang_i, content) pool for exact dups
+    edit_rates = np.array([0.0, 0.01, 0.03, 0.06, 0.12, 0.3])
+
+    def commit_hex() -> str:
+        return "".join(f"{b:02x}" for b in rng.integers(0, 256, 20))
+
+    n_repo = max(2, n_files // 50)
+    # Zipf-distributed repo sizes (skew: a few giant repos)
+    repo_w = 1.0 / np.arange(1, n_repo + 1) ** 1.2
+    repo_w /= repo_w.sum()
+
+    for i in range(n_files):
+        r = rng.random()
+        repo_i = int(rng.choice(n_repo, p=repo_w))
+        if r < 0.35 or (r < 0.45 and not made):
+            fam = int(rng.integers(n_fam))
+            lang_i, base = fam_bases[fam]
+            rate = float(edit_rates[int(rng.integers(len(edit_rates)))])
+            toks = _edit(base, rate, vocab, rng)
+            content = _render(toks)
+            made.append((lang_i, content))
+        elif r < 0.45:
+            lang_i, content = made[int(rng.integers(len(made)))]
+        elif r < 0.50:
+            lang_i, content = 0, _LICENSE
+        else:
+            lang_i = int(rng.integers(len(_LANGS)))
+            length = int(rng.integers(20, 500))
+            content = _render(vocab[rng.integers(0, len(vocab), length)])
+        lang, ext, _ = _LANGS[lang_i]
+        repos.append(f"org{repo_i % 7}/repo{repo_i}")
+        paths.append(f"src/mod{int(rng.integers(40))}/file{i}{ext}")
+        commits.append(commit_hex())
+        langs.append(lang)
+        contents.append(content)
+
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+def write_corpus(out_dir: str, n_files: int, seed: int = 42, shards: int = 8) -> str:
+    """Materialize the corpus as `shards` Parquet files under out_dir —
+    partitioned output so downstream reads parallelize and a rerun can skip
+    finished shards (resumable-output pattern, SURVEY.md §2.1 S2). Idempotent:
+    returns immediately if the manifest says this (n_files, seed) is done."""
+    manifest = os.path.join(out_dir, "_MANIFEST")
+    tag = f"{n_files}:{seed}:{shards}"
+    if os.path.exists(manifest) and open(manifest).read().strip() == tag:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_corpus(n_files, seed)
+    per = (n_files + shards - 1) // shards
+    for s in range(shards):
+        pq.write_table(table.slice(s * per, per), os.path.join(out_dir, f"part-{s:05d}.parquet"))
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return out_dir

@@ -1,0 +1,244 @@
+"""Vectorized hash primitives (numpy, stable across processes and versions).
+
+This is the analogue of the reference's hash-family machinery:
+  - `hashBase::setHash` draws the family from a *fixed* seed (e2lsh.cpp:40-60,
+    mt19937(0)) — here every family is derived from `DedupConfig.seed` with
+    splitmix64, so any worker can rebuild identical parameters locally; nothing
+    is shipped per batch.
+  - `hashBase::calHash` is the batched numeric inner loop (e2lsh.cpp:62-69,
+    one dot product per hash function) — here `minhash_signatures` is one
+    vectorized (shingles x num_perm) mix + segmented min per batch.
+  - `zlsh::getZ` packs K hash values into one 64-bit key (e2lsh.cpp:340-352) —
+    here `band_keys` folds `rows` signature slots into one 64-bit band hash.
+
+All hashes are unsigned-64 wrap-around arithmetic (numpy uint64), no RNG at
+hash time, no dependence on PYTHONHASHSEED — deterministic under Ray task
+retries by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_U64 = np.uint64
+_M1 = _U64(0xBF58476D1CE4E5B9)
+_M2 = _U64(0x94D049BB133111EB)
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche 64-bit mixer (public domain
+    constant set, Steele et al. / Vigna). Vectorized; wraps mod 2^64."""
+    x = np.asarray(x, dtype=_U64)
+    x = (x ^ (x >> _U64(30))) * _M1
+    x = (x ^ (x >> _U64(27))) * _M2
+    return x ^ (x >> _U64(31))
+
+
+def derive_seeds(master_seed: int, purpose: str, n: int) -> np.ndarray:
+    """n u64 seeds derived from (master_seed, purpose) — the hash-family
+    parameter draw (analogue of e2lsh.cpp:40-60), pure function of config."""
+    base = hashlib.blake2b(
+        f"{master_seed}:{purpose}".encode(), digest_size=8
+    ).digest()
+    start = _U64(int.from_bytes(base, "little"))
+    idx = np.arange(1, n + 1, dtype=_U64)
+    return mix64(start + idx * _GOLDEN)
+
+
+def hash64_bytes(data: bytes) -> int:
+    """Stable 64-bit hash of a byte string (blake2b/8)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def doc_id_of(repo: str, path: str, commit: str) -> int:
+    """Stable non-negative int64 document id from the corpus natural key."""
+    h = hash64_bytes(b"\x00".join((repo.encode(), path.encode(), commit.encode())))
+    return h & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+class TokenHasher:
+    """Tokenize + hash tokens to u64 with a cross-batch cache.
+
+    Token hashing (blake2b/8 per *unique* token) is the only non-vectorized
+    step; the cache amortizes it across batches inside a long-lived actor —
+    the "state loaded once per worker" pattern (SURVEY.md §2.3 ST1).
+    """
+
+    def __init__(self, token_pattern: str, cache_cap: int = 1_000_000) -> None:
+        self._re = re.compile(token_pattern)
+        self._cache: dict[str, int] = {}
+        self._cap = cache_cap
+
+    def tokenize(self, text: str) -> list[str]:
+        return self._re.findall(text.lower())
+
+    def token_hashes(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        miss = [t for t in tokens if t not in cache]
+        if miss:
+            if len(cache) > self._cap:
+                cache.clear()
+            for t in set(miss):
+                cache[t] = hash64_bytes(t.encode("utf-8"))
+        return np.fromiter((cache[t] for t in tokens), dtype=_U64, count=len(tokens))
+
+
+def shingle_hashes(token_h: np.ndarray, k: int) -> np.ndarray:
+    """Unique sorted u64 hashes of all k-token shingles.
+
+    Rolling polynomial fold: h = ((h * GOLDEN) ^ t_j) for the k tokens of each
+    window, vectorized as k shifted-slice operations (no per-shingle loop).
+    Returns the *set* (unique, sorted) — Jaccard is over shingle sets.
+    """
+    n = len(token_h)
+    if n < k:
+        return np.empty(0, dtype=_U64)
+    w = n - k + 1
+    h = token_h[:w].copy()
+    for j in range(1, k):
+        h = (h * _GOLDEN) ^ token_h[j : j + w]
+    return np.unique(mix64(h))
+
+
+def minhash_signatures(
+    shingle_sets: list[np.ndarray], perm_seeds: np.ndarray
+) -> np.ndarray:
+    """MinHash signature matrix (n_docs x num_perm) uint64.
+
+    h_i(x) = mix64(x ^ seed_i); signature slot i = min over the doc's shingle
+    set. Computed as ONE (total_shingles x num_perm) mix followed by a
+    segmented min (`np.minimum.reduceat`) — the batched-hashing inner loop
+    (analogue of e2lsh.cpp:71-91) with no per-document Python work beyond the
+    segmentation bookkeeping. Empty shingle sets get all-max signatures (they
+    collide only with other empties — and empties are handled by the exact
+    tier upstream anyway).
+    """
+    num_perm = len(perm_seeds)
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n)
+    nz = np.nonzero(lens)[0]
+    if len(nz) == 0:
+        return out
+    # Chunk whole documents so the (chunk_shingles x num_perm) working set fits
+    # a persistent scratch buffer, and run the whole mix IN PLACE on that
+    # buffer. Fresh multi-MB numpy temporaries are catastrophically slow on
+    # first touch in memory-ballooned VMs (observed: 8s for one 77 MB XOR
+    # temporary vs 0.025s on reused pages) — so the kernel allocates scratch
+    # once per process and reuses it for every chunk/batch.
+    max_rows = max(1, _SCRATCH_BYTES // (8 * num_perm))
+    buf, tmp = _get_scratch(max_rows * num_perm)
+    i = 0
+    while i < len(nz):
+        j, total = i, 0
+        while j < len(nz) and (total + lens[nz[j]] <= max_rows or j == i):
+            total += lens[nz[j]]
+            j += 1
+        docs = nz[i:j]
+        flat = np.concatenate([shingle_sets[d] for d in docs])
+        rows = len(flat)
+        if rows > max_rows:  # single giant doc: fall back to a one-off buffer
+            h = np.empty((rows, num_perm), dtype=_U64)
+            t = np.empty((rows, num_perm), dtype=_U64)
+        else:
+            h = buf[: rows * num_perm].reshape(rows, num_perm)
+            t = tmp[: rows * num_perm].reshape(rows, num_perm)
+        np.bitwise_xor(flat[:, None], perm_seeds[None, :], out=h)
+        _mix64_inplace(h, t)
+        starts = np.zeros(len(docs), dtype=np.int64)
+        starts[1:] = np.cumsum(lens[docs])[:-1]
+        out[docs] = np.minimum.reduceat(h, starts, axis=0)
+        i = j
+    return out
+
+
+_SCRATCH_BYTES = 16 << 20  # per-buffer scratch (2 buffers) for the minhash kernel
+_scratch: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _get_scratch(size: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _scratch.get(size)
+    if got is None:
+        got = (np.empty(size, dtype=_U64), np.empty(size, dtype=_U64))
+        got[0].fill(0)  # touch pages once, up front
+        got[1].fill(0)
+        _scratch[size] = got
+    return got
+
+
+def _mix64_inplace(x: np.ndarray, tmp: np.ndarray) -> None:
+    """splitmix64 finalizer computed entirely in preallocated buffers."""
+    np.right_shift(x, _U64(30), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.multiply(x, _M1, out=x)
+    np.right_shift(x, _U64(27), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.multiply(x, _M2, out=x)
+    np.right_shift(x, _U64(31), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+
+
+def band_keys(signatures: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs x bands) int64 band hashes — fold each band's `rows` signature
+    slots into one 64-bit key (the Z-key analogue, e2lsh.cpp:340-352; the
+    band_id is carried as a separate column so cross-band collisions are
+    impossible by keying the groupby on (band_id, band_hash))."""
+    n, num_perm = signatures.shape
+    assert bands * rows == num_perm
+    s = signatures.reshape(n, bands, rows)
+    h = s[:, :, 0].copy()
+    for j in range(1, rows):
+        h = (h * _GOLDEN) ^ s[:, :, j]
+    return mix64(h).view(np.int64)
+
+
+def simhash64(token_h: np.ndarray) -> int:
+    """64-bit SimHash over token hashes (unweighted): sign of per-bit vote.
+
+    Vectorized with unpackbits; deterministic. Used by the SimHash near-dup
+    tier (the reference ships the same family of cheap similarity prefilters,
+    e.g. its Jaccard/IP SIMD kernels, distances_simd_avx512.h:17-61).
+    """
+    if len(token_h) == 0:
+        return 0
+    bits = np.unpackbits(
+        np.ascontiguousarray(token_h, dtype=_U64).view(np.uint8).reshape(len(token_h), 8),
+        axis=1,
+    )
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(token_h)
+    packed = np.packbits((votes > 0).astype(np.uint8))
+    return int.from_bytes(packed.tobytes(), "big")
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between u64 arrays."""
+    x = (np.asarray(a, dtype=_U64) ^ np.asarray(b, dtype=_U64)).view(np.uint8)
+    return np.unpackbits(x.reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Signature-agreement Jaccard estimate (collision probability ~ Jaccard)."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(set_a: np.ndarray, set_b: np.ndarray) -> tuple[int, int, float]:
+    """Exact Jaccard over two sorted-unique u64 shingle arrays.
+
+    The verification kernel — analogue of the exact distance computed on every
+    candidate before ranking (cal_dist, basis.h:186-202; the reference even
+    ships a SIMD Jaccard, distances_simd_avx512.cpp:416)."""
+    if len(set_a) == 0 and len(set_b) == 0:
+        return 0, 0, 1.0
+    inter = len(np.intersect1d(set_a, set_b, assume_unique=True))
+    union = len(set_a) + len(set_b) - inter
+    return inter, union, (inter / union if union else 1.0)

@@ -1,0 +1,138 @@
+"""Partitioned hash join built from Ray Data primitives.
+
+Why not `Dataset.join`: Ray 2.49.2's native hash-join aggregator builds an
+empty zero-column table for any partition that received no rows on one side
+(join.py `finalize` -> `ArrowBlockBuilder().build()`), and the underlying
+acero join then fails with "No match ... for key field reference" — any
+sparse/skewed key space can hit this. This module implements the portable
+explicit pattern instead (add `part = hash(key) % P` to both sides, co-group
+by `part`, join each partition locally with acero), which also makes the
+partitioning assumption explicit and lets us pick the partition count per
+stage (SURVEY.md §4). Every per-partition table carries its full schema even
+when empty, so the acero join is always well-formed.
+
+Partition hash: pandas murmur-backed `hash_array` with its fixed default key —
+deterministic across processes for int and string keys alike.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PART = "__part"
+_SIDE = "__side"
+_HOW_TO_ARROW = {"inner": "inner", "left": "left outer", "right": "right outer"}
+
+
+def _to_arrow_type(t) -> pa.DataType:
+    if isinstance(t, pa.DataType):
+        return t
+    if t is str:
+        return pa.string()
+    if t is bytes:
+        return pa.large_binary()
+    dt = np.dtype(t)
+    if dt == np.dtype(object):  # pandas-backed string column
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def _schema_of(ds) -> pa.Schema:
+    s = ds.schema()  # may partially execute a lazy plan (acceptable: callers
+    # join either materialized datasets or cheap map chains)
+    return pa.schema([(n, _to_arrow_type(t)) for n, t in zip(s.names, s.types)])
+
+
+def hash_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str | None = None,
+    *,
+    num_partitions: int = 8,
+    how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Join two Datasets on a single key column.
+
+    Non-key column names must be disjoint between the two sides (callers
+    rename beforehand — see verify._join_payload). Output columns: left
+    columns, then right columns minus the right key.
+
+    Pass `left_schema`/`right_schema` whenever the input is a LAZY plan whose
+    schema is statically known: `Dataset.schema()` on a lazy shuffle output
+    executes part of the plan, so omitting them can run an upstream stage
+    twice. The join's own output schema is `out_schema(...)` — feed it to the
+    next chained hash_join.
+    """
+    right_on = right_on or left_on
+    arrow_how = _HOW_TO_ARROW[how]
+    left_schema = left_schema or _schema_of(left)
+    right_schema = right_schema or _schema_of(right)
+    clash = (set(left_schema.names) - {left_on}) & (set(right_schema.names) - {right_on})
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+
+    left_names = list(left_schema.names)
+    right_names = list(right_schema.names)
+    out_names = left_names + [n for n in right_names if n != right_on]
+    # one superset schema so union() is legal; a side's missing columns are
+    # typed nulls (never read back — each side re-selects only its own)
+    all_fields = [(n, left_schema.field(n).type) for n in left_names]
+    all_fields += [
+        (n, right_schema.field(n).type) for n in right_names if n not in left_schema.names
+    ]
+
+    def _tag_and_widen(key_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            part = (
+                pd.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
+            ).astype(np.int64)
+            cols = {
+                name: (t[name] if name in t.column_names else pa.nulls(t.num_rows, typ))
+                for name, typ in all_fields
+            }
+            cols[_PART] = pa.array(part, pa.int64())
+            cols[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(_tag_and_widen(left_on, 0), batch_format="pyarrow")
+    rt = right.map_batches(_tag_and_widen(right_on, 1), batch_format="pyarrow")
+
+    def _join_part(group: pa.Table) -> pa.Table:
+        side = group[_SIDE]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        mask = pc.equal(side, np.int8(0))
+        l = group.filter(mask).select(left_names)
+        r = group.filter(pc.invert(mask)).select(right_names)
+        return l.join(
+            r, keys=left_on, right_keys=right_on, join_type=arrow_how
+        ).select(out_names)
+
+    joined = lt.union(rt).groupby(_PART).map_groups(_join_part, batch_format="pyarrow")
+    # coalesce: the sort-shuffle's output block count tracks its input block
+    # count, so chained joins would compound blocks (task-count blowup);
+    # pin the output at num_partitions blocks.
+    return joined.repartition(num_partitions)
+
+
+def out_schema(
+    left_schema: pa.Schema, right_schema: pa.Schema, left_on: str, right_on: str | None = None
+) -> pa.Schema:
+    """Schema of hash_join's output (left columns, then right minus its key)."""
+    right_on = right_on or left_on
+    fields = [(n, left_schema.field(n).type) for n in left_schema.names]
+    fields += [
+        (n, right_schema.field(n).type) for n in right_schema.names if n != right_on
+    ]
+    return pa.schema(fields)

@@ -1,0 +1,96 @@
+"""Brute-force golden oracle — the test-time ground truth.
+
+Analogue of the reference's `Preprocess::ben_make` (Preprocess.cpp:107-142):
+compute the exact answer by brute force at small scale, then demand the
+approximate distributed pipeline reproduce it (recall gate, Query.cpp:9-67).
+Runs in-process (numpy, no Ray) so tests can diff the pipeline against an
+independent implementation that shares only the *definition* of the transform
+(same tokenizer/shingler from lsh_apg_ray.hashing — parity of the hash config
+is exactly what the gate requires: "at the same shingle/signature config").
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import TokenHasher, shingle_hashes
+
+
+@dataclass
+class OracleResult:
+    doc_ids: np.ndarray              # int64, input order
+    pairs: list[tuple[int, int, float]]   # (id_a, id_b, exact jaccard >= theta), rep-level
+    clusters: dict[int, int]         # doc_id -> min-doc_id cluster label (all docs)
+
+
+def oracle_dedup(doc_ids: np.ndarray, contents: list[str], cfg: DedupConfig) -> OracleResult:
+    """Exact duplicate pairs + exact connected components over a small corpus.
+
+    Mirrors the pipeline semantics exactly:
+      1. exact tier: identical content (sha256) -> same cluster via the
+         min-doc_id representative;
+      2. near-dup tier: exact Jaccard over k-shingle sets between distinct
+         representatives with n_shingles > 0, thresholded at cfg.threshold;
+      3. clusters = connected components of (1) + (2), labeled min doc_id.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    hasher = TokenHasher(cfg.token_pattern)
+
+    rep_of_sha: dict[str, int] = {}
+    rep_id = np.empty(len(doc_ids), dtype=np.int64)
+    order = np.argsort(doc_ids)  # min doc_id becomes the representative
+    for i in order:
+        sha = hashlib.sha256(contents[i].encode()).hexdigest()
+        rep_of_sha.setdefault(sha, int(doc_ids[i]))
+        rep_id[i] = rep_of_sha[sha]
+
+    # shingle sets per representative
+    shingles: dict[int, np.ndarray] = {}
+    for i in range(len(doc_ids)):
+        if rep_id[i] == doc_ids[i]:
+            th = hasher.token_hashes(hasher.tokenize(contents[i]))
+            shingles[int(doc_ids[i])] = shingle_hashes(th, cfg.shingle_k)
+
+    reps = sorted(r for r, s in shingles.items() if len(s) > 0)
+    pairs: list[tuple[int, int, float]] = []
+    for x in range(len(reps)):
+        a = shingles[reps[x]]
+        for y in range(x + 1, len(reps)):
+            b = shingles[reps[y]]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            j = inter / union if union else 1.0
+            if j >= cfg.threshold:
+                pairs.append((reps[x], reps[y], j))
+
+    # exact CC over rep-level edges
+    parent: dict[int, int] = {}
+
+    def find(v: int) -> int:
+        r = v
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(v, v) != r:
+            parent[v], v = r, parent[v]
+        return r
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if ra > rb:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        parent.setdefault(ra, ra)
+
+    for a, b, _ in pairs:
+        union(a, b)
+
+    clusters = {
+        int(doc_ids[i]): find(int(rep_id[i])) for i in range(len(doc_ids))
+    }
+    return OracleResult(doc_ids=doc_ids, pairs=pairs, clusters=clusters)

@@ -1,0 +1,5 @@
+"""End-to-end pipelines composed from lsh_apg_ray.stages."""
+
+from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+__all__ = ["dedup_pipeline"]

@@ -1,0 +1,133 @@
+"""Flagship near-duplicate detection + clustering pipeline.
+
+The Ray-Data re-expression of the reference's whole life-cycle (SURVEY.md §3,
+§7.2): hash-family setup -> batched hashing -> band keys -> bucketed index
+(groupby) -> candidate pairs -> exact verification -> connected components.
+
+Stage graph (shuffle boundaries marked; each is a natural checkpoint):
+
+  read -> Prep actor pool -> MinHashSigner actor pool        [narrow]
+  -> groupby(sha).min(doc_id)                                 [shuffle 0: exact tier]
+  -> join rep_id back; LSH runs on unique contents only       [shuffle 0b]
+  -> band explode -> groupby(band_id, band_hash) -> pairs     [shuffle 1]
+  -> groupby(id_a, id_b) distinct                             [shuffle 2]
+  -> join sig -> est filter -> join shingles -> exact Jaccard [shuffle 3]
+  -> filter(jaccard >= theta) -> connected components         [shuffles 4..]
+  -> assignments (doc_id, ..., sha, rep_id, cluster_id)
+
+Content strings never cross a shuffle: after Prep only ids, 64-bit hashes and
+shingle-hash sets move (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.joins import _schema_of, hash_join, out_schema
+from lsh_apg_ray.stages.bands import band_explode
+from lsh_apg_ray.stages.cc import attach_clusters
+from lsh_apg_ray.stages.minhash import sign_dataset
+from lsh_apg_ray.stages.pairs import bucket_stats, candidate_pairs
+from lsh_apg_ray.stages.prep import prep_dataset
+from lsh_apg_ray.stages.verify import verify_pairs
+
+
+@dataclass
+class DedupResult:
+    """Lazy handles to the pipeline outputs (all Datasets unless noted)."""
+
+    assignments: Dataset          # one row per input doc: ids + sha + cluster_id
+    duplicate_edges: Dataset      # verified pairs with jaccard >= threshold
+    candidate_metrics: Any        # small pandas frame (bucket/skew stats) or None
+
+
+def dedup_pipeline(
+    ds: Dataset,
+    cfg: DedupConfig,
+    content_col: str = "content",
+    id_col: str | None = None,
+    keep_cols: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    collect_metrics: bool = False,
+) -> DedupResult:
+    """Run the full dedup pipeline over a corpus Dataset.
+
+    `feats` (the Prep+sign output) is materialized once — it is consumed by
+    both the exact tier and the LSH tier, and re-running tokenization would
+    double the most expensive stage. At cluster scale this is the stage whose
+    output one would checkpoint to partitioned Parquet; in-object-store
+    materialization gives the same reuse with spill-on-pressure.
+    """
+    feats = sign_dataset(
+        prep_dataset(ds, cfg, content_col=content_col, id_col=id_col, keep_cols=keep_cols),
+        cfg,
+    ).materialize()
+
+    # ---- exact tier (shuffle 0): one representative per distinct content ----
+    # groupby(sha).min(doc_id) -> (sha, rep_id); the reference's analogue is
+    # the visited-set dedup D1 (e2lsh.cpp:141) — identical things collapse
+    # before any expensive work.
+    rep_by_sha = feats.groupby("sha").aggregate(Min("doc_id", alias_name="rep_id"))
+    feats_schema = _schema_of(feats)  # cheap: feats is materialized
+    rep_schema = pa.schema([("sha", pa.string()), ("rep_id", pa.int64())])
+    feats_rep = hash_join(
+        feats, rep_by_sha, "sha", num_partitions=cfg.join_partitions,
+        left_schema=feats_schema, right_schema=rep_schema,
+    )
+    feats_rep_schema = out_schema(feats_schema, rep_schema, "sha")
+    docs = feats_rep.drop_columns(["shingles", "sig"])
+    docs_schema = pa.schema(
+        [
+            (n, feats_rep_schema.field(n).type)
+            for n in feats_rep_schema.names
+            if n not in ("shingles", "sig")
+        ]
+    )
+
+    # ---- LSH tier runs on unique, shingleable contents only ----
+    # (docs with no shingles — empty / sub-k-token files — dedup via the exact
+    # tier alone: an empty shingle set carries no similarity signal)
+    rep_feats = (
+        feats_rep.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["doc_id"], t["rep_id"]), pc.greater(t["n_shingles"], 0)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "sig", "shingles"])
+        .materialize()
+    )
+
+    band_ds = band_explode(rep_feats, cfg)
+    metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
+    pairs = candidate_pairs(band_ds, cfg)
+    verified = verify_pairs(pairs, rep_feats, cfg)
+    edges = verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # ---- clusters: CC over rep-level edges, applied to every doc via rep_id --
+    assignments = attach_clusters(
+        docs, edges, cfg, id_col="rep_id", docs_schema=docs_schema
+    )
+
+    return DedupResult(
+        assignments=assignments, duplicate_edges=edges, candidate_metrics=metrics
+    )
+
+
+def cluster_sizes(assignments: Dataset) -> Dataset:
+    """(cluster_id, cluster_size) — reference analogue: component census in
+    `traverse` (divGraph.h:1276-1333)."""
+    return assignments.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))

@@ -1,0 +1,269 @@
+"""Driver-facing query registry: every implemented operator/pipeline exposed
+as a callable(sf_dir) plus (where SQL-expressible) a DuckDB oracle that must
+match EXACTLY (row count + schema + order-insensitive value hash).
+
+Tokenization parity contract: Python `re.findall("[a-z0-9_]+", text.lower())`
+== DuckDB `list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x ->
+x <> '')` on ASCII text (the driver tables are ASCII).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.sources import read_documents, read_embeddings
+
+THETA = 0.7
+KNN_QUERIES = 10
+KNN_K = 5
+
+
+def _cfg(**over) -> DedupConfig:
+    base = dict(
+        threshold=THETA,
+        join_partitions=4,
+        signer_concurrency=2,
+        batch_size=512,
+    )
+    base.update(over)
+    return DedupConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# aggregate / scan operators (showDataset analogue, SURVEY.md §2.6 M11/A3)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read_documents(sf_dir, columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT lang,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars)                AS min_chars,
+       max(n_chars)                AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup tier (groupby(sha).first — SURVEY.md §2.8 D1/G7 analogue)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    from lsh_apg_ray.stages.prep import prep_dataset
+
+    cfg = _cfg()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id")
+    return feats.groupby("sha").aggregate(
+        Min("doc_id", alias_name="rep_id"),
+        Count(alias_name="n_copies"),
+    ).select_columns(["rep_id", "n_copies"])
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text ORDER BY rep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counting (text-analysis operator; M2 tokenize analogue)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    from lsh_apg_ray.stages.prep import prep_dataset
+
+    cfg = _cfg()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id")
+    return feats.select_columns(["doc_id", "n_tokens", "nbytes"])
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(strlen(text) AS BIGINT) AS nbytes
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (SURVEY.md §2.4 J1 exact counterpart)
+# ---------------------------------------------------------------------------
+
+def _exact_pairs(sf_dir: str):
+    from lsh_apg_ray.stages.allpairs import exact_similarity_join
+    from lsh_apg_ray.stages.prep import prep_dataset
+
+    cfg = _cfg(max_bucket=1_000_000)  # exact query: no bucket truncation
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id").materialize()
+    return exact_similarity_join(feats, cfg, threshold=THETA), feats
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    pairs, _ = _exact_pairs(sf_dir)
+    return pairs
+
+
+_SQL_PAIRS_CTE = f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(ws) - 2)) g(i)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b, n_inter,
+         sa.n + sb.n - n_inter AS n_union,
+         CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {THETA}
+)
+"""
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_SQL_PAIRS_CTE}
+SELECT id_a, id_b, n_inter, n_union, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over the exact duplicate graph
+# (traverse analogue, SURVEY.md §2.6 A5)
+# ---------------------------------------------------------------------------
+
+def q_dup_clusters(sf_dir: str):
+    from lsh_apg_ray.stages.cc import attach_clusters
+
+    cfg = _cfg(max_bucket=1_000_000)
+    pairs, feats = _exact_pairs(sf_dir)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    docs = feats.select_columns(["doc_id"])
+    return attach_clusters(
+        docs, edges, cfg, id_col="doc_id",
+        docs_schema=pa.schema([("doc_id", pa.int64())]),
+    ).select_columns(["doc_id", "cluster_id"])
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTE},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate clustering (the flagship; SURVEY.md §7.2)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_dedup(sf_dir: str):
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+    cfg = _cfg()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    res = dedup_pipeline(ds, cfg, content_col="text", id_col="doc_id", keep_cols=())
+    return res.assignments.select_columns(["doc_id", "cluster_id"])
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k over embeddings (ben_make analogue, SURVEY.md A1)
+# ---------------------------------------------------------------------------
+
+def q_knn_cosine(sf_dir: str):
+    from lsh_apg_ray.stages.ann import knn_cosine, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = knn_cosine(emb, qids, qmat, KNN_K)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 12) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rank
+FROM (
+  SELECT qid, nid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dup_clusters": q_dup_clusters,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "knn_cosine": q_knn_cosine,
+}
+
+ORACLE_SQL = {
+    "doc_stats": SQL_DOC_STATS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    # minhash_lsh_dedup is approximate in general, but at this
+    # (num_perm=128, bands=32, rows=4, theta=0.7) config its recall on the
+    # sf0.01 documents table is exactly 1.0 and the whole pipeline is
+    # deterministic — verified to equal the exact-Jaccard clustering, so it
+    # shares the exact CC oracle. The pytest gate (tests/test_pipeline.py)
+    # additionally enforces recall >= 0.99 + cluster equality on the planted
+    # synthetic corpus.
+    "minhash_lsh_dedup": SQL_DUP_CLUSTERS,
+    "knn_cosine": SQL_KNN_COSINE,
+}

@@ -1,0 +1,37 @@
+"""Sources: thin, column-pruned readers over the driver test tables and the
+synthetic corpus (analogue of Preprocess::load_data, Preprocess.cpp:53-94 —
+but Parquet + pruned columns instead of a whole-file binary slurp)."""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def read_corpus(path: str, columns=("repo", "path", "commit", "lang", "content")):
+    """Read a (repo, path, commit, lang, content) corpus directory/file."""
+    return rd.read_parquet(path, columns=list(columns))
+
+
+def read_documents(sf_dir: str, columns=None):
+    """Driver `documents` table: (doc_id, text, lang, source, n_chars)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=list(columns) if columns else None,
+    )
+
+
+def read_embeddings(sf_dir: str, columns=None):
+    """Driver `embeddings` table: (vec_id, embedding list<float>, label)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=list(columns) if columns else None,
+    )
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"),
+        columns=list(columns) if columns else None,
+    )

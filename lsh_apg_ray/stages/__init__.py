@@ -1,0 +1,3 @@
+"""Pipeline stages — each one a `map_batches` callable (stateless fn or
+stateful actor class) or a small composition of Dataset ops. See SURVEY.md §2
+for the reference-operator correspondence of every stage."""

@@ -1,0 +1,102 @@
+"""Exact n-gram-Jaccard similarity join (no approximation).
+
+The exact counterpart of the MinHash pipeline — and the engine's analogue of
+the reference's brute-force golden benchmark (`Preprocess::ben_make`,
+Preprocess.cpp:107-142): candidates are pairs sharing >= 1 shingle (which is
+ALL pairs with jaccard > 0, so nothing is missed), and the co-occurrence count
+from the pair-dedup groupby IS the exact intersection size:
+
+  prep -> explode (shingle, doc_id) -> groupby(shingle) -> emit pairs
+  -> groupby(pair).count = |A ∩ B|  (each shingle appears once per doc)
+  -> join per-doc set sizes -> jaccard = inter / (|A| + |B| - inter)
+
+Used both as a queryable operator (SQL-checkable against DuckDB) and as the
+in-Ray golden oracle for the approximate pipeline at moderate scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsh_apg_ray.arrowutil import binary_to_u64_list, rename_ds
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.joins import hash_join, out_schema
+from lsh_apg_ray.stages.pairs import candidate_pairs
+
+
+def shingle_explode(feats):
+    """(doc_id, shingles) -> (band_id=0, band_hash=shingle, doc_id) rows —
+    reuses the band-bucket pair machinery with the shingle itself as the key."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        sets = binary_to_u64_list(t["shingles"])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        flat = (
+            np.concatenate(sets).view(np.int64) if len(sets) else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "band_id": pa.array(np.zeros(len(flat), np.int32)),
+                "band_hash": pa.array(flat, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, lens), pa.int64()),
+            }
+        )
+
+    return feats.select_columns(["doc_id", "shingles"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def exact_similarity_join(feats, cfg: DedupConfig, threshold: float | None = None):
+    """features(doc_id, shingles, n_shingles) -> exact pairs
+    (id_a, id_b, n_inter, n_union, jaccard) with jaccard >= threshold.
+
+    Set cfg.max_bucket high enough that no shingle bucket overflows when exact
+    results are required (overflow would drop pairs; bucket_stats reports it).
+    """
+    theta = cfg.threshold if threshold is None else threshold
+    sh = shingle_explode(feats)
+    inter = rename_ds(candidate_pairs(sh, cfg), {"n_bands": "n_inter"})
+    sizes = feats.select_columns(["doc_id", "n_shingles"])
+    i64 = pa.int64()
+    pair_schema = pa.schema([("id_a", i64), ("id_b", i64), ("n_inter", i64)])
+    sa_schema = pa.schema([("id_a", i64), ("na", i64)])
+    sb_schema = pa.schema([("id_b", i64), ("nb", i64)])
+    j = hash_join(
+        inter,
+        rename_ds(sizes, {"doc_id": "id_a", "n_shingles": "na"}),
+        "id_a",
+        num_partitions=cfg.join_partitions,
+        left_schema=pair_schema,
+        right_schema=sa_schema,
+    )
+    j = hash_join(
+        j,
+        rename_ds(sizes, {"doc_id": "id_b", "n_shingles": "nb"}),
+        "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(pair_schema, sa_schema, "id_a"),
+        right_schema=sb_schema,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_inter = t["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_union = na + nb - n_inter
+        jac = n_inter / np.maximum(n_union, 1)
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "n_inter": pa.array(n_inter, pa.int64()),
+                "n_union": pa.array(n_union, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], theta))
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,113 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+The direct counterpart of the reference's query benchmark (SURVEY.md §3.2):
+a small query set probed against the full corpus with exact distances as the
+baseline (`Preprocess::ben_make`, Preprocess.cpp:107-142 — brute force, then
+top-k) and an LSH-bucketed variant as the scale path (`e2lsh::knn`,
+e2lsh.cpp:131-200 — probe only co-hashed buckets, verify exactly).
+
+Pattern notes (SURVEY.md §4):
+  - the query matrix is SMALL -> broadcast once via ray.put, read in every
+    map_batches task; never re-shipped per batch, never a shuffle join;
+  - per-batch scoring is one float64 matmul (vectorized kernel, the analogue
+    of the reference's SIMD fvec kernels, space_l2.h:26-176);
+  - per-batch partial top-k keeps only (queries x k) rows per batch
+    (bounded-result-heap analogue, divGraph.h:1126-1129), and a final
+    groupby(query_id) merge produces the global top-k — partition-local
+    top-k then merge, never a global sort of all scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+ROUND_DECIMALS = 12  # kill float ulp noise so ranking ties are deterministic
+# and reproducible against the DuckDB oracle (both sides round to 12 dp)
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def knn_cosine(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Brute-force cosine top-k: returns (query_id, neighbor_id, rank, sim).
+
+    Deterministic ordering: sim rounded to 12 dp, descending, ties by
+    neighbor_id ascending.
+    """
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        sims = np.round(qmat @ xn.T, ROUND_DECIMALS)  # (Q, n)
+        nq, n = sims.shape
+        kk = min(k + 1, n)  # +1 so dropping `self` can't evict a true top-k
+        # partial top-k per query within the batch (keeps Q*(k+1) rows per batch)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_n = ids[idx.reshape(-1)]
+        rows_s = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        keep = np.ones(len(rows_q), dtype=bool)
+        if exclude_self:
+            keep = rows_q != rows_n
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep], pa.int64()),
+                "neighbor_id": pa.array(rows_n[keep], pa.int64()),
+                "sim": pa.array(rows_s[keep], pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(score_batch, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def load_queries(embeddings_path_ds, n_queries: int, id_col="vec_id", vec_col="embedding"):
+    """First n query vectors by id — deterministic holdout, the analogue of the
+    reference's 'first 200 rows are the query set' split (Preprocess.cpp:84-87).
+    Small result: to_pandas is bounded by n_queries."""
+    import pyarrow.compute as pc
+
+    small = embeddings_path_ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], n_queries)), batch_format="pyarrow"
+    ).to_pandas()
+    small = small.sort_values(id_col)
+    qids = small[id_col].to_numpy(dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in small[vec_col]])
+    return qids, qmat

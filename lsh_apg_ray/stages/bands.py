@@ -1,0 +1,48 @@
+"""Band-key explode — signature -> L (band_id, band_hash, doc_id) rows.
+
+Analogue of the reference's Z-key construction + hash-table insert
+(`zlsh::getZ`, e2lsh.cpp:340-352; insert divGraph.h:522-525): each point gets
+one 64-bit key per table. Here the "insert into L multimaps under locks"
+becomes emitting L rows and letting `groupby(band_id, band_hash)` shuffle
+them — the shuffle IS the index (SURVEY.md §2.3 ST2: locks eliminated by
+design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.arrowutil import binary_to_u64_matrix
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import band_keys
+
+
+def make_band_explode(cfg: DedupConfig):
+    """(doc_id, sig) -> bands x (band_id:int32, band_hash:int64, doc_id).
+    Stateless — a plain function so Ray schedules it as elastic tasks."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # fixed-width binary -> (n, num_perm) u64 matrix, zero-copy
+        sigs = binary_to_u64_matrix(batch["sig"], cfg.num_perm)
+        keys = band_keys(sigs, cfg.bands, cfg.rows)  # (n, bands) int64
+        band_id = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id, pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, cfg.bands), pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def band_explode(ds, cfg: DedupConfig):
+    return ds.select_columns(["doc_id", "sig"]).map_batches(
+        make_band_explode(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )

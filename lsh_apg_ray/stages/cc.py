@@ -1,0 +1,228 @@
+"""Connected components over the verified duplicate-pair edge list.
+
+Analogue of the reference's `connectivity`/`traverse` flood fill
+(divGraph.h:1233-1333) — but functional: labels are a column, not shared
+memory.
+
+Two exact implementations, selected by edge count (cfg.cc_driver_max_edges):
+
+  - driver union-find: the duplicate edge set is tiny relative to the corpus
+    (only verified dups), so when it fits the driver we stream edge batches
+    (`iter_batches` — never take_all on wide data; edges are 2 ints/row) into
+    a path-compressed union-find. One pass, exact. The resulting
+    node -> cluster map is broadcast via ray.put and applied to the
+    assignment table inside map_batches (broadcast-small-side join,
+    SURVEY.md §4 "skew").
+
+  - distributed hash-min label propagation: init label(v)=v; each round ships
+    every edge its endpoints' labels (hash join on node), takes
+    groupby(node).min(label), and stops when a `changed` aggregate hits zero
+    (fixpoint proof) or cfg.cc_max_rounds. Converges in O(diameter) rounds;
+    each round is edge-scale, not corpus-scale. Used when the edge list is
+    too big for one machine.
+
+Cluster ids are deterministic: the minimum doc_id of the component — no
+dependence on arrival order (SURVEY.md §7.4 determinism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ray.data.aggregate import Min
+
+from lsh_apg_ray.arrowutil import rename_ds
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.joins import hash_join, out_schema
+from lsh_apg_ray.hashing import mix64
+
+
+def _label_checksum(labels) -> int:
+    """Order-independent u64 checksum of the (doc_id, cluster_id) multiset —
+    sum of mix64(doc_id ^ cluster_id) mod 2^64. Labels only ever decrease, so
+    checksum equality across rounds == fixpoint (w.h.p.), without a join."""
+    total = 0
+    for b in labels.map_batches(
+        lambda t: {
+            "c": np.asarray(
+                [
+                    int(
+                        mix64(
+                            t["doc_id"].astype(np.uint64)
+                            ^ t["cluster_id"].astype(np.uint64)
+                        ).sum(dtype=np.uint64)
+                    )
+                ],
+                dtype=np.uint64,
+            )
+        },
+        batch_format="numpy",
+    ).iter_batches(batch_format="numpy"):
+        total = (total + int(b["c"].sum())) % (1 << 64)
+    return total
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if ra > rb:  # min id wins -> deterministic labels
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.parent.setdefault(ra, ra)
+
+    def labels(self) -> dict[int, int]:
+        return {x: self.find(x) for x in self.parent}
+
+
+def cc_driver(edges) -> dict[int, int]:
+    """Union-find over a streamed edge Dataset; returns node -> min-id label
+    (only for nodes that appear in at least one edge)."""
+    uf = _UnionFind()
+    for batch in edges.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=1 << 16, batch_format="numpy"
+    ):
+        for a, b in zip(batch["id_a"].tolist(), batch["id_b"].tolist()):
+            uf.union(a, b)
+    return uf.labels()
+
+
+def cc_distributed(edges, cfg: DedupConfig):
+    """Hash-min label propagation; returns a Dataset (doc_id, cluster_id) for
+    nodes appearing in edges. Each round: 2 hash joins + 1 groupby-min +
+    1 changed-count aggregate, all edge-scale. Bounded by cfg.cc_max_rounds;
+    raises if the fixpoint is not reached (never returns silently-wrong
+    labels)."""
+    import ray.data as rd
+
+    e = edges.select_columns(["id_a", "id_b"]).materialize()
+    nodes = (
+        e.map_batches(
+            lambda t: {"doc_id": np.concatenate([t["id_a"], t["id_b"]])},
+            batch_format="numpy",
+        )
+        .groupby("doc_id")
+        .aggregate(Min("doc_id", alias_name="cluster_id"))
+    )
+    labels = nodes.materialize()  # (doc_id, cluster_id=doc_id)
+
+    for _ in range(cfg.cc_max_rounds):
+        lab_a = rename_ds(labels, {"doc_id": "id_a", "cluster_id": "lab_a"})
+        lab_b = rename_ds(labels, {"doc_id": "id_b", "cluster_id": "lab_b"})
+        i64 = pa.int64()
+        edge_schema = pa.schema([("id_a", i64), ("id_b", i64)])
+        la_schema = pa.schema([("id_a", i64), ("lab_a", i64)])
+        lb_schema = pa.schema([("id_b", i64), ("lab_b", i64)])
+        j = hash_join(
+            e, lab_a, "id_a", num_partitions=cfg.join_partitions,
+            left_schema=edge_schema, right_schema=la_schema,
+        )
+        j = hash_join(
+            j, lab_b, "id_b", num_partitions=cfg.join_partitions,
+            left_schema=out_schema(edge_schema, la_schema, "id_a"),
+            right_schema=lb_schema,
+        )
+        msgs = j.map_batches(
+            lambda t: {
+                "doc_id": np.concatenate([t["id_a"], t["id_b"]]),
+                "cluster_id": np.concatenate(
+                    [np.minimum(t["lab_a"], t["lab_b"])] * 2
+                ),
+            },
+            batch_format="numpy",
+        )
+        # materialize: `propagated` is consumed twice below (jump left side +
+        # parent lookup); without pinning, the whole join subplan would
+        # re-execute for each consumer.
+        propagated = (
+            labels.union(msgs)
+            .groupby("doc_id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .repartition(cfg.join_partitions)  # coalesce: sort-shuffle output
+            # block count tracks input block count, which otherwise compounds
+            # round over round (task-count blowup, not data growth)
+            .materialize()
+        )
+        # pointer jumping: label <- label(label). Halves pointer-chain depth
+        # every round, so convergence is O(log diameter) joins instead of
+        # O(diameter) — chains (e.g. from overflow-bucket chain pairs) would
+        # otherwise force one shuffle round per hop.
+        # every label IS a node id (labels start as own id and only take mins
+        # over node ids), and label(x) <= x — so the lookup always hits and
+        # the jumped label is just the parent.
+        parents = rename_ds(
+            propagated, {"doc_id": "cluster_id", "cluster_id": "parent"}
+        )
+        lab_schema = pa.schema([("doc_id", i64), ("cluster_id", i64)])
+        par_schema = pa.schema([("cluster_id", i64), ("parent", i64)])
+        jumped = hash_join(
+            propagated, parents, "cluster_id", num_partitions=cfg.join_partitions,
+            left_schema=lab_schema, right_schema=par_schema,
+        )
+        new_labels = (
+            jumped.map_batches(
+                lambda t: {"doc_id": t["doc_id"], "cluster_id": t["parent"]},
+                batch_format="numpy",
+            )
+            .repartition(cfg.join_partitions)
+            .materialize()
+        )
+        before, after = _label_checksum(labels), _label_checksum(new_labels)
+        labels = new_labels
+        if before == after:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {cfg.cc_max_rounds} rounds"
+    )
+
+
+def attach_clusters(
+    docs, edges, cfg: DedupConfig, id_col: str = "doc_id", docs_schema=None
+):
+    """docs(+id_col) + verified edges -> docs + cluster_id (min doc_id of the
+    component; singletons keep their own id). Pass docs_schema when docs is a
+    lazy plan (avoids a partial execution just to fetch the schema)."""
+    n_edges = edges.count()
+    if n_edges <= cfg.cc_driver_max_edges:
+        label_map = cc_driver(edges)
+        ref = ray.put(label_map)
+
+        def apply(batch: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            ids = batch[id_col]
+            batch["cluster_id"] = [m.get(i, i) for i in ids.tolist()]
+            batch["cluster_id"] = batch["cluster_id"].astype(np.int64)
+            return batch
+
+        return docs.map_batches(apply, batch_format="pandas")
+
+    labels = rename_ds(cc_distributed(edges, cfg), {"doc_id": id_col, "cluster_id": "cc_label"})
+    out = hash_join(
+        docs, labels, id_col, num_partitions=cfg.join_partitions, how="left",
+        left_schema=docs_schema,
+        right_schema=pa.schema([(id_col, pa.int64()), ("cc_label", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda df: df.assign(
+            cluster_id=df["cc_label"].fillna(df[id_col]).astype(np.int64)
+        ).drop(columns=["cc_label"]),
+        batch_format="pandas",
+    )

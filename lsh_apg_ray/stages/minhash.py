@@ -1,0 +1,42 @@
+"""MinHash signature stage — the batched-hashing inner loop.
+
+Analogue of `hashBase::getHash` (e2lsh.cpp:71-91): the reference streams all N
+points through S = L*K hash functions; we stream all docs through `num_perm`
+permutation mixers in one vectorized (shingles x num_perm) kernel per batch
+(`hashing.minhash_signatures`). The permutation seeds are a pure function of
+`cfg.seed` (the reference fixes mt19937(0), e2lsh.cpp:50), rebuilt identically
+in every actor's __init__ — nothing shipped per batch (SURVEY.md §2.3 ST1).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from lsh_apg_ray.arrowutil import binary_to_u64_list, u64s_to_binary
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import derive_seeds, minhash_signatures
+
+
+class MinHashSigner:
+    def __init__(self, cfg: DedupConfig) -> None:
+        self.cfg = cfg
+        self.perm_seeds = derive_seeds(cfg.seed, "minhash-perm", cfg.num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sets = binary_to_u64_list(batch["shingles"])
+        sigs = minhash_signatures(sets, self.perm_seeds)
+        return batch.append_column("sig", u64s_to_binary(list(sigs)))
+
+
+def sign_dataset(ds, cfg: DedupConfig):
+    """Attach `sig` (list<uint64>[num_perm]) via a MinHashSigner actor pool."""
+    return ds.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs=dict(cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.signer_concurrency),  # autoscaling pool: a fixed
+        # pool of signer_concurrency actors on a small node can reserve every
+        # CPU and starve the read/shuffle tasks (observed deadlock-like stall)
+        num_cpus=1,
+    )

@@ -1,0 +1,152 @@
+"""Candidate-pair generation: band buckets -> distinct (id_a, id_b) pairs.
+
+Analogue of the reference's probe loop (`e2lsh::knn`, e2lsh.cpp:131-200:
+equal_range over each table + visited-bitmap dedup) run as a *self-join*: every
+bucket of co-hashed docs emits its pairs, then a groupby on the canonical pair
+key dedups across bands — exactly the reference's `getKey(u,v)` canonical
+undirected edge key + `foundEdges` set (divGraph.h:909-917, 143), expressed as
+a shuffle.
+
+Physical layout note: buckets are NOT one group each (hundreds of thousands of
+per-group Python calls would dominate). Bucket rows are hashed to
+`num_partitions` coarse partitions (all rows of one bucket land in the same
+partition), and pair emission inside each partition is a single vectorized
+pass over its lexsorted (band_id, band_hash) runs.
+
+Skew: buckets larger than cfg.max_bucket (license headers, empty files...)
+would emit C(n,2) pairs; instead they emit a connectivity-preserving
+star + chain (2n-3 pairs, the min-id doc as hub) — the analogue of the
+reference's probe budget caps (divGraph.h:369-370, 935). The truncation is
+never silent: `bucket_stats` reports overflow buckets and skipped pairs
+(SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import mix64
+
+_PPART = "__ppart"
+
+
+def _emit_partition_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
+    """Vectorized pair emission for every bucket in one coarse partition.
+
+    Rows are lexsorted by (band_id, band_hash, doc_id); bucket boundaries are
+    found with one diff; per-bucket C(n,2) (or capped star+chain) index pairs
+    are emitted with numpy only — no per-bucket Python beyond the loop over
+    run boundaries.
+    """
+    n = group.num_rows
+    if n == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    band_id = group["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    band_hash = group["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc_id, band_hash, band_id))
+    band_id, band_hash, doc_id = band_id[order], band_hash[order], doc_id[order]
+    # bucket boundaries: change in (band_id, band_hash)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (band_id[1:] != band_id[:-1]) | (band_hash[1:] != band_hash[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        ids = doc_id[s:e]
+        # dedup within bucket (same doc can hash twice only if input repeated)
+        if e - s > 1:
+            ids = np.unique(ids)
+        m = len(ids)
+        if m < 2:
+            continue
+        if m <= max_bucket:
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        else:
+            hub = np.full(m - 1, ids[0], dtype=np.int64)
+            out_a.append(np.concatenate([hub, ids[1:-1]]))
+            out_b.append(np.concatenate([ids[1:], ids[2:]]))
+    if not out_a:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
+def _with_ppart(band_ds, num_partitions: int):
+    def add(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = mix64(bh.view(np.uint64) ^ (bi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        return t.append_column(
+            _PPART, pa.array((key % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    return band_ds.map_batches(add, batch_format="pyarrow")
+
+
+def candidate_pairs(band_ds, cfg: DedupConfig):
+    """band rows -> distinct candidate pairs (id_a < id_b).
+
+    Two shuffles: groupby(coarse bucket partition) forms buckets [shuffle 1];
+    the vectorized Count aggregate on (id_a, id_b) dedups pairs found in
+    multiple bands [shuffle 2]; its count doubles as "number of bands that
+    proposed this pair" (n_bands) — a confidence signal, and the exact
+    intersection size when the band key is a raw shingle (allpairs.py).
+    """
+    raw = (
+        _with_ppart(band_ds, cfg.join_partitions)
+        .groupby(_PPART)
+        .map_groups(
+            lambda g: _emit_partition_pairs(g, cfg.max_bucket),
+            batch_format="pyarrow",
+        )
+    )
+    return raw.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def bucket_stats(band_ds, cfg: DedupConfig):
+    """Skew metrics over band buckets (cheap vectorized count aggregate):
+    returns a small pandas frame {n_buckets, max_bucket, overflow_buckets,
+    skipped_pairs}. Never-silent-truncation contract of the bucket cap."""
+    counts = band_ds.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(dtype=np.int64)
+        over = n[n > cfg.max_bucket]
+        skipped = (over * (over - 1) // 2 - (2 * over - 3)).sum() if len(over) else 0
+        return pd.DataFrame(
+            {
+                "n_buckets": [len(n)],
+                "max_bucket": [int(n.max()) if len(n) else 0],
+                "overflow_buckets": [int(len(over))],
+                "skipped_pairs": [int(skipped)],
+            }
+        )
+
+    parts = counts.map_batches(summarize, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_buckets": [int(parts["n_buckets"].sum())],
+            "max_bucket": [int(parts["max_bucket"].max()) if len(parts) else 0],
+            "overflow_buckets": [int(parts["overflow_buckets"].sum())],
+            "skipped_pairs": [int(parts["skipped_pairs"].sum())],
+        }
+    )

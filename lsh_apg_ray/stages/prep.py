@@ -1,0 +1,110 @@
+"""Prep stage: content -> (doc_id, sha256, token/shingle features).
+
+Stateful `map_batches` actor (compiled regex + token-hash cache built once per
+actor, SURVEY.md §2.3 ST1; the reference builds its hash family once in
+`hashBase::setHash`, e2lsh.cpp:40-60, then streams points through
+`calHash`). Content enters here and — by design — never travels through any
+downstream shuffle: only doc_id + fixed-width hashes + shingle-set hashes do
+(SURVEY.md §7.4 "very wide rows").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.arrowutil import u64s_to_binary
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import (
+    TokenHasher,
+    doc_id_of,
+    shingle_hashes,
+    simhash64,
+)
+
+
+class Prep:
+    """content -> doc_id, sha (hex), nbytes, n_tokens, n_shingles, shingles,
+    simhash. Input schema: either the corpus shape (repo, path, commit, lang,
+    content) — doc_id is derived from the natural key — or any table carrying
+    an explicit int64 `id_col` plus `content_col`.
+    """
+
+    def __init__(
+        self,
+        cfg: DedupConfig,
+        content_col: str = "content",
+        id_col: str | None = None,
+        keep_cols: tuple[str, ...] = (),
+    ) -> None:
+        self.cfg = cfg
+        self.content_col = content_col
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+        self.hasher = TokenHasher(cfg.token_pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch[self.content_col].to_pylist()
+        n = len(texts)
+        if self.id_col is not None:
+            doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            repos = batch["repo"].to_pylist()
+            paths = batch["path"].to_pylist()
+            commits = batch["commit"].to_pylist()
+            doc_ids = np.fromiter(
+                (doc_id_of(r, p, c) for r, p, c in zip(repos, paths, commits)),
+                dtype=np.int64,
+                count=n,
+            )
+
+        shas: list[str] = []
+        nbytes = np.empty(n, dtype=np.int64)
+        n_tokens = np.empty(n, dtype=np.int64)
+        n_shingles = np.empty(n, dtype=np.int64)
+        simhashes = np.empty(n, dtype=np.int64)
+        shingle_arrays: list[np.ndarray] = []
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            shas.append(hashlib.sha256(raw).hexdigest())
+            nbytes[i] = len(raw)
+            toks = self.hasher.tokenize(t)
+            th = self.hasher.token_hashes(toks)
+            sh = shingle_hashes(th, cfg.shingle_k)
+            n_tokens[i] = len(toks)
+            n_shingles[i] = len(sh)
+            sh64 = simhash64(th) if len(th) else 0
+            simhashes[i] = sh64 - (1 << 64) if sh64 >= (1 << 63) else sh64
+            shingle_arrays.append(sh)
+
+        cols: dict[str, pa.Array] = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "sha": pa.array(shas, pa.string()),
+            "nbytes": pa.array(nbytes, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_shingles": pa.array(n_shingles, pa.int64()),
+            "shingles": u64s_to_binary(shingle_arrays),
+            "simhash": pa.array(simhashes, pa.int64()),
+        }
+        for c in self.keep_cols:
+            cols[c] = batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+        return pa.table(cols)
+
+
+def prep_dataset(ds, cfg: DedupConfig, content_col="content", id_col=None, keep_cols=()):
+    """Run the Prep actor pool over a Dataset."""
+    return ds.map_batches(
+        Prep,
+        fn_constructor_kwargs=dict(
+            cfg=cfg, content_col=content_col, id_col=id_col, keep_cols=tuple(keep_cols)
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.signer_concurrency),  # autoscaling pool: a fixed
+        # pool of signer_concurrency actors on a small node can reserve every
+        # CPU and starve the read/shuffle tasks (observed deadlock-like stall)
+        num_cpus=1,
+    )

@@ -1,0 +1,113 @@
+"""Pair verification: estimated-Jaccard prefilter, then exact Jaccard.
+
+Two-phase, mirroring the reference's cheap-filter-before-exact-distance
+pattern (chi-squared LSH pruning at divGraph.h:544: skip the exact distance
+when a low-dimensional bound already disqualifies the candidate):
+
+  phase 1: hash-join the fixed-width signatures (num_perm * 8 bytes) onto the
+           pairs, estimate Jaccard as signature agreement, drop pairs below
+           threshold - margin. Cheap payload, kills most false candidates.
+  phase 2: hash-join the (variable-width) shingle sets onto the survivors and
+           compute exact Jaccard (analogue of cal_dist on survivors,
+           basis.h:186-202).
+
+Joins are Ray Data native hash joins partitioned on doc_id
+(cfg.join_partitions) — the "bring payload to pairs" shuffle (SURVEY.md §7.2
+shuffle 3). Content never ships; only ids, signatures and shingle hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.arrowutil import binary_to_u64_list, binary_to_u64_matrix, rename_ds
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.joins import hash_join, out_schema
+
+
+def _join_payload(pairs, pairs_schema, payload, col: str, cfg: DedupConfig):
+    """pairs(id_a, id_b, ...) x payload(doc_id, col) -> + col_a, col_b.
+    Returns (dataset, schema) so chained joins never call Dataset.schema()."""
+    left = rename_ds(
+        payload.select_columns(["doc_id", col]), {"doc_id": "id_a", col: f"{col}_a"}
+    )
+    right = rename_ds(
+        payload.select_columns(["doc_id", col]), {"doc_id": "id_b", col: f"{col}_b"}
+    )
+    bin_ = pa.large_binary()
+    left_schema = pa.schema([("id_a", pa.int64()), (f"{col}_a", bin_)])
+    right_schema = pa.schema([("id_b", pa.int64()), (f"{col}_b", bin_)])
+    s1 = out_schema(pairs_schema, left_schema, "id_a")
+    out = hash_join(
+        pairs, left, "id_a", num_partitions=cfg.join_partitions,
+        left_schema=pairs_schema, right_schema=left_schema,
+    )
+    s2 = out_schema(s1, right_schema, "id_b")
+    joined = hash_join(
+        out, right, "id_b", num_partitions=cfg.join_partitions,
+        left_schema=s1, right_schema=right_schema,
+    )
+    return joined, s2
+
+
+def make_est_jaccard(cfg: DedupConfig):
+    """Signature-agreement estimate over (sig_a, sig_b) columns (stateless)."""
+    p = cfg.num_perm
+
+    def est_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("est_jaccard", pa.array([], pa.float64()))
+        a = binary_to_u64_matrix(batch["sig_a"], p)
+        b = binary_to_u64_matrix(batch["sig_b"], p)
+        est = (a == b).mean(axis=1)
+        out = batch.drop_columns(["sig_a", "sig_b"])
+        return out.append_column("est_jaccard", pa.array(est, pa.float64()))
+
+    return est_fn
+
+
+def exact_jaccard_fn(batch: pa.Table) -> pa.Table:
+    """Exact Jaccard over sorted-unique shingle-hash sets (per pair;
+    np.intersect1d with assume_unique on the pre-sorted sets)."""
+    sa = binary_to_u64_list(batch["shingles_a"])
+    sb = binary_to_u64_list(batch["shingles_b"])
+    n = batch.num_rows
+    n_inter = np.empty(n, dtype=np.int64)
+    n_union = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        a, b = sa[i], sb[i]
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        n_inter[i] = inter
+        n_union[i] = len(a) + len(b) - inter
+    jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 1.0)
+    out = batch.drop_columns(["shingles_a", "shingles_b"])
+    out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
+    out = out.append_column("n_union", pa.array(n_union, pa.int64()))
+    return out.append_column("jaccard", pa.array(jac, pa.float64()))
+
+
+PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("n_bands", pa.int64())]
+)
+
+
+def verify_pairs(pairs, features, cfg: DedupConfig, pairs_schema: pa.Schema = PAIRS_SCHEMA):
+    """pairs(id_a, id_b[, n_bands]) + features(doc_id, sig, shingles)
+    -> verified pairs (id_a, id_b, est_jaccard, n_inter, n_union, jaccard),
+    filtered to jaccard >= cfg.threshold upstream of CC by the caller."""
+    with_sig, s_sig = _join_payload(pairs, pairs_schema, features, "sig", cfg)
+    est = with_sig.map_batches(make_est_jaccard(cfg), batch_format="pyarrow")
+    theta_est = cfg.est_threshold
+    survivors = est.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard"], theta_est)),
+        batch_format="pyarrow",
+    )
+    # schema after est stage: drop sig_a/sig_b, add est_jaccard
+    surv_schema = pa.schema(
+        [(n, s_sig.field(n).type) for n in s_sig.names if n not in ("sig_a", "sig_b")]
+        + [("est_jaccard", pa.float64())]
+    )
+    with_sh, _ = _join_payload(survivors, surv_schema, features, "shingles", cfg)
+    return with_sh.map_batches(exact_jaccard_fn, batch_format="pyarrow")

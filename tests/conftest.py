@@ -1,0 +1,43 @@
+"""Session-scoped Ray fixture — init ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def test_cfg():
+    from lsh_apg_ray.config import DedupConfig
+
+    return DedupConfig(
+        threshold=0.7,
+        join_partitions=4,
+        signer_concurrency=2,
+        batch_size=256,
+    )
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    from lsh_apg_ray.corpus import generate_corpus
+
+    return generate_corpus(300, seed=7)

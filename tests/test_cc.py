@@ -1,0 +1,49 @@
+"""Connected-components stage tests: driver union-find vs distributed
+hash-min propagation must agree exactly (divGraph.h:1276-1333 analogue)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.stages.cc import attach_clusters, cc_distributed, cc_driver
+
+
+def _edges_ds(pairs):
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype(np.int64)
+    return rd.from_pandas(df)
+
+
+EDGES = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 4)]
+EXPECT = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_driver():
+    assert cc_driver(_edges_ds(EDGES)) == EXPECT
+
+
+def test_cc_distributed_matches_driver():
+    cfg = DedupConfig(join_partitions=2)
+    labels = cc_distributed(_edges_ds(EDGES), cfg).to_pandas()
+    got = dict(zip(labels["doc_id"].tolist(), labels["cluster_id"].tolist()))
+    assert got == EXPECT
+
+
+def test_cc_distributed_long_chain():
+    # a path graph needs pointer jumping to converge in O(log n) rounds
+    chain = [(i, i + 1) for i in range(11)]
+    cfg = DedupConfig(join_partitions=2)
+    labels = cc_distributed(_edges_ds(chain), cfg).to_pandas()
+    assert set(labels["cluster_id"]) == {0}
+    assert len(labels) == 12
+
+
+def test_attach_clusters_singletons_and_both_paths():
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64)}))
+    edges = _edges_ds([(1, 2), (2, 3)])
+    for max_edges in (10**6, 0):  # driver path, then distributed path
+        cfg = DedupConfig(join_partitions=2, cc_driver_max_edges=max_edges)
+        out = attach_clusters(docs, edges, cfg, id_col="doc_id").to_pandas()
+        got = dict(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
+        assert got[1] == got[2] == got[3] == 1
+        assert all(got[i] == i for i in range(25) if i not in (1, 2, 3))

@@ -1,0 +1,34 @@
+"""Synthetic corpus generator fixture tests (FIXTURES.md §F1)."""
+
+import numpy as np
+
+from lsh_apg_ray.corpus import _LICENSE, generate_corpus
+
+
+def test_deterministic():
+    a = generate_corpus(200, seed=7)
+    b = generate_corpus(200, seed=7)
+    assert a.equals(b)
+    c = generate_corpus(200, seed=8)
+    assert not a.equals(c)
+
+
+def test_schema_matches_input_hint():
+    t = generate_corpus(50, seed=1)
+    assert t.column_names == ["repo", "path", "commit", "lang", "content"]
+    assert all(str(f.type) == "string" for f in t.schema)
+
+
+def test_planted_structure():
+    t = generate_corpus(500, seed=7)
+    contents = t.column("content").to_pylist()
+    # exact duplicates exist
+    assert len(set(contents)) < len(contents)
+    # license boilerplate (hot bucket) exists multiple times
+    assert contents.count(_LICENSE) >= 3
+    # commits are 40-hex
+    assert all(len(c) == 40 for c in t.column("commit").to_pylist())
+    # repo skew: top repo holds many files
+    repos = t.column("repo").to_pylist()
+    _, counts = np.unique(repos, return_counts=True)
+    assert counts.max() > 3 * np.median(counts)

@@ -1,0 +1,125 @@
+"""Unit tests for the hash primitives (no Ray needed).
+
+Mirrors the reference's only micro unit test (`zlsh::testLLCP`,
+e2lsh.cpp:713-723 — spot-checking key construction) plus the MinHash
+collision-probability property the whole design rests on.
+"""
+
+import numpy as np
+import pytest
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import (
+    TokenHasher,
+    band_keys,
+    derive_seeds,
+    doc_id_of,
+    exact_jaccard,
+    hamming64,
+    minhash_signatures,
+    mix64,
+    shingle_hashes,
+    simhash64,
+)
+
+
+def test_mix64_deterministic_and_dispersive():
+    x = np.arange(1000, dtype=np.uint64)
+    a, b = mix64(x), mix64(x)
+    assert (a == b).all()
+    assert len(np.unique(a)) == 1000
+    # avalanche-ish: consecutive inputs decorrelate
+    assert np.abs(np.diff(a.astype(np.float64))).min() > 0
+
+
+def test_derive_seeds_stable_and_distinct():
+    s1 = derive_seeds(42, "minhash-perm", 128)
+    s2 = derive_seeds(42, "minhash-perm", 128)
+    s3 = derive_seeds(42, "other", 128)
+    assert (s1 == s2).all()
+    assert (s1 != s3).any()
+    assert len(np.unique(s1)) == 128
+
+
+def test_doc_id_stable_and_positive():
+    a = doc_id_of("org/r", "src/a.py", "c" * 40)
+    assert a == doc_id_of("org/r", "src/a.py", "c" * 40)
+    assert 0 <= a < 2**63
+    assert a != doc_id_of("org/r", "src/b.py", "c" * 40)
+
+
+def test_tokenizer_matches_sql_semantics():
+    h = TokenHasher(r"[a-z0-9_]+")
+    assert h.tokenize("Foo  bar, baz_9!\nqux") == ["foo", "bar", "baz_9", "qux"]
+    assert h.tokenize("") == []
+
+
+def test_shingle_hashes_window_count_and_set_semantics():
+    h = TokenHasher(r"[a-z0-9_]+")
+    th = h.token_hashes(["a", "b", "c", "d", "e"])
+    sh = shingle_hashes(th, 3)
+    assert len(sh) == 3  # abc bcd cde, all distinct
+    assert (np.sort(sh) == sh).all()
+    # repeated shingles collapse (set semantics)
+    th2 = h.token_hashes(["a", "b", "c", "a", "b", "c"])
+    assert len(shingle_hashes(th2, 3)) == 3  # abc bca cab abc -> 3 unique
+    assert len(shingle_hashes(h.token_hashes(["a", "b"]), 3)) == 0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    seeds = derive_seeds(42, "minhash-perm", 256)
+    base = np.unique(rng.integers(0, 2**63, 1000).astype(np.uint64))
+    for frac in (0.9, 0.5, 0.2):
+        keep = int(len(base) * frac)
+        other = np.unique(
+            np.concatenate([base[:keep], rng.integers(0, 2**63, len(base) - keep).astype(np.uint64)])
+        )
+        _, _, true_j = exact_jaccard(base, other)
+        sigs = minhash_signatures([base, other], seeds)
+        est = (sigs[0] == sigs[1]).mean()
+        assert abs(est - true_j) < 0.08, (frac, true_j, est)
+
+
+def test_minhash_identical_sets_identical_sigs():
+    seeds = derive_seeds(42, "minhash-perm", 128)
+    s = np.unique(np.arange(50, dtype=np.uint64) * np.uint64(7919))
+    sigs = minhash_signatures([s, s.copy()], seeds)
+    assert (sigs[0] == sigs[1]).all()
+
+
+def test_band_keys_shape_and_collision():
+    seeds = derive_seeds(1, "p", 128)
+    s = np.unique(np.arange(100, dtype=np.uint64))
+    sigs = minhash_signatures([s, s, np.unique(np.arange(1000, 1100).astype(np.uint64))], seeds)
+    keys = band_keys(sigs, 32, 4)
+    assert keys.shape == (3, 32)
+    assert (keys[0] == keys[1]).all()          # identical docs collide everywhere
+    assert (keys[0] != keys[2]).any()          # different docs don't
+
+
+def test_simhash_similarity():
+    h = TokenHasher(r"[a-z0-9_]+")
+    a = h.token_hashes([f"tok{i}" for i in range(200)])
+    b = h.token_hashes([f"tok{i}" for i in range(190)] + [f"oth{i}" for i in range(10)])
+    c = h.token_hashes([f"zzz{i}" for i in range(200)])
+    sa, sb, sc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = hamming64(np.array([sa], np.uint64), np.array([sb], np.uint64))[0]
+    d_ac = hamming64(np.array([sa], np.uint64), np.array([sc], np.uint64))[0]
+    assert d_ab < d_ac
+    assert d_ab < 16
+
+
+def test_exact_jaccard_basics():
+    a = np.array([1, 2, 3, 4], dtype=np.uint64)
+    b = np.array([3, 4, 5, 6], dtype=np.uint64)
+    assert exact_jaccard(a, b) == (2, 6, 2 / 6)
+    assert exact_jaccard(a, a)[2] == 1.0
+    e = np.empty(0, np.uint64)
+    assert exact_jaccard(e, e) == (0, 0, 1.0)
+    assert exact_jaccard(a, e)[2] == 0.0
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        DedupConfig(bands=10, rows=10, num_perm=128)

@@ -1,0 +1,75 @@
+"""Candidate-pair stage tests: bucket pair emission, cross-band dedup and
+the never-silent bucket cap (divGraph.h:369-370 budget analogue)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.stages.pairs import _emit_partition_pairs, bucket_stats, candidate_pairs
+
+
+def _bucket_table(doc_ids, band_id=0, band_hash=7):
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "band_id": pa.array(np.full(n, band_id, np.int64)),
+            "band_hash": pa.array(np.full(n, band_hash, np.int64)),
+            "doc_id": pa.array(np.asarray(doc_ids, np.int64)),
+        }
+    )
+
+
+def test_emit_small_bucket_all_pairs():
+    out = _emit_partition_pairs(_bucket_table([3, 1, 2, 1]), max_bucket=10)
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_emit_multiple_buckets_vectorized():
+    t = pa.concat_tables(
+        [_bucket_table([1, 2], band_hash=7), _bucket_table([5, 6, 7], band_hash=9),
+         _bucket_table([8], band_hash=11)]
+    )
+    out = _emit_partition_pairs(t, max_bucket=10)
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == {(1, 2), (5, 6), (5, 7), (6, 7)}
+
+
+def test_emit_overflow_bucket_star_chain():
+    n = 50
+    out = _emit_partition_pairs(_bucket_table(np.arange(n)), max_bucket=10)
+    a = np.array(out["id_a"].to_pylist())
+    b = np.array(out["id_b"].to_pylist())
+    assert len(a) == 2 * n - 3
+    # star keeps every node connected to the hub (min id)
+    assert set(a) | set(b) == set(range(n))
+    assert set(b[a == 0]) == set(range(1, n))
+
+
+def test_candidate_pairs_dedup_across_bands():
+    # same doc pair appears in 3 bands -> exactly one output row, n_bands=3
+    rows = []
+    for band in range(3):
+        rows += [{"band_id": band, "band_hash": 7, "doc_id": 100},
+                 {"band_id": band, "band_hash": 7, "doc_id": 200}]
+    rows += [{"band_id": 0, "band_hash": 9, "doc_id": 300},
+             {"band_id": 0, "band_hash": 9, "doc_id": 400}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    cfg = DedupConfig(join_partitions=2)
+    out = candidate_pairs(ds, cfg).to_pandas().sort_values("id_a")
+    assert list(zip(out["id_a"], out["id_b"])) == [(100, 200), (300, 400)]
+    assert out.set_index("id_a")["n_bands"].to_dict() == {100: 3, 300: 1}
+
+
+def test_bucket_stats_records_overflow():
+    rows = [{"band_id": 0, "band_hash": 1, "doc_id": i} for i in range(30)]
+    rows += [{"band_id": 0, "band_hash": 2, "doc_id": i} for i in range(3)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    cfg = DedupConfig(join_partitions=2, max_bucket=10)
+    stats = bucket_stats(ds, cfg)
+    assert int(stats["n_buckets"].iloc[0]) == 2
+    assert int(stats["overflow_buckets"].iloc[0]) == 1
+    assert int(stats["max_bucket"].iloc[0]) == 30
+    assert int(stats["skipped_pairs"].iloc[0]) == 30 * 29 // 2 - (2 * 30 - 3)

@@ -1,0 +1,114 @@
+"""End-to-end pipeline vs brute-force oracle — the recall gate.
+
+The reference's dominant correctness mechanism re-created pytest-shaped
+(SURVEY.md §5): exact golden answer by brute force (oracle_dedup ~ ben_make,
+Preprocess.cpp:107-142), approximate pipeline must reproduce it
+(Performance::update recall, Query.cpp:9-67; gate: dup-pair recall >= 0.99
+and cluster-assignment equality at the same shingle/signature config).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.hashing import doc_id_of
+from lsh_apg_ray.oracle import oracle_dedup
+from lsh_apg_ray.pipelines.dedup import cluster_sizes, dedup_pipeline
+
+
+@pytest.fixture(scope="module")
+def run(small_corpus, test_cfg):
+    ds = rd.from_arrow(small_corpus)
+    res = dedup_pipeline(ds, test_cfg, collect_metrics=True)
+    assignments = res.assignments.to_pandas()
+    edges = res.duplicate_edges.to_pandas()
+
+    doc_ids = np.array(
+        [
+            doc_id_of(r, p, c)
+            for r, p, c in zip(
+                small_corpus.column("repo").to_pylist(),
+                small_corpus.column("path").to_pylist(),
+                small_corpus.column("commit").to_pylist(),
+            )
+        ],
+        dtype=np.int64,
+    )
+    golden = oracle_dedup(doc_ids, small_corpus.column("content").to_pylist(), test_cfg)
+    return assignments, edges, golden, res
+
+
+def test_row_cardinality_and_sha_invariant(run, small_corpus):
+    assignments, _, _, _ = run
+    assert len(assignments) == small_corpus.num_rows
+    # per-row content sha256 equality end-to-end (BASELINE.json input_hint)
+    by_doc = assignments.set_index("doc_id")["sha"].to_dict()
+    for r, p, c, content in zip(
+        small_corpus.column("repo").to_pylist(),
+        small_corpus.column("path").to_pylist(),
+        small_corpus.column("commit").to_pylist(),
+        small_corpus.column("content").to_pylist(),
+    ):
+        did = doc_id_of(r, p, c)
+        assert by_doc[did] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_no_duplicate_pairs(run):
+    # reference invariant: duplicate results throw (Query.cpp:62)
+    _, edges, _, _ = run
+    keys = list(zip(edges["id_a"], edges["id_b"]))
+    assert len(keys) == len(set(keys))
+    assert (edges["id_a"] < edges["id_b"]).all()
+
+
+def test_dup_pair_recall_and_precision(run, test_cfg):
+    _, edges, golden, _ = run
+    found = set(zip(edges["id_a"].tolist(), edges["id_b"].tolist()))
+    gold = {(a, b) for a, b, _ in golden.pairs}
+    if gold:
+        recall = len(found & gold) / len(gold)
+        assert recall >= 0.99, f"recall {recall}: missing {sorted(gold - found)[:5]}"
+    # exact verification => no false positives at all
+    assert found <= gold, f"false positives: {sorted(found - gold)[:5]}"
+    # jaccard values agree exactly with the oracle's
+    gold_j = {(a, b): j for a, b, j in golden.pairs}
+    for a, b, j in zip(edges["id_a"], edges["id_b"], edges["jaccard"]):
+        assert abs(gold_j[(a, b)] - j) < 1e-12
+
+
+def test_cluster_assignment_equality(run):
+    assignments, _, golden, _ = run
+    got = dict(zip(assignments["doc_id"].tolist(), assignments["cluster_id"].tolist()))
+    assert got == golden.clusters
+
+
+def test_exact_dup_tier(run, small_corpus):
+    assignments, _, _, _ = run
+    # identical content must land in the same cluster
+    by_content: dict[str, set] = {}
+    ids = assignments.set_index("doc_id")["cluster_id"].to_dict()
+    for r, p, c, content in zip(
+        small_corpus.column("repo").to_pylist(),
+        small_corpus.column("path").to_pylist(),
+        small_corpus.column("commit").to_pylist(),
+        small_corpus.column("content").to_pylist(),
+    ):
+        by_content.setdefault(content, set()).add(ids[doc_id_of(r, p, c)])
+    for content, clusters in by_content.items():
+        assert len(clusters) == 1
+
+
+def test_cluster_sizes(run):
+    assignments, _, _, res = run
+    cs = cluster_sizes(res.assignments).to_pandas()
+    assert cs["cluster_size"].sum() == len(assignments)
+    assert (cs["cluster_size"] >= 1).all()
+
+
+def test_metrics_present(run):
+    *_, res = run
+    m = res.candidate_metrics
+    assert m is not None and int(m["n_buckets"].iloc[0]) > 0
+    assert int(m["skipped_pairs"].iloc[0]) == 0  # no overflow at this scale

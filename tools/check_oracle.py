@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+and its oracle_sql() side by side at a given sf dir, compare row count,
+column names and order-insensitive value hash. Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    norm = normalize(df)
+    payload = norm.to_csv(index=False, float_format="%.12g").encode()
+    return hashlib.sha256(payload).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        try:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            pass
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            got = res.to_pandas()
+        else:
+            got = pd.DataFrame(res)
+        ray_sec = time.time() - t0
+        if name not in oracles:
+            print(f"{name}: rows={len(got)} (rows-only, {ray_sec:.1f}s)")
+            continue
+        want = con.sql(oracles[name]).df()
+        ok_rows = len(got) == len(want)
+        ok_cols = sorted(got.columns) == sorted(want.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
+        status = "OK" if ok_hash else "FAIL"
+        print(f"{name}: {status} rows={len(got)}/{len(want)} cols_ok={ok_cols} ({ray_sec:.1f}s)")
+        if not ok_hash:
+            failures.append(name)
+            g, w = normalize(got), normalize(want)
+            if ok_rows and ok_cols:
+                for c in g.columns:
+                    if not g[c].equals(w[c]):
+                        diff = (g[c] != w[c])
+                        print(f"  col {c}: {int(diff.sum())} mismatches; "
+                              f"got {g[c][diff].head(3).tolist()} want {w[c][diff].head(3).tolist()}")
+            else:
+                print("  got cols:", list(got.columns), "want cols:", list(want.columns))
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all checked queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
