@@ -1,0 +1,144 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: the flagship MinHash-LSH dedup pipeline over a deterministic
+synthetic source-code corpus (BASELINE.json input_hint shape) sized by the
+scale factor of $GRAFT_SF_DIR (sf0.1 -> 30k files), plus per-query timings of
+the driver-facing queries over the sf tables.
+
+    python bench.py                # {"metric": ..., "value": sec, ...}
+    python bench.py --scaling      # same job at 8 and 32 CPUs in fresh
+                                   # processes; prints throughputs + efficiency
+
+Fresh `ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)` per process; this
+script OWNS its Ray session (the driver never imports it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_FILES_PER_SF = 300_000  # sf0.1 -> 30_000 files
+BENCH_QUERIES = ["doc_stats", "exact_dedup", "minhash_lsh_dedup", "ngram_jaccard_pairs", "knn_cosine"]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus_dir(sf: float) -> tuple[str, int]:
+    n = max(2_000, int(sf * CORPUS_FILES_PER_SF))
+    return f"/tmp/lsh_apg_bench_corpus_sf{sf}", n
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.corpus import write_corpus
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+    sf = _sf_of(SF_DIR)
+    out_dir, n_files = _corpus_dir(sf)
+    write_corpus(out_dir, n_files=n_files, seed=1234, shards=16)
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(out_dir).count()
+
+    cfg = DedupConfig(
+        threshold=0.7,
+        join_partitions=max(8, NUM_CPUS),
+        signer_concurrency=max(2, NUM_CPUS // 2),
+        batch_size=2048,
+    )
+    t0 = time.time()
+    res = dedup_pipeline(rd.read_parquet(out_dir), cfg, collect_metrics=False)
+    n_assign = res.assignments.count()
+    headline_sec = time.time() - t0
+    assert n_assign == n_files, (n_assign, n_files)
+
+    q_times: dict[str, float] = {}
+    from lsh_apg_ray import queries as qmod
+
+    for name in BENCH_QUERIES:
+        fn = qmod.QUERIES[name]
+        t0 = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        q_times[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "minhash_lsh_dedup_corpus_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "corpus_files": n_files,
+        "files_per_sec": round(n_files / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["files_per_sec"]
+    tp_hi = r_hi["files_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "sec_low": r_lo["value"],
+        "sec_high": r_hi["value"],
+        "files_per_sec_low": tp_lo,
+        "files_per_sec_high": tp_hi,
+        "sf": r_lo["sf"],
+        "corpus_files": r_lo["corpus_files"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -68,6 +68,11 @@ class DedupConfig:
     join_partitions: int = 8     # hash-join partition count; size ~ to cluster
                                  # CPUs (each partition is an aggregator task —
                                  # too many on a small node just burns startup)
+    broadcast_max_ids: int = 5_000_000
+    # small-side threshold for broadcast instead of shuffle: the candidate-pair
+    # id set (verify semi-join) and the sha -> representative map (exact tier)
+    # are broadcast via ray.put when at most this many entries; above it the
+    # stage falls back to a partitioned hash join with identical semantics.
     min_doc_tokens: int = 1      # docs with fewer tokens are passed through as
                                  # singletons (nothing to shingle)
 

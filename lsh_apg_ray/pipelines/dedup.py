@@ -27,6 +27,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
@@ -35,9 +36,8 @@ from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.joins import _schema_of, hash_join, out_schema
 from lsh_apg_ray.stages.bands import band_explode
 from lsh_apg_ray.stages.cc import attach_clusters
-from lsh_apg_ray.stages.minhash import sign_dataset
+from lsh_apg_ray.stages.minhash import prep_sign_dataset
 from lsh_apg_ray.stages.pairs import bucket_stats, candidate_pairs
-from lsh_apg_ray.stages.prep import prep_dataset
 from lsh_apg_ray.stages.verify import verify_pairs
 
 
@@ -66,9 +66,8 @@ def dedup_pipeline(
     output one would checkpoint to partitioned Parquet; in-object-store
     materialization gives the same reuse with spill-on-pressure.
     """
-    feats = sign_dataset(
-        prep_dataset(ds, cfg, content_col=content_col, id_col=id_col, keep_cols=keep_cols),
-        cfg,
+    feats = prep_sign_dataset(
+        ds, cfg, content_col=content_col, id_col=id_col, keep_cols=keep_cols
     ).materialize()
 
     # ---- exact tier (shuffle 0): one representative per distinct content ----
@@ -78,10 +77,31 @@ def dedup_pipeline(
     rep_by_sha = feats.groupby("sha").aggregate(Min("doc_id", alias_name="rep_id"))
     feats_schema = _schema_of(feats)  # cheap: feats is materialized
     rep_schema = pa.schema([("sha", pa.string()), ("rep_id", pa.int64())])
-    feats_rep = hash_join(
-        feats, rep_by_sha, "sha", num_partitions=cfg.join_partitions,
-        left_schema=feats_schema, right_schema=rep_schema,
-    )
+    n_unique = rep_by_sha.count()
+    if n_unique <= cfg.broadcast_max_ids:
+        # broadcast the sha -> rep map (small side) instead of shuffling the
+        # wide feats table through a hash join; feats_rep stays a NARROW map
+        # over the materialized feats, so both downstream consumers (docs and
+        # rep_feats) re-run only this cheap stage.
+        rep_map: dict[str, int] = {}
+        for b in rep_by_sha.iter_batches(batch_size=1 << 16, batch_format="pandas"):
+            rep_map.update(zip(b["sha"], b["rep_id"]))
+        ref = ray.put(rep_map)
+
+        def attach_rep(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            reps = np.fromiter(
+                (m[s] for s in t["sha"].to_pylist()), dtype=np.int64,
+                count=t.num_rows,
+            )
+            return t.append_column("rep_id", pa.array(reps, pa.int64()))
+
+        feats_rep = feats.map_batches(attach_rep, batch_format="pyarrow")
+    else:
+        feats_rep = hash_join(
+            feats, rep_by_sha, "sha", num_partitions=cfg.join_partitions,
+            left_schema=feats_schema, right_schema=rep_schema,
+        )
     feats_rep_schema = out_schema(feats_schema, rep_schema, "sha")
     docs = feats_rep.drop_columns(["shingles", "sig"])
     docs_schema = pa.schema(

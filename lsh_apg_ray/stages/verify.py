@@ -1,113 +1,156 @@
-"""Pair verification: estimated-Jaccard prefilter, then exact Jaccard.
+"""Pair verification: estimated Jaccard (signatures) + exact Jaccard.
 
-Two-phase, mirroring the reference's cheap-filter-before-exact-distance
-pattern (chi-squared LSH pruning at divGraph.h:544: skip the exact distance
-when a low-dimensional bound already disqualifies the candidate):
+Mirrors the reference's cheap-filter-before-exact-distance pattern
+(chi-squared LSH pruning at divGraph.h:544: a low-dimensional bound
+disqualifies candidates before the expensive exact computation):
 
-  phase 1: hash-join the fixed-width signatures (num_perm * 8 bytes) onto the
-           pairs, estimate Jaccard as signature agreement, drop pairs below
-           threshold - margin. Cheap payload, kills most false candidates.
-  phase 2: hash-join the (variable-width) shingle sets onto the survivors and
-           compute exact Jaccard (analogue of cal_dist on survivors,
-           basis.h:186-202).
+  - the signature-agreement estimate prunes pairs below
+    threshold - est_threshold_margin before the exact set intersection;
+  - exact Jaccard over the shingle sets decides (analogue of cal_dist on
+    survivors, basis.h:186-202).
 
-Joins are Ray Data native hash joins partitioned on doc_id
-(cfg.join_partitions) — the "bring payload to pairs" shuffle (SURVEY.md §7.2
-shuffle 3). Content never ships; only ids, signatures and shingle hashes.
+Physical plan: the candidate-pair id set is usually tiny relative to the
+corpus, so the payload table (doc_id, sig, shingles) is first cut down by a
+BROADCAST semi-join (ray.put the pair-id set, filter payload in map_batches —
+no shuffle), then hash-joined onto the pairs once per side (2 joins total,
+both payloads in one pass). When the pair-id set exceeds
+cfg.broadcast_max_ids the prefilter is skipped and the full payload shuffles
+through the same joins — same semantics, documented partitioning
+(SURVEY.md §7.2 shuffle 3). Content never ships; only ids, signatures and
+shingle hashes.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 
 from lsh_apg_ray.arrowutil import binary_to_u64_list, binary_to_u64_matrix, rename_ds
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.joins import hash_join, out_schema
 
-
-def _join_payload(pairs, pairs_schema, payload, col: str, cfg: DedupConfig):
-    """pairs(id_a, id_b, ...) x payload(doc_id, col) -> + col_a, col_b.
-    Returns (dataset, schema) so chained joins never call Dataset.schema()."""
-    left = rename_ds(
-        payload.select_columns(["doc_id", col]), {"doc_id": "id_a", col: f"{col}_a"}
-    )
-    right = rename_ds(
-        payload.select_columns(["doc_id", col]), {"doc_id": "id_b", col: f"{col}_b"}
-    )
-    bin_ = pa.large_binary()
-    left_schema = pa.schema([("id_a", pa.int64()), (f"{col}_a", bin_)])
-    right_schema = pa.schema([("id_b", pa.int64()), (f"{col}_b", bin_)])
-    s1 = out_schema(pairs_schema, left_schema, "id_a")
-    out = hash_join(
-        pairs, left, "id_a", num_partitions=cfg.join_partitions,
-        left_schema=pairs_schema, right_schema=left_schema,
-    )
-    s2 = out_schema(s1, right_schema, "id_b")
-    joined = hash_join(
-        out, right, "id_b", num_partitions=cfg.join_partitions,
-        left_schema=s1, right_schema=right_schema,
-    )
-    return joined, s2
-
-
-def make_est_jaccard(cfg: DedupConfig):
-    """Signature-agreement estimate over (sig_a, sig_b) columns (stateless)."""
-    p = cfg.num_perm
-
-    def est_fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("est_jaccard", pa.array([], pa.float64()))
-        a = binary_to_u64_matrix(batch["sig_a"], p)
-        b = binary_to_u64_matrix(batch["sig_b"], p)
-        est = (a == b).mean(axis=1)
-        out = batch.drop_columns(["sig_a", "sig_b"])
-        return out.append_column("est_jaccard", pa.array(est, pa.float64()))
-
-    return est_fn
-
-
-def exact_jaccard_fn(batch: pa.Table) -> pa.Table:
-    """Exact Jaccard over sorted-unique shingle-hash sets (per pair;
-    np.intersect1d with assume_unique on the pre-sorted sets)."""
-    sa = binary_to_u64_list(batch["shingles_a"])
-    sb = binary_to_u64_list(batch["shingles_b"])
-    n = batch.num_rows
-    n_inter = np.empty(n, dtype=np.int64)
-    n_union = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        a, b = sa[i], sb[i]
-        inter = len(np.intersect1d(a, b, assume_unique=True))
-        n_inter[i] = inter
-        n_union[i] = len(a) + len(b) - inter
-    jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 1.0)
-    out = batch.drop_columns(["shingles_a", "shingles_b"])
-    out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
-    out = out.append_column("n_union", pa.array(n_union, pa.int64()))
-    return out.append_column("jaccard", pa.array(jac, pa.float64()))
-
-
 PAIRS_SCHEMA = pa.schema(
     [("id_a", pa.int64()), ("id_b", pa.int64()), ("n_bands", pa.int64())]
 )
+_BIN = pa.large_binary()
+
+
+def _semi_filter_payload(pairs, payload, cfg: DedupConfig):
+    """Broadcast semi-join: keep only payload rows whose doc_id occurs in a
+    candidate pair. Returns the filtered payload (or the original when the id
+    set is too large to broadcast)."""
+    ids = set()
+    too_big = False
+    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=1 << 16, batch_format="numpy"
+    ):
+        ids.update(b["id_a"].tolist())
+        ids.update(b["id_b"].tolist())
+        if len(ids) > cfg.broadcast_max_ids:
+            too_big = True
+            break
+    if too_big:
+        return payload
+    arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
+    arr.sort()
+    ref = ray.put(arr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(wanted, d)
+        pos[pos >= len(wanted)] = 0
+        mask = wanted[pos] == d if len(wanted) else np.zeros(len(d), bool)
+        return t.filter(pa.array(mask))
+
+    return payload.map_batches(keep, batch_format="pyarrow")
+
+
+def _attach_both_payloads(pairs, pairs_schema, payload, cfg: DedupConfig):
+    """pairs x payload(doc_id, sig, shingles) -> + sig_a/sig_b +
+    shingles_a/shingles_b via two hash joins (one per side)."""
+    cols = ["doc_id", "sig", "shingles"]
+    left = rename_ds(
+        payload.select_columns(cols),
+        {"doc_id": "id_a", "sig": "sig_a", "shingles": "shingles_a"},
+    )
+    right = rename_ds(
+        payload.select_columns(cols),
+        {"doc_id": "id_b", "sig": "sig_b", "shingles": "shingles_b"},
+    )
+    ls = pa.schema([("id_a", pa.int64()), ("sig_a", _BIN), ("shingles_a", _BIN)])
+    rs = pa.schema([("id_b", pa.int64()), ("sig_b", _BIN), ("shingles_b", _BIN)])
+    s1 = out_schema(pairs_schema, ls, "id_a")
+    j = hash_join(
+        pairs, left, "id_a", num_partitions=cfg.join_partitions,
+        left_schema=pairs_schema, right_schema=ls,
+    )
+    return hash_join(
+        j, right, "id_b", num_partitions=cfg.join_partitions,
+        left_schema=s1, right_schema=rs,
+    )
+
+
+def make_verify_fn(cfg: DedupConfig):
+    """est-Jaccard prune + exact Jaccard in one vectorized pass per batch."""
+    p = cfg.num_perm
+    theta_est = cfg.est_threshold
+
+    def verify_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_cols = [c for c in batch.column_names
+                    if c not in ("sig_a", "sig_b", "shingles_a", "shingles_b")]
+        if n == 0:
+            empty = batch.select(out_cols)
+            for name in ("est_jaccard", "jaccard"):
+                empty = empty.append_column(name, pa.array([], pa.float64()))
+            for name in ("n_inter", "n_union"):
+                empty = empty.append_column(name, pa.array([], pa.int64()))
+            return empty.select(out_cols + ["est_jaccard", "n_inter", "n_union", "jaccard"])
+        a = binary_to_u64_matrix(batch["sig_a"], p)
+        b = binary_to_u64_matrix(batch["sig_b"], p)
+        est = (a == b).mean(axis=1)
+        # chi-squared-prune analogue: skip exact work where the estimate is
+        # already below threshold - margin
+        todo = np.flatnonzero(est >= theta_est)
+        sa = binary_to_u64_list(batch["shingles_a"])
+        sb = binary_to_u64_list(batch["shingles_b"])
+        n_inter = np.zeros(n, dtype=np.int64)
+        n_union = np.zeros(n, dtype=np.int64)
+        for i in todo.tolist():
+            x, y = sa[i], sb[i]
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            n_inter[i] = inter
+            n_union[i] = len(x) + len(y) - inter
+        jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 0.0)
+        out = batch.select(out_cols)
+        out = out.append_column("est_jaccard", pa.array(est, pa.float64()))
+        out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
+        out = out.append_column("n_union", pa.array(n_union, pa.int64()))
+        out = out.append_column("jaccard", pa.array(jac, pa.float64()))
+        # rows pruned by the estimate carry jaccard=0 and are dropped here
+        # (they could never pass the caller's >= threshold filter)
+        return out.filter(pa.array(est >= theta_est))
+
+    return verify_fn
 
 
 def verify_pairs(pairs, features, cfg: DedupConfig, pairs_schema: pa.Schema = PAIRS_SCHEMA):
     """pairs(id_a, id_b[, n_bands]) + features(doc_id, sig, shingles)
-    -> verified pairs (id_a, id_b, est_jaccard, n_inter, n_union, jaccard),
-    filtered to jaccard >= cfg.threshold upstream of CC by the caller."""
-    with_sig, s_sig = _join_payload(pairs, pairs_schema, features, "sig", cfg)
-    est = with_sig.map_batches(make_est_jaccard(cfg), batch_format="pyarrow")
-    theta_est = cfg.est_threshold
-    survivors = est.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard"], theta_est)),
-        batch_format="pyarrow",
-    )
-    # schema after est stage: drop sig_a/sig_b, add est_jaccard
-    surv_schema = pa.schema(
-        [(n, s_sig.field(n).type) for n in s_sig.names if n not in ("sig_a", "sig_b")]
-        + [("est_jaccard", pa.float64())]
-    )
-    with_sh, _ = _join_payload(survivors, surv_schema, features, "shingles", cfg)
-    return with_sh.map_batches(exact_jaccard_fn, batch_format="pyarrow")
+    -> verified pairs (id_a, id_b, n_bands, est_jaccard, n_inter, n_union,
+    jaccard); the caller filters jaccard >= cfg.threshold."""
+    pairs = pairs.materialize()  # consumed twice: semi-filter scan + join
+    n_pairs = pairs.count()
+    # partition count tracks DATA volume, not cluster width: each hash-join
+    # partition is a task — 32 partitions over 40k pairs is pure startup cost
+    join_cfg = cfg
+    adaptive = max(4, min(cfg.join_partitions, n_pairs // 20_000 + 4))
+    if adaptive != cfg.join_partitions:
+        from dataclasses import replace
+
+        join_cfg = replace(cfg, join_partitions=adaptive)
+    payload = _semi_filter_payload(pairs, features, join_cfg)
+    joined = _attach_both_payloads(pairs, pairs_schema, payload, join_cfg)
+    return joined.map_batches(make_verify_fn(cfg), batch_format="pyarrow")
