@@ -39,11 +39,11 @@ class DedupConfig:
 
     # --- verification ---
     threshold: float = 0.8      # exact-Jaccard duplicate threshold (theta)
-    est_threshold_margin: float = 0.15
-    # candidate pairs whose *estimated* Jaccard (signature agreement) is below
-    # threshold - margin are pruned before exact verification — the analogue of
-    # the reference's chi-squared LSH pruning (cheap low-dim filter before the
-    # expensive exact distance, divGraph.h:544).
+    # NOTE: an estimated-Jaccard (signature agreement) prefilter — the
+    # chi-squared-prune analogue (divGraph.h:544) — was implemented and then
+    # removed after measurement: it shipped num_perm*8 bytes per doc through
+    # the verify join to save ~10us/pair of exact sorted-set intersection.
+    # On this engine the exact kernel is cheaper than the prefilter payload.
 
     # --- skew handling ---
     max_bucket: int = 512
@@ -75,6 +75,11 @@ class DedupConfig:
     # stage falls back to a partitioned hash join with identical semantics.
     min_doc_tokens: int = 1      # docs with fewer tokens are passed through as
                                  # singletons (nothing to shingle)
+    exact_sha_grouping: bool = False
+    # False: the exact tier groups on the 64-bit sha256 prefix (sha_key) and
+    # broadcasts the rep map as two numpy arrays (zero-copy) — collision
+    # P ~ K^2/2^65 for K distinct contents. True: group on the full hex sha
+    # (dict broadcast) — exact at any scale, slower to build/ship.
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:
@@ -83,10 +88,6 @@ class DedupConfig:
             )
         if not (0.0 < self.threshold <= 1.0):
             raise ValueError("threshold must be in (0, 1]")
-
-    @property
-    def est_threshold(self) -> float:
-        return max(0.0, self.threshold - self.est_threshold_margin)
 
 
 # Configuration used by tests / the driver correctness gate: small signature,

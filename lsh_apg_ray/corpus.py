@@ -172,3 +172,35 @@ def write_corpus(out_dir: str, n_files: int, seed: int = 42, shards: int = 8) ->
     with open(manifest, "w") as f:
         f.write(tag)
     return out_dir
+
+
+def write_corpus_parallel(out_dir: str, n_files: int, seed: int = 42, shards: int = 32) -> str:
+    """Parallel variant for big benchmark corpora: each shard is an
+    independent generate_corpus(n_per_shard, seed=derive(seed, shard)) run in
+    a Ray task — still a pure function of (n_files, seed, shards), but with a
+    per-shard family pool instead of one global pool. Requires an initialised
+    Ray session; skips shards whose file already exists (resumable)."""
+    import ray
+
+    manifest = os.path.join(out_dir, "_MANIFEST")
+    tag = f"par:{n_files}:{seed}:{shards}"
+    if os.path.exists(manifest) and open(manifest).read().strip() == tag:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_files + shards - 1) // shards
+
+    @ray.remote
+    def gen_shard(s: int) -> str:
+        path = os.path.join(out_dir, f"part-{s:05d}.parquet")
+        if not os.path.exists(path):
+            n = min(per, n_files - s * per)
+            t = generate_corpus(n, seed=seed * 100_003 + s)
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)  # atomic: no torn shards on interruption
+        return path
+
+    ray.get([gen_shard.remote(s) for s in range(shards)])
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return out_dir

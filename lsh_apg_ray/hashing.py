@@ -91,6 +91,96 @@ class TokenHasher:
         return np.fromiter((cache[t] for t in tokens), dtype=_U64, count=len(tokens))
 
 
+def _split_pattern_of(token_pattern: str) -> str | None:
+    """token char-class pattern "[...]+" -> complement split pattern, or None
+    when the pattern is not a plain character class (fallback to re.findall)."""
+    import re as _re
+
+    m = _re.fullmatch(r"\[([^\]]+)\]\+", token_pattern)
+    return f"[^{m.group(1)}]+" if m else None
+
+
+def arrow_token_hashes(
+    col, hasher: "TokenHasher", token_pattern: str
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized batch tokenization: Arrow string column -> (flat u64 token
+    hashes, per-doc offsets[n+1]).
+
+    pc.utf8_lower + pc.split_pattern_regex + pc.dictionary_encode keep every
+    token inside Arrow buffers — no per-token Python strings (the Python
+    findall path allocates ~100s of MB of PyObjects per batch pass, which is
+    catastrophic on memory-ballooned hosts). Only the UNIQUE dictionary
+    tokens are hashed through the (cross-batch cached) TokenHasher.
+    Returns None when the token pattern is not a plain char class.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    split_pat = _split_pattern_of(token_pattern)
+    if split_pat is None:
+        return None
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sp = pc.split_pattern_regex(pc.utf8_lower(col), pattern=split_pat)
+    offsets = np.asarray(sp.offsets, dtype=np.int64)
+    flat = sp.values
+    de = pc.dictionary_encode(flat)
+    dictionary = de.dictionary.to_pylist()
+    indices = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_h = hasher.token_hashes(dictionary)
+    flat_h = dict_h[indices] if len(indices) else np.empty(0, _U64)
+    # drop empty tokens (split artifacts at string edges)
+    try:
+        empty_idx = dictionary.index("")
+    except ValueError:
+        empty_idx = -1
+    if empty_idx >= 0:
+        keep = indices != empty_idx
+        flat_h = flat_h[keep]
+        cs = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(keep, out=cs[1:])
+        offsets = cs[offsets]
+    return flat_h, offsets
+
+
+def batch_shingle_sets(
+    flat_h: np.ndarray, offsets: np.ndarray, k: int
+) -> list[np.ndarray]:
+    """Per-doc unique sorted shingle sets from a flat token-hash array.
+
+    The k-window rolling fold runs ONCE over the whole flat array; windows
+    that straddle a document boundary are masked out; per-doc np.unique is
+    the only per-doc work (microseconds each).
+    """
+    n_docs = len(offsets) - 1
+    total = len(flat_h)
+    lens = np.diff(offsets)
+    if total < k:
+        return [np.empty(0, _U64) for _ in range(n_docs)]
+    w = total - k + 1
+    h = flat_h[:w].copy()
+    for j in range(1, k):
+        h = (h * _GOLDEN) ^ flat_h[j : j + w]
+    h = mix64(h)
+    # window starting at flat position s belongs to doc d and is valid iff
+    # s + k <= offsets[d+1]
+    pos = np.arange(total, dtype=np.int64)
+    doc_start = np.repeat(offsets[:-1], lens)
+    doc_len = np.repeat(lens, lens)
+    valid_counts = np.maximum(lens - k + 1, 0)
+    sets: list[np.ndarray] = []
+    out_pos = 0
+    valid = (pos - doc_start + k) <= doc_len
+    valid = valid[:w]
+    hv = h[valid]
+    csum = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(valid_counts, out=csum[1:])
+    for d in range(n_docs):
+        s, e = csum[d], csum[d + 1]
+        sets.append(np.unique(hv[s:e]) if e > s else np.empty(0, _U64))
+    return sets
+
+
 def shingle_hashes(token_h: np.ndarray, k: int) -> np.ndarray:
     """Unique sorted u64 hashes of all k-token shingles.
 

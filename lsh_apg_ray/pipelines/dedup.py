@@ -33,11 +33,11 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from lsh_apg_ray.config import DedupConfig
-from lsh_apg_ray.joins import _schema_of, hash_join, out_schema
-from lsh_apg_ray.stages.bands import band_explode
+from lsh_apg_ray.stages.bands import band_explode_precomputed
 from lsh_apg_ray.stages.cc import attach_clusters
-from lsh_apg_ray.stages.minhash import prep_sign_dataset
+from lsh_apg_ray.stages.minhash import rep_features_dataset
 from lsh_apg_ray.stages.pairs import bucket_stats, candidate_pairs
+from lsh_apg_ray.stages.prep import MetaPrep
 from lsh_apg_ray.stages.verify import verify_pairs
 
 
@@ -66,69 +66,94 @@ def dedup_pipeline(
     output one would checkpoint to partitioned Parquet; in-object-store
     materialization gives the same reuse with spill-on-pressure.
     """
-    feats = prep_sign_dataset(
-        ds, cfg, content_col=content_col, id_col=id_col, keep_cols=keep_cols
-    ).materialize()
+    # ---- pass A (cheap, full corpus): doc_id + sha256 + meta — NO tokens ----
+    # an INSTANCE is a plain callable -> stateless tasks (elastic scheduling;
+    # sha256 needs no per-worker state worth an actor pool)
+    meta = ds.map_batches(
+        MetaPrep(content_col=content_col, id_col=id_col, keep_cols=tuple(keep_cols)),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
 
     # ---- exact tier (shuffle 0): one representative per distinct content ----
     # groupby(sha).min(doc_id) -> (sha, rep_id); the reference's analogue is
-    # the visited-set dedup D1 (e2lsh.cpp:141) — identical things collapse
-    # before any expensive work.
-    rep_by_sha = feats.groupby("sha").aggregate(Min("doc_id", alias_name="rep_id"))
-    feats_schema = _schema_of(feats)  # cheap: feats is materialized
-    rep_schema = pa.schema([("sha", pa.string()), ("rep_id", pa.int64())])
-    n_unique = rep_by_sha.count()
-    if n_unique <= cfg.broadcast_max_ids:
-        # broadcast the sha -> rep map (small side) instead of shuffling the
-        # wide feats table through a hash join; feats_rep stays a NARROW map
-        # over the materialized feats, so both downstream consumers (docs and
-        # rep_feats) re-run only this cheap stage.
+    # the visited-set dedup D1 (e2lsh.cpp:141) — identical contents collapse
+    # BEFORE any expensive work (tokenization runs on representatives only).
+    # Default: group on the 64-bit content key (sha_key, first 8 bytes of the
+    # sha256 digest) so the rep map broadcasts as two zero-copy numpy arrays
+    # instead of a pickled dict of hex strings. Collision bound: two DISTINCT
+    # contents merge only if their digests share the first 8 bytes —
+    # P ~ K^2/2^65 (K distinct contents), ~3e-8 at K=1e6. For corpora near
+    # the birthday bound (K >~ 1e9) set cfg.exact_sha_grouping=True to group
+    # on the full sha (exact at any scale; dict broadcast).
+    group_key = "sha" if cfg.exact_sha_grouping else "sha_key"
+    rep_by_key = (
+        meta.select_columns([group_key, "doc_id"])
+        .groupby(group_key)
+        .aggregate(Min("doc_id", alias_name="rep_id"))
+    )
+    n_unique = rep_by_key.count()
+    if n_unique > cfg.broadcast_max_ids:
+        raise NotImplementedError(
+            "exact tier above broadcast_max_ids unique contents: partition "
+            "the corpus (or add a hash-join rep attachment via joins.hash_join)"
+        )
+    if cfg.exact_sha_grouping:
         rep_map: dict[str, int] = {}
-        for b in rep_by_sha.iter_batches(batch_size=1 << 16, batch_format="pandas"):
+        for b in rep_by_key.iter_batches(batch_size=1 << 16, batch_format="pandas"):
             rep_map.update(zip(b["sha"], b["rep_id"]))
-        ref = ray.put(rep_map)
+        rep_map_ref = ray.put(rep_map)
+        rep_ids = np.unique(np.fromiter(rep_map.values(), np.int64, count=len(rep_map)))
 
         def attach_rep(t: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            m = ray.get(rep_map_ref)
             reps = np.fromiter(
-                (m[s] for s in t["sha"].to_pylist()), dtype=np.int64,
-                count=t.num_rows,
+                (m[s] for s in t["sha"].to_pylist()), np.int64, count=t.num_rows
             )
             return t.append_column("rep_id", pa.array(reps, pa.int64()))
 
-        feats_rep = feats.map_batches(attach_rep, batch_format="pyarrow")
     else:
-        feats_rep = hash_join(
-            feats, rep_by_sha, "sha", num_partitions=cfg.join_partitions,
-            left_schema=feats_schema, right_schema=rep_schema,
-        )
-    feats_rep_schema = out_schema(feats_schema, rep_schema, "sha")
-    docs = feats_rep.drop_columns(["shingles", "sig"])
+        key_parts, rep_parts = [], []
+        for b in rep_by_key.iter_batches(batch_size=1 << 16, batch_format="numpy"):
+            key_parts.append(b["sha_key"].astype(np.int64))
+            rep_parts.append(b["rep_id"].astype(np.int64))
+        keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
+        reps = np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int64)
+        order = np.argsort(keys)
+        keys, reps = keys[order], reps[order]
+        rep_map_ref = ray.put((keys, reps))
+        rep_ids = np.unique(reps)
+
+        def attach_rep(t: pa.Table) -> pa.Table:
+            k, r = ray.get(rep_map_ref)  # zero-copy plasma views
+            sk = t["sha_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(k, sk), 0, max(0, len(k) - 1))
+            return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
+
+    rep_ids_ref = ray.put(rep_ids)
+    docs = meta.map_batches(attach_rep, batch_format="pyarrow")
     docs_schema = pa.schema(
-        [
-            (n, feats_rep_schema.field(n).type)
-            for n in feats_rep_schema.names
-            if n not in ("shingles", "sig")
-        ]
+        [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
+         ("nbytes", pa.int64())]
+        + [(c, pa.string()) for c in keep_cols]
+        + [("rep_id", pa.int64())]
     )
 
-    # ---- LSH tier runs on unique, shingleable contents only ----
-    # (docs with no shingles — empty / sub-k-token files — dedup via the exact
-    # tier alone: an empty shingle set carries no similarity signal)
-    rep_feats = (
-        feats_rep.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.equal(t["doc_id"], t["rep_id"]), pc.greater(t["n_shingles"], 0)
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        .select_columns(["doc_id", "sig", "shingles"])
-        .materialize()
-    )
+    # ---- pass B (expensive, representatives only): tokenize -> shingles ->
+    # MinHash -> band keys, in ONE actor pool over a fresh scan of the source.
+    # Output is materialized once: (doc_id, n_shingles, shingles, bands) —
+    # the signature itself never exists outside the actor (bands*8 bytes
+    # instead of num_perm*8 travel onward).
+    rep_feats = rep_features_dataset(
+        ds, cfg, rep_ids_ref, content_col=content_col, id_col=id_col
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["n_shingles"], 0)),
+        batch_format="pyarrow",
+    ).materialize()
+    # (docs with no shingles — empty / sub-k-token files — dedup via the
+    # exact tier alone: an empty shingle set carries no similarity signal)
 
-    band_ds = band_explode(rep_feats, cfg)
+    band_ds = band_explode_precomputed(rep_feats, cfg)
     metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
     pairs = candidate_pairs(band_ds, cfg)
     verified = verify_pairs(pairs, rep_feats, cfg)

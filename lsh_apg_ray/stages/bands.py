@@ -46,3 +46,26 @@ def band_explode(ds, cfg: DedupConfig):
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
+
+
+def band_explode_precomputed(ds, cfg: DedupConfig):
+    """Explode a precomputed `bands` binary column (bands x u64 per row) into
+    (band_id, band_hash, doc_id) rows — the RepFeatures fast path where band
+    keys were derived at signing time and the signature never materialized."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = binary_to_u64_matrix(batch["bands"], cfg.bands).view(np.int64)
+        band_id = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id, pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, cfg.bands), pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "bands"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=cfg.batch_size
+    )

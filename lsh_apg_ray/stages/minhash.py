@@ -28,6 +28,113 @@ class MinHashSigner:
         return batch.append_column("sig", u64s_to_binary(list(sigs)))
 
 
+# Worker-process-global state cache: Ray reuses worker processes across
+# tasks, so a plain map_batches FUNCTION gets the same amortize-once-per-
+# worker behavior as an actor pool (token-hash cache, derived seeds, scratch
+# buffers) WITHOUT actor-pool scheduling: tasks schedule elastically onto
+# every free CPU instead of waiting for the pool autoscaler to ramp
+# (measured: the actor-pool version left a 36s stage at ~1.3x speedup from
+# 8->32 CPUs; task version scales with the CPU count).
+_WORKER_STATE: dict = {}
+
+
+def _hash_state(cfg: DedupConfig):
+    from lsh_apg_ray.hashing import TokenHasher
+
+    key = (cfg.token_pattern, cfg.seed, cfg.num_perm)
+    st = _WORKER_STATE.get(key)
+    if st is None:
+        st = (
+            TokenHasher(cfg.token_pattern),
+            derive_seeds(cfg.seed, "minhash-perm", cfg.num_perm),
+        )
+        _WORKER_STATE[key] = st
+    return st
+
+
+def make_rep_features_fn(cfg: DedupConfig, rep_ids_ref, content_col="content",
+                         id_col: str | None = None):
+    """Pass B of the flagship pipeline: tokenize + shingle + MinHash + band
+    keys for unique-content REPRESENTATIVES only (membership via a broadcast
+    sorted id array — the exact tier collapsed duplicates first, so the
+    expensive work runs once per distinct content).
+
+    Output: (doc_id, n_shingles, shingles:binary, bands:binary[bands*8]) —
+    band keys are emitted directly (bands*8 bytes) instead of the full
+    signature (num_perm*8 bytes): nothing downstream needs the signature
+    once the band keys exist.
+    """
+    import numpy as np
+    import ray
+
+    from lsh_apg_ray.arrowutil import u64s_to_binary
+    from lsh_apg_ray.hashing import (
+        arrow_token_hashes,
+        band_keys,
+        batch_shingle_sets,
+        doc_id_of,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hasher, perm_seeds = _hash_state(cfg)
+        n = batch.num_rows
+        if id_col is not None:
+            doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_ids = np.fromiter(
+                (
+                    doc_id_of(r, p, c)
+                    for r, p, c in zip(
+                        batch["repo"].to_pylist(),
+                        batch["path"].to_pylist(),
+                        batch["commit"].to_pylist(),
+                    )
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        w = ray.get(rep_ids_ref)  # sorted int64, zero-copy plasma
+        pos = np.clip(np.searchsorted(w, doc_ids), 0, max(0, len(w) - 1))
+        mask = (w[pos] == doc_ids) if len(w) else np.zeros(n, bool)
+        batch = batch.filter(pa.array(mask))
+        doc_ids = doc_ids[mask]
+        # vectorized Arrow tokenization (no per-token Python objects);
+        # falls back to the per-doc regex path for exotic token patterns
+        tok = arrow_token_hashes(batch[content_col], hasher, cfg.token_pattern)
+        if tok is not None:
+            flat_h, offsets = tok
+            sets = batch_shingle_sets(flat_h, offsets, cfg.shingle_k)
+        else:
+            sets = [
+                shingle_hashes(hasher.token_hashes(hasher.tokenize(t)), cfg.shingle_k)
+                for t in batch[content_col].to_pylist()
+            ]
+        n_sh = np.fromiter((len(s) for s in sets), np.int64, count=len(sets))
+        sigs = minhash_signatures(sets, perm_seeds)
+        bands = band_keys(sigs, cfg.bands, cfg.rows).view(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "shingles": u64s_to_binary(sets),
+                "bands": u64s_to_binary(list(bands)),
+            }
+        )
+
+    return fn
+
+
+def rep_features_dataset(src, cfg: DedupConfig, rep_ids_ref, content_col="content",
+                         id_col: str | None = None):
+    return src.map_batches(
+        make_rep_features_fn(cfg, rep_ids_ref, content_col=content_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+
 class PrepSign:
     """Fused Prep + MinHashSigner — one actor pool instead of two.
 

@@ -32,10 +32,11 @@ from ray.data.aggregate import Count
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.hashing import mix64
 
-_PPART = "__ppart"
+_PPART = "__ppart"   # coarse bucket partition (pair emission)
+_QPART = "__qpart"   # coarse pair partition (pair dedup/count)
 
 
-def _emit_partition_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
+def _emit_partition_pairs(group: pa.Table, max_bucket: int, num_partitions: int = 8) -> pa.Table:
     """Vectorized pair emission for every bucket in one coarse partition.
 
     Rows are lexsorted by (band_id, band_hash, doc_id); bucket boundaries are
@@ -45,9 +46,7 @@ def _emit_partition_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
     """
     n = group.num_rows
     if n == 0:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
+        return _empty_pairs()
     band_id = group["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     band_hash = group["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
     doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -79,13 +78,60 @@ def _emit_partition_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
             out_a.append(np.concatenate([hub, ids[1:-1]]))
             out_b.append(np.concatenate([ids[1:], ids[2:]]))
     if not out_a:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
+        return _empty_pairs()
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # pre-assign the pair-dedup partition here so the next shuffle's groups
+    # are P coarse partitions, not one group per distinct pair
     return pa.table(
         {
-            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            _QPART: pa.array(_pair_part(a, b, num_partitions), pa.int64()),
+        }
+    )
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            _QPART: pa.array([], pa.int64()),
+        }
+    )
+
+
+def _pair_part(a: np.ndarray, b: np.ndarray, num_partitions: int) -> np.ndarray:
+    key = mix64(a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.view(np.uint64))
+    return (key % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _dedup_count_pairs(group: pa.Table) -> pa.Table:
+    """Vectorized distinct-count of (id_a, id_b) within one coarse partition:
+    lexsort + run-length. Replaces a per-pair groupby (millions of groups)."""
+    a = group["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = group["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.empty(len(a), dtype=bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(a)))
+    return pa.table(
+        {
+            "id_a": pa.array(a[starts], pa.int64()),
+            "id_b": pa.array(b[starts], pa.int64()),
+            "n_bands": pa.array(counts, pa.int64()),
         }
     )
 
@@ -111,15 +157,20 @@ def candidate_pairs(band_ds, cfg: DedupConfig):
     proposed this pair" (n_bands) — a confidence signal, and the exact
     intersection size when the band key is a raw shingle (allpairs.py).
     """
+    mb, jp = cfg.max_bucket, cfg.join_partitions
     raw = (
-        _with_ppart(band_ds, cfg.join_partitions)
+        _with_ppart(band_ds, jp)
         .groupby(_PPART)
         .map_groups(
-            lambda g: _emit_partition_pairs(g, cfg.max_bucket),
+            lambda g: _emit_partition_pairs(g, mb, jp),
             batch_format="pyarrow",
         )
     )
-    return raw.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    return (
+        raw.groupby(_QPART)
+        .map_groups(_dedup_count_pairs, batch_format="pyarrow")
+        .repartition(cfg.join_partitions)
+    )
 
 
 def bucket_stats(band_ds, cfg: DedupConfig):

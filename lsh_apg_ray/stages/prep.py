@@ -25,6 +25,57 @@ from lsh_apg_ray.hashing import (
 )
 
 
+class MetaPrep:
+    """Cheap first pass over the FULL corpus: doc_id, sha256, nbytes only —
+    no tokenization. The exact tier needs nothing more, and the expensive
+    token/shingle pass then runs only on unique-content representatives
+    (dedup_pipeline pass B)."""
+
+    def __init__(self, content_col: str = "content", id_col: str | None = None,
+                 keep_cols: tuple[str, ...] = ()) -> None:
+        self.content_col = content_col
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.content_col].to_pylist()
+        n = len(texts)
+        if self.id_col is not None:
+            doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_ids = np.fromiter(
+                (
+                    doc_id_of(r, p, c)
+                    for r, p, c in zip(
+                        batch["repo"].to_pylist(),
+                        batch["path"].to_pylist(),
+                        batch["commit"].to_pylist(),
+                    )
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        shas, nbytes = [], np.empty(n, dtype=np.int64)
+        sha_keys = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            digest = hashlib.sha256(raw).digest()
+            shas.append(digest.hex())
+            # free 64-bit content key for numpy-side grouping/broadcast; the
+            # full hex sha stays the correctness-invariant column
+            sha_keys[i] = int.from_bytes(digest[:8], "little", signed=True)
+            nbytes[i] = len(raw)
+        cols: dict = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "sha": pa.array(shas, pa.string()),
+            "sha_key": pa.array(sha_keys, pa.int64()),
+            "nbytes": pa.array(nbytes, pa.int64()),
+        }
+        for c in self.keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+
 class Prep:
     """content -> doc_id, sha (hex), nbytes, n_tokens, n_shingles, shingles,
     simhash. Input schema: either the corpus shape (repo, path, commit, lang,

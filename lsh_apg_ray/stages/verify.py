@@ -1,33 +1,32 @@
-"""Pair verification: estimated Jaccard (signatures) + exact Jaccard.
+"""Pair verification: exact Jaccard over shingle sets.
 
-Mirrors the reference's cheap-filter-before-exact-distance pattern
-(chi-squared LSH pruning at divGraph.h:544: a low-dimensional bound
-disqualifies candidates before the expensive exact computation):
+Analogue of the reference's exact-distance verification of every candidate
+(`cal_dist` on candidates, basis.h:186-202; the reference even ships a SIMD
+Jaccard kernel, distances_simd_avx512.cpp:416).
 
-  - the signature-agreement estimate prunes pairs below
-    threshold - est_threshold_margin before the exact set intersection;
-  - exact Jaccard over the shingle sets decides (analogue of cal_dist on
-    survivors, basis.h:186-202).
-
-Physical plan: the candidate-pair id set is usually tiny relative to the
-corpus, so the payload table (doc_id, sig, shingles) is first cut down by a
-BROADCAST semi-join (ray.put the pair-id set, filter payload in map_batches —
-no shuffle), then hash-joined onto the pairs once per side (2 joins total,
-both payloads in one pass). When the pair-id set exceeds
-cfg.broadcast_max_ids the prefilter is skipped and the full payload shuffles
-through the same joins — same semantics, documented partitioning
-(SURVEY.md §7.2 shuffle 3). Content never ships; only ids, signatures and
-shingle hashes.
+Physical plan notes (SURVEY.md §4, §7.2 shuffle 3):
+  - the candidate-pair id set is usually small relative to the corpus, so the
+    payload table (doc_id, shingles) is first cut down by a BROADCAST
+    semi-join (ray.put the pair-id set, filter payload in map_batches — no
+    shuffle); above cfg.broadcast_max_ids the prefilter is skipped and the
+    full payload shuffles through the same joins;
+  - only the shingle sets ship. A signature-based estimate prefilter (the
+    chi-squared-prune analogue, divGraph.h:544) was measured and removed: it
+    shipped num_perm*8 bytes per doc through the join to save ~10us/pair of
+    sorted-set intersection — on this engine the exact kernel is cheaper than
+    the prefilter's payload;
+  - join partition count tracks pair volume, not cluster width (each
+    partition is a task; excess partitions are pure startup cost);
+  - content never ships; only ids and shingle hashes.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
-from lsh_apg_ray.arrowutil import binary_to_u64_list, binary_to_u64_matrix, rename_ds
+from lsh_apg_ray.arrowutil import binary_to_u64_list, rename_ds
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.joins import hash_join, out_schema
 
@@ -60,28 +59,28 @@ def _semi_filter_payload(pairs, payload, cfg: DedupConfig):
     def keep(t: pa.Table) -> pa.Table:
         wanted = ray.get(ref)
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(wanted) == 0:
+            return t.filter(pa.array(np.zeros(len(d), bool)))
         pos = np.searchsorted(wanted, d)
         pos[pos >= len(wanted)] = 0
-        mask = wanted[pos] == d if len(wanted) else np.zeros(len(d), bool)
-        return t.filter(pa.array(mask))
+        return t.filter(pa.array(wanted[pos] == d))
 
     return payload.map_batches(keep, batch_format="pyarrow")
 
 
-def _attach_both_payloads(pairs, pairs_schema, payload, cfg: DedupConfig):
-    """pairs x payload(doc_id, sig, shingles) -> + sig_a/sig_b +
-    shingles_a/shingles_b via two hash joins (one per side)."""
-    cols = ["doc_id", "sig", "shingles"]
+def _attach_payloads(pairs, pairs_schema, payload, cfg: DedupConfig):
+    """pairs x payload(doc_id, shingles) -> + shingles_a, shingles_b
+    via two hash joins (one per pair side; payload ships once per side)."""
     left = rename_ds(
-        payload.select_columns(cols),
-        {"doc_id": "id_a", "sig": "sig_a", "shingles": "shingles_a"},
+        payload.select_columns(["doc_id", "shingles"]),
+        {"doc_id": "id_a", "shingles": "shingles_a"},
     )
     right = rename_ds(
-        payload.select_columns(cols),
-        {"doc_id": "id_b", "sig": "sig_b", "shingles": "shingles_b"},
+        payload.select_columns(["doc_id", "shingles"]),
+        {"doc_id": "id_b", "shingles": "shingles_b"},
     )
-    ls = pa.schema([("id_a", pa.int64()), ("sig_a", _BIN), ("shingles_a", _BIN)])
-    rs = pa.schema([("id_b", pa.int64()), ("sig_b", _BIN), ("shingles_b", _BIN)])
+    ls = pa.schema([("id_a", pa.int64()), ("shingles_a", _BIN)])
+    rs = pa.schema([("id_b", pa.int64()), ("shingles_b", _BIN)])
     s1 = out_schema(pairs_schema, ls, "id_a")
     j = hash_join(
         pairs, left, "id_a", num_partitions=cfg.join_partitions,
@@ -93,58 +92,129 @@ def _attach_both_payloads(pairs, pairs_schema, payload, cfg: DedupConfig):
     )
 
 
-def make_verify_fn(cfg: DedupConfig):
-    """est-Jaccard prune + exact Jaccard in one vectorized pass per batch."""
-    p = cfg.num_perm
-    theta_est = cfg.est_threshold
+def exact_jaccard_fn(batch: pa.Table) -> pa.Table:
+    """Exact Jaccard per pair: np.intersect1d (assume_unique) over the
+    pre-sorted u64 shingle sets — vectorized C sorts, ~10us per pair."""
+    sa = binary_to_u64_list(batch["shingles_a"])
+    sb = binary_to_u64_list(batch["shingles_b"])
+    n = batch.num_rows
+    n_inter = np.empty(n, dtype=np.int64)
+    n_union = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        a, b = sa[i], sb[i]
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        n_inter[i] = inter
+        n_union[i] = len(a) + len(b) - inter
+    jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 0.0)
+    out = batch.drop_columns(["shingles_a", "shingles_b"])
+    out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
+    out = out.append_column("n_union", pa.array(n_union, pa.int64()))
+    return out.append_column("jaccard", pa.array(jac, pa.float64()))
 
-    def verify_fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        out_cols = [c for c in batch.column_names
-                    if c not in ("sig_a", "sig_b", "shingles_a", "shingles_b")]
-        if n == 0:
-            empty = batch.select(out_cols)
-            for name in ("est_jaccard", "jaccard"):
-                empty = empty.append_column(name, pa.array([], pa.float64()))
-            for name in ("n_inter", "n_union"):
-                empty = empty.append_column(name, pa.array([], pa.int64()))
-            return empty.select(out_cols + ["est_jaccard", "n_inter", "n_union", "jaccard"])
-        a = binary_to_u64_matrix(batch["sig_a"], p)
-        b = binary_to_u64_matrix(batch["sig_b"], p)
-        est = (a == b).mean(axis=1)
-        # chi-squared-prune analogue: skip exact work where the estimate is
-        # already below threshold - margin
-        todo = np.flatnonzero(est >= theta_est)
-        sa = binary_to_u64_list(batch["shingles_a"])
-        sb = binary_to_u64_list(batch["shingles_b"])
-        n_inter = np.zeros(n, dtype=np.int64)
-        n_union = np.zeros(n, dtype=np.int64)
-        for i in todo.tolist():
-            x, y = sa[i], sb[i]
+
+@ray.remote
+def _build_block_index(block: pa.Table, pair_ids: np.ndarray):
+    """Per-block shingle index (ids sorted, offsets, flat values) restricted
+    to pair-involved docs. Runs as a parallel task per payload block — the
+    index is built where the data already lives, never through the driver."""
+    d = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(pair_ids):
+        pos = np.clip(np.searchsorted(pair_ids, d), 0, len(pair_ids) - 1)
+        mask = pair_ids[pos] == d
+    else:
+        mask = np.zeros(len(d), bool)
+    if not mask.any():
+        return None
+    sets = binary_to_u64_list(block.filter(pa.array(mask))["shingles"])
+    ids = d[mask]
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    lens = np.fromiter((len(sets[i]) for i in order), np.int64, count=len(order))
+    offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    vals = (
+        np.concatenate([sets[i] for i in order]) if len(order) else np.empty(0, np.uint64)
+    )
+    return ids, offsets, vals
+
+
+def _verify_with_broadcast(pairs, index_refs: list):
+    """Exact-verify each pair batch by looking both shingle sets up across
+    the per-block indexes (B vectorized searchsorteds per batch; every index
+    is read zero-copy from plasma)."""
+
+    def locate(indexes, ids_needed):
+        blk = np.full(len(ids_needed), -1, dtype=np.int64)
+        row = np.zeros(len(ids_needed), dtype=np.int64)
+        for k, idx in enumerate(indexes):
+            ids_k = idx[0]
+            if not len(ids_k):
+                continue
+            pos = np.clip(np.searchsorted(ids_k, ids_needed), 0, len(ids_k) - 1)
+            hit = (ids_k[pos] == ids_needed) & (blk < 0)
+            blk[hit] = k
+            row[hit] = pos[hit]
+        return blk, row
+
+    def fn(batch: pa.Table) -> pa.Table:
+        indexes = [x for x in ray.get(list(index_refs)) if x is not None]
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk_a, row_a = locate(indexes, a)
+        blk_b, row_b = locate(indexes, b)
+        if (blk_a < 0).any() or (blk_b < 0).any():
+            raise RuntimeError("verify: pair doc_id missing from payload index")
+        n = len(a)
+        n_inter = np.empty(n, dtype=np.int64)
+        n_union = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            ids_x, off_x, val_x = indexes[blk_a[i]]
+            ids_y, off_y, val_y = indexes[blk_b[i]]
+            x = val_x[off_x[row_a[i]] : off_x[row_a[i] + 1]]
+            y = val_y[off_y[row_b[i]] : off_y[row_b[i] + 1]]
             inter = len(np.intersect1d(x, y, assume_unique=True))
             n_inter[i] = inter
             n_union[i] = len(x) + len(y) - inter
         jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 0.0)
-        out = batch.select(out_cols)
-        out = out.append_column("est_jaccard", pa.array(est, pa.float64()))
+        out = batch
         out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
         out = out.append_column("n_union", pa.array(n_union, pa.int64()))
-        out = out.append_column("jaccard", pa.array(jac, pa.float64()))
-        # rows pruned by the estimate carry jaccard=0 and are dropped here
-        # (they could never pass the caller's >= threshold filter)
-        return out.filter(pa.array(est >= theta_est))
+        return out.append_column("jaccard", pa.array(jac, pa.float64()))
 
-    return verify_fn
+    return pairs.map_batches(fn, batch_format="pyarrow")
 
 
 def verify_pairs(pairs, features, cfg: DedupConfig, pairs_schema: pa.Schema = PAIRS_SCHEMA):
-    """pairs(id_a, id_b[, n_bands]) + features(doc_id, sig, shingles)
-    -> verified pairs (id_a, id_b, n_bands, est_jaccard, n_inter, n_union,
-    jaccard); the caller filters jaccard >= cfg.threshold."""
-    pairs = pairs.materialize()  # consumed twice: semi-filter scan + join
+    """pairs(id_a, id_b[, n_bands]) + features(doc_id, ..., shingles)
+    -> verified pairs (id_a, id_b, n_bands, n_inter, n_union, jaccard);
+    the caller filters jaccard >= cfg.threshold.
+
+    Fast path: when the pair-involved doc set fits cfg.broadcast_max_ids, the
+    needed shingle sets are packed into one flat index in the object store
+    and every verify task reads them zero-copy — no shuffle at all. Fallback
+    (huge candidate sets): broadcast semi-filter + two partitioned hash joins.
+    """
+    pairs = pairs.materialize()  # consumed twice: id scan + verify map/join
+    ids = set()
+    too_big = False
+    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=1 << 16, batch_format="numpy"
+    ):
+        ids.update(b["id_a"].tolist())
+        ids.update(b["id_b"].tolist())
+        if len(ids) > cfg.broadcast_max_ids:
+            too_big = True
+            break
+
+    if not too_big:
+        pair_ids = np.fromiter(ids, dtype=np.int64, count=len(ids))
+        pair_ids.sort()
+        pair_ids_ref = ray.put(pair_ids)
+        block_refs = features.select_columns(["doc_id", "shingles"]).to_arrow_refs()
+        index_refs = [_build_block_index.remote(b, pair_ids_ref) for b in block_refs]
+        return _verify_with_broadcast(pairs, index_refs)
+
     n_pairs = pairs.count()
-    # partition count tracks DATA volume, not cluster width: each hash-join
-    # partition is a task — 32 partitions over 40k pairs is pure startup cost
     join_cfg = cfg
     adaptive = max(4, min(cfg.join_partitions, n_pairs // 20_000 + 4))
     if adaptive != cfg.join_partitions:
@@ -152,5 +222,5 @@ def verify_pairs(pairs, features, cfg: DedupConfig, pairs_schema: pa.Schema = PA
 
         join_cfg = replace(cfg, join_partitions=adaptive)
     payload = _semi_filter_payload(pairs, features, join_cfg)
-    joined = _attach_both_payloads(pairs, pairs_schema, payload, join_cfg)
-    return joined.map_batches(make_verify_fn(cfg), batch_format="pyarrow")
+    joined = _attach_payloads(pairs, pairs_schema, payload, join_cfg)
+    return joined.map_batches(exact_jaccard_fn, batch_format="pyarrow")
