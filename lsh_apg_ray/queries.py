@@ -241,6 +241,263 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality features, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def q_langid(sf_dir: str):
+    from lsh_apg_ray.stages.textstats import LangId
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, fn_constructor_kwargs=dict(cfg=_cfg()), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "pred_lang", "lang_score"])
+
+
+def q_quality_scores(sf_dir: str):
+    from lsh_apg_ray.stages.textstats import quality_features
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return quality_features(ds, _cfg())
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(
+    __import__("lsh_apg_ray.stages.textstats", fromlist=["STOPWORDS_EN"]).STOPWORDS_EN
+)) + "]"
+
+SQL_QUALITY_SCORES = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST(CASE WHEN text = '' THEN 0
+            ELSE strlen(text) - strlen(replace(text, chr(10), '')) + 1 END AS BIGINT) AS n_lines,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS stopword_ratio
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    from lsh_apg_ray.stages.textstats import fingerprint_dataset
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return fingerprint_dataset(ds, _cfg())
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup tier (Hamming <= 3 complete via 4-chunk pigeonhole)
+# ---------------------------------------------------------------------------
+
+def q_simhash_pairs(sf_dir: str):
+    from lsh_apg_ray.stages.prep import prep_dataset
+    from lsh_apg_ray.stages.simhash import simhash_dup_pairs
+
+    cfg = _cfg()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id")
+    return simhash_dup_pairs(feats, cfg, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding-space near-dup + E2LSH-bucketed ANN (reference hash-family parity)
+# ---------------------------------------------------------------------------
+
+EMB_DUP_THETA = 0.4
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from lsh_apg_ray.stages.ann import embedding_near_dup
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    return embedding_near_dup(emb, EMB_DUP_THETA)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 12) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 12) >= {EMB_DUP_THETA}
+ORDER BY 1, 2
+"""
+
+
+def q_e2lsh_knn(sf_dir: str):
+    from lsh_apg_ray.stages.ann import e2lsh_knn, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = e2lsh_knn(emb, qids, qmat, KNN_K, L=16, K=4, W=16.0)
+    return out.select_columns(["query_id", "neighbor_id", "rank", "dist"])
+
+
+# ---------------------------------------------------------------------------
+# windowed / session operators over the events log (SURVEY.md §2.9 — batch
+# re-expression of stream-shaped semantics; ordering assumptions in
+# stages/windows.py docstrings)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(sf_dir: str):
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import tumbling_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = tumbling_aggregate(ev, "user_id", "ts", width_s=3600)
+    return out.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(4)),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value, max(value) AS max_value,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import sessionize
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, "user_id", "ts", gap_s=1800)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_error_users(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from lsh_apg_ray.sources import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    errs = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    agg = errs.groupby("user_id").aggregate(Count(alias_name="n_errors"))
+    return agg.sort(["n_errors", "user_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ERROR_USERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY n_errors DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: multi-table hash join + broadcast dims + agg + top-k
+# ---------------------------------------------------------------------------
+
+def q_quantity_by_nation(sf_dir: str):
+    import pyarrow as pa
+
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    # big x big: partitioned hash join on the order key
+    j = hash_join(
+        li, orders, "l_orderkey", "o_orderkey", num_partitions=8,
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("l_quantity", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+    # small dims (customer -> nation name): broadcast lookup, no shuffle
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust_nation = {
+        int(c): nation_of[int(n)] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    ref = ray.put(cust_nation)
+
+    def attach(df):
+        m = ray.get(ref)
+        df = df.assign(n_name=[m[int(c)] for c in df["o_custkey"]])
+        return df[["n_name", "l_quantity"]]
+
+    out = j.map_batches(attach, batch_format="pandas").groupby("n_name").aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_qty=df["sum_qty"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+SQL_QUANTITY_BY_NATION = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_top_lineitems(sf_dir: str):
+    from lsh_apg_ray.sources import read_table
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return li.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(20)
+
+
+SQL_TOP_LINEITEMS = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -249,6 +506,17 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "knn_cosine": q_knn_cosine,
+    "events_tumbling": q_events_tumbling,
+    "events_sessions": q_events_sessions,
+    "top_error_users": q_top_error_users,
+    "quantity_by_nation": q_quantity_by_nation,
+    "top_lineitems": q_top_lineitems,
+    "langid": q_langid,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "e2lsh_knn": q_e2lsh_knn,
 }
 
 ORACLE_SQL = {
@@ -266,4 +534,14 @@ ORACLE_SQL = {
     # synthetic corpus.
     "minhash_lsh_dedup": SQL_DUP_CLUSTERS,
     "knn_cosine": SQL_KNN_COSINE,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "top_error_users": SQL_TOP_ERROR_USERS,
+    "quantity_by_nation": SQL_QUANTITY_BY_NATION,
+    "top_lineitems": SQL_TOP_LINEITEMS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # langid / fingerprints / simhash_pairs / e2lsh_knn: heuristic or
+    # approximate operators — rows-only driver check; exactness is enforced
+    # by pytest against in-repo reference implementations (tests/).
 }

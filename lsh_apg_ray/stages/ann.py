@@ -29,12 +29,21 @@ ROUND_DECIMALS = 12  # kill float ulp noise so ranking ties are deterministic
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, dim) float64 matrix."""
+    """list<float> / tensor-extension column -> (n, dim) float64 matrix."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = np.asarray(col.values, dtype=np.float64)
     n = len(col)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if hasattr(col, "values"):  # ListArray / LargeListArray
+        flat = np.asarray(col.values, dtype=np.float64)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    arr = col.to_numpy(zero_copy_only=False)  # ArrowTensorArray etc.
+    if arr.dtype == object:
+        return (
+            np.stack([np.asarray(v, dtype=np.float64) for v in arr])
+            if n
+            else np.empty((0, 0))
+        )
+    return np.asarray(arr, dtype=np.float64)
 
 
 def knn_cosine(
@@ -91,6 +100,163 @@ def knn_cosine(
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def embedding_near_dup(
+    embeddings,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """All-pairs cosine near-duplicates: (id_a, id_b, sim) with sim >= theta.
+
+    Blocked brute force: the normalized matrix is broadcast once (ray.put)
+    and every batch multiplies against it — O(n^2 d) compute but only O(n d)
+    bytes moved. This is the exact baseline; the scale path is the LSH-
+    bucketed variant (e2lsh tables below) or a MinHash-style banding over
+    random hyperplane signs. sim is rounded to 12 dp (deterministic ties,
+    oracle parity)."""
+    all_rows = embeddings.select_columns([id_col, vec_col]).to_pandas()
+    all_rows = all_rows.sort_values(id_col)
+    ids = all_rows[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_rows[vec_col]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((ids, mat))
+
+    def score(t: pa.Table) -> pa.Table:
+        rids, rmat = ray.get(ref)
+        x = _to_matrix(t[vec_col])
+        bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(bids) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        sims = np.round(xn @ rmat.T, ROUND_DECIMALS)  # (batch, n)
+        bi, rj = np.nonzero(sims >= threshold)
+        a, b = bids[bi], rids[rj]
+        keep = a < b  # canonical pair, drops self
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(sims[bi, rj][keep], pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(score, batch_format="pyarrow")
+
+
+class E2LSHTables:
+    """E2LSH hash tables — the direct parity piece with the reference's hash
+    family (hashBase::setHash/calHash, e2lsh.cpp:40-69: h_i(x) = floor((a_i.x
+    + b_i)/W), a ~ N(0,1)^dim, b ~ U(0,W); K concatenated per table, L
+    tables; key = 64-bit mix of the K values, standing in for the Z-order
+    interleave zlsh::getZ, e2lsh.cpp:340-352).
+
+    Parameters derive deterministically from `seed` (reference fixes
+    mt19937(0), e2lsh.cpp:50). Stateful stage: projections drawn once per
+    actor/worker."""
+
+    def __init__(self, dim: int, L: int = 8, K: int = 8, W: float = 4.0, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.A = rng.standard_normal((L * K, dim))
+        self.B = rng.uniform(0.0, W, size=L * K)
+        self.L, self.K, self.W = L, K, W
+
+    def keys(self, X: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, L) int64 bucket keys."""
+        from lsh_apg_ray.hashing import mix64
+
+        H = np.floor((X @ self.A.T + self.B) / self.W).astype(np.int64)
+        n = len(X)
+        Hk = H.reshape(n, self.L, self.K).view(np.uint64)
+        g = np.uint64(0x9E3779B97F4A7C15)
+        key = Hk[:, :, 0].copy()
+        for j in range(1, self.K):
+            key = (key * g) ^ Hk[:, :, j]
+        return mix64(key).view(np.int64)
+
+
+def e2lsh_knn(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    L: int = 8,
+    K: int = 8,
+    W: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """LSH-bucketed approximate kNN (squared-L2, USE_SQRDIST parity with
+    def.h:3): probe the L tables with each query's keys, exact-rerank only
+    co-hashed candidates (e2lsh::knn, e2lsh.cpp:131-200: equal_range +
+    visited-set + exact distance + top-k).
+
+    Query keys are broadcast; each batch emits (query_id, candidate distance)
+    partial top-k for its co-hashed rows; a final groupby(query_id) merge
+    yields global top-k. Returns (query_id, neighbor_id, rank, dist)."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    tables = E2LSHTables(q.shape[1], L=L, K=K, W=W, seed=seed)
+    qkeys = tables.keys(q)  # (Q, L)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, qkeys))
+    params = dict(L=L, K=K, W=W, seed=seed)
+
+    def probe(t: pa.Table) -> pa.Table:
+        qids, qmat, qk = ray.get(ref)
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        tb = E2LSHTables(x.shape[1], **params)
+        xkeys = tb.keys(x)  # (n, L)
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            cand = np.zeros(len(ids), dtype=bool)
+            for l in range(tb.L):
+                cand |= xkeys[:, l] == qk[qi, l]
+            cand &= ids != qids[qi]
+            ci = np.flatnonzero(cand)
+            if not len(ci):
+                continue
+            d = ((x[ci] - qmat[qi]) ** 2).sum(axis=1)  # squared L2
+            kk = min(k, len(ci))
+            top = np.argpartition(d, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi], np.int64))
+            out_n.append(ids[ci[top]])
+            out_d.append(np.round(d[top], ROUND_DECIMALS))
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(probe, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g

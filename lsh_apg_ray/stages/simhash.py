@@ -1,0 +1,91 @@
+"""SimHash near-duplicate tier: 64-bit fingerprints + Hamming-ball candidate
+generation via chunk tables.
+
+The pigeonhole banding scheme (Manku et al., WWW 2007): split the 64-bit
+simhash into `chunks` equal pieces; two hashes within Hamming distance
+`max_hamming` <= chunks-1 agree on at least one chunk, so exact-matching any
+chunk is a complete candidate generator for that radius. Same skeleton as the
+MinHash tier — explode to (band_id=chunk_id, band_hash=chunk value) rows,
+groupby buckets, emit pairs, verify exactly (vectorized popcount) — reusing
+stages.pairs wholesale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.stages.pairs import candidate_pairs
+
+
+def chunk_explode(ds, chunks: int = 4, id_col: str = "doc_id", sim_col: str = "simhash"):
+    """(doc_id, simhash) -> chunks x (band_id, band_hash, doc_id) rows."""
+    width = 64 // chunks
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = t[sim_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        parts = [
+            ((sh >> np.uint64(c * width)) & mask).view(np.int64) for c in range(chunks)
+        ]
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(chunks, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(np.concatenate(parts), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, chunks), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(ds, cfg: DedupConfig, max_hamming: int = 3,
+                      id_col: str = "doc_id", sim_col: str = "simhash"):
+    """(doc_id, simhash) -> verified near-dup pairs
+    (id_a, id_b, hamming) with hamming <= max_hamming.
+
+    Complete for max_hamming <= 3 with 4 chunks (pigeonhole). Verification:
+    broadcast the (small) id->simhash map and popcount per candidate pair —
+    simhashes are 8 bytes/doc, so the broadcast side stays tiny far longer
+    than shingle payloads would.
+    """
+    import ray
+
+    chunks = 4
+    assert max_hamming <= chunks - 1, "pigeonhole completeness needs max_hamming < chunks"
+    sim_small = ds.select_columns([id_col, sim_col]).materialize()
+    pairs = candidate_pairs(chunk_explode(sim_small, chunks, id_col, sim_col), cfg)
+
+    ids_parts, sh_parts = [], []
+    for b in sim_small.iter_batches(batch_size=1 << 16, batch_format="numpy"):
+        ids_parts.append(b[id_col].astype(np.int64))
+        sh_parts.append(b[sim_col].astype(np.int64))
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    shs = np.concatenate(sh_parts) if sh_parts else np.empty(0, np.int64)
+    order = np.argsort(ids)
+    ids, shs = ids[order], shs[order]
+    ref = ray.put((ids, shs.view(np.uint64)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ha = v[np.searchsorted(k, a)]
+        hb = v[np.searchsorted(k, b)]
+        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+        return out.filter(pa.compute.less_equal(out["hamming"], max_hamming))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

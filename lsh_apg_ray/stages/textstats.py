@@ -1,0 +1,162 @@
+"""Text-analysis operators: language-ID, quality scoring, fingerprinting.
+
+Core training-data-pipeline operators over the `documents`/corpus tables,
+implemented as vectorized `map_batches` stages. The reference's counterpart
+of this family is its dataset-statistics scan (`showDataset`,
+Preprocess.cpp:256-292) and per-point feature extraction — here the features
+are text-shaped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import TokenHasher, mix64
+
+# Minimal per-language stopword profiles (public common-word lists, trimmed).
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it for on with as are was be at by this have from or".split()),
+    "de": frozenset("der die das und ist zu den von mit nicht sich auf für als auch es an werden aus er".split()),
+    "es": frozenset("el la de que y en los se del las un por con una su para es al lo como más".split()),
+    "fr": frozenset("le la de et les des en un du une est que dans qui pour sur au pas par plus".split()),
+    "it": frozenset("il di che la e è un per in una sono con non del le si da come dei al".split()),
+    "pt": frozenset("o de a e que do da em um para é com não uma os no se na por mais as dos".split()),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+class LangId:
+    """n-gram/stopword-heuristic language ID (deterministic).
+
+    Score(lang) = fraction of tokens found in that language's stopword
+    profile; prediction = argmax with lexicographic tie-break; 'und'
+    (undetermined) when no profile scores > 0. Stateful stage: compiled
+    tokenizer built once per actor/worker (SURVEY.md §2.3 ST1).
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None, text_col: str = "text") -> None:
+        cfg = cfg or DedupConfig()
+        self.hasher = TokenHasher(cfg.token_pattern)
+        self.text_col = text_col
+
+    def predict(self, text: str) -> tuple[str, float]:
+        toks = self.hasher.tokenize(text)
+        if not toks:
+            return "und", 0.0
+        best_lang, best = "und", 0.0
+        for lang in sorted(LANG_PROFILES):
+            prof = LANG_PROFILES[lang]
+            score = sum(1 for t in toks if t in prof) / len(toks)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang, best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in batch[self.text_col].to_pylist():
+            lang, score = self.predict(t)
+            preds.append(lang)
+            scores.append(score)
+        out = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+        return out.append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+def quality_features(ds, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc quality features (all reproducible in ANSI SQL for the oracle
+    gate): n_tokens, n_uniq_tokens, n_lines, mean_token_len (exact double =
+    int sum / int count), stopword_ratio (English list, exact double)."""
+    hasher = TokenHasher(cfg.token_pattern)
+    stop = STOPWORDS_EN
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_tok = np.empty(n, np.int64)
+        n_uniq = np.empty(n, np.int64)
+        n_lines = np.empty(n, np.int64)
+        sum_len = np.empty(n, np.int64)
+        n_stop = np.empty(n, np.int64)
+        for i, t in enumerate(texts):
+            toks = hasher.tokenize(t)
+            n_tok[i] = len(toks)
+            n_uniq[i] = len(set(toks))
+            n_lines[i] = t.count("\n") + 1 if t else 0
+            sum_len[i] = sum(len(x) for x in toks)
+            n_stop[i] = sum(1 for x in toks if x in stop)
+        mean_len = np.where(n_tok > 0, sum_len / np.maximum(n_tok, 1), 0.0)
+        stop_ratio = np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    k-gram rolling hashes -> per-window (width w) minimum, rightmost-min rule
+    -> unique sorted selected hashes. Deterministic; robust position-based
+    fingerprinting for containment/overlap detection."""
+    n = len(token_h)
+    if n < k:
+        return np.empty(0, np.uint64)
+    wnd = n - k + 1
+    h = token_h[:wnd].copy()
+    g = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(1, k):
+        h = (h * g) ^ token_h[j : j + wnd]
+    h = mix64(h)
+    if wnd <= w:
+        return np.unique(h.min(keepdims=True))
+    # sliding-window minimum via stride trick (w is small)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(h, w)
+    # rightmost minimum per window (classic winnowing tie rule)
+    rev = wins[:, ::-1]
+    idx = (w - 1) - rev.argmin(axis=1)
+    return np.unique(wins[np.arange(len(wins)), idx])
+
+
+def fingerprint_dataset(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_fingerprints, fp_xor): winnowing fingerprints per doc; fp_xor is
+    an order-independent xor digest of the selected hashes (compact column
+    for equality/containment screening)."""
+    hasher = TokenHasher(cfg.token_pattern)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        counts = np.empty(n, np.int64)
+        xors = np.empty(n, np.int64)
+        for i, t in enumerate(texts):
+            th = hasher.token_hashes(hasher.tokenize(t))
+            fps = winnow_fingerprints(th, k, w)
+            counts[i] = len(fps)
+            x = np.uint64(0)
+            if len(fps):
+                x = np.bitwise_xor.reduce(fps)
+            xors[i] = int(x) - (1 << 64) if int(x) >= (1 << 63) else int(x)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_fingerprints": pa.array(counts, pa.int64()),
+                "fp_xor": pa.array(xors, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,95 @@
+"""Windowed / session operators over an ordered, partitioned event log.
+
+Ray Data is a batch engine (no event-time watermarks); stream-shaped
+semantics are expressed per the partition-and-sort pattern: partition by key
+(groupby shuffle), sort by ts within the group, window with vectorized numpy
+(SURVEY.md §2.9: the reference is also batch-only; ordering assumptions live
+exactly here and are stated per function).
+
+The tumbling window needs no per-group sort at all — the window id is a pure
+row function (epoch // width), so it composes as add_column + groupby
+aggregate: fully vectorized, no map_groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _epoch_us(ts_col) -> np.ndarray:
+    if isinstance(ts_col, pa.ChunkedArray):
+        ts_col = ts_col.combine_chunks()
+    return ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_aggregate(events, key: str, ts_col: str, width_s: int):
+    """Per (key, window) aggregate over tumbling windows of width_s seconds.
+
+    window_id = floor(epoch_seconds / width_s); ordering-free (the aggregate
+    is commutative), so this is one vectorized map + one partial-aggregated
+    groupby shuffle — the cheapest possible windowing plan.
+    Output: key, window_id, n_events, min_value, max_value, sum_value.
+    """
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t[ts_col])
+        win = us // (width_s * 1_000_000)
+        return t.append_column("window_id", pa.array(win, pa.int64()))
+
+    return (
+        events.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key, "window_id"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+
+def sessionize(events, key: str, ts_col: str, gap_s: int):
+    """Session windows: a new session starts when the gap to the previous
+    event of the same key exceeds gap_s seconds.
+
+    Ordering assumption: events of one key are sorted by (ts, event_id)
+    inside the per-key group (done here, after the groupby shuffle
+    co-locates each key). Output: key, session_seq (0-based per key),
+    session_start, session_end (us timestamps), n_events.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        # normalize to microseconds regardless of the pandas datetime unit
+        # (Arrow timestamp[us] survives as us under pandas>=2; hand-built
+        # frames are often ns)
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        new_session = np.empty(len(g), dtype=bool)
+        new_session[0] = True
+        new_session[1:] = (us[1:] - us[:-1]) > gap_us
+        sid = np.cumsum(new_session) - 1
+        out = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "session_seq": sid,
+            }
+        )
+        agg = out.groupby("session_seq", sort=True).size()
+        starts = us[new_session]
+        ends = np.append(us[np.flatnonzero(new_session)[1:] - 1], us[-1])
+        return pd.DataFrame(
+            {
+                key: np.repeat(g[key].iloc[0], len(agg)),
+                "session_seq": agg.index.to_numpy(dtype=np.int64),
+                "session_start": starts.astype("datetime64[us]"),
+                "session_end": ends.astype("datetime64[us]"),
+                "n_events": agg.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return events.groupby(key).map_groups(per_key, batch_format="pandas")

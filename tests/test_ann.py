@@ -1,0 +1,90 @@
+"""ANN operator tests: brute-force cosine top-k vs numpy, E2LSH recall,
+embedding near-dup pairs vs numpy, determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.stages.ann import (
+    E2LSHTables,
+    e2lsh_knn,
+    embedding_near_dup,
+    knn_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(11)
+    # gaussian mixture: 6 centers, 300 points, dim 32
+    centers = rng.standard_normal((6, 32)) * 3
+    X = centers[rng.integers(0, 6, 300)] + rng.standard_normal((300, 32))
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(X)})
+    return rd.from_pandas(df), X
+
+
+def _brute_topk(X, qids, k):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(Xn[qids] @ Xn.T, 12)
+    out = {}
+    for qi, q in enumerate(qids):
+        order = sorted(
+            (i for i in range(len(X)) if i != q),
+            key=lambda i: (-sims[qi, i], i),
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_knn_cosine_matches_bruteforce(emb_ds):
+    ds, X = emb_ds
+    qids = np.arange(5, dtype=np.int64)
+    got = knn_cosine(ds, qids, X[:5], k=7).to_pandas()
+    want = _brute_topk(X, qids, 7)
+    for q in qids:
+        g = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert g == want[q], q
+
+
+def test_e2lsh_tables_deterministic_and_reference_shaped():
+    t1 = E2LSHTables(16, L=4, K=6, W=2.0, seed=9)
+    t2 = E2LSHTables(16, L=4, K=6, W=2.0, seed=9)
+    assert np.array_equal(t1.A, t2.A) and np.array_equal(t1.B, t2.B)
+    assert t1.A.shape == (24, 16)  # S = L*K projections (e2lsh.cpp:40-60)
+    X = np.random.default_rng(0).standard_normal((10, 16))
+    k1, k2 = t1.keys(X), t2.keys(X)
+    assert np.array_equal(k1, k2)
+    assert k1.shape == (10, 4)
+    # same point -> same keys; quantization: nearby points often collide
+    assert np.array_equal(t1.keys(X[:1]), k1[:1])
+
+
+def test_e2lsh_knn_recall(emb_ds):
+    ds, X = emb_ds
+    qids = np.arange(8, dtype=np.int64)
+    k = 5
+    got = e2lsh_knn(ds, qids, X[:8], k=k, L=16, K=4, W=16.0).to_pandas()
+    # golden: exact squared-L2 top-k (USE_SQRDIST parity, def.h:3)
+    hits = total = 0
+    for q in qids:
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want = set(np.argsort(d, kind="stable")[:k])
+        g = set(got[got.query_id == q]["neighbor_id"].tolist())
+        hits += len(g & want)
+        total += k
+    recall = hits / total
+    assert recall >= 0.8, recall  # probe-all-L-tables regime on clustered data
+
+
+def test_embedding_near_dup_matches_bruteforce(emb_ds):
+    ds, X = emb_ds
+    theta = 0.9
+    got = embedding_near_dup(ds, theta).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(Xn @ Xn.T, 12)
+    ia, ib = np.nonzero(sims >= theta)
+    want = {(a, b) for a, b in zip(ia, ib) if a < b}
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert len(want) > 0  # mixture guarantees some close pairs

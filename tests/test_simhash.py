@@ -1,0 +1,43 @@
+"""SimHash near-dup tier: pigeonhole completeness vs brute-force Hamming."""
+
+import numpy as np
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.corpus import generate_corpus
+from lsh_apg_ray.hashing import hamming64
+from lsh_apg_ray.stages.prep import prep_dataset
+from lsh_apg_ray.stages.simhash import simhash_dup_pairs
+
+
+def test_simhash_pairs_match_bruteforce(small_corpus, test_cfg):
+    ds = rd.from_arrow(small_corpus)
+    feats = prep_dataset(ds, test_cfg).materialize()
+    got = simhash_dup_pairs(feats, test_cfg, max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    rows = feats.select_columns(["doc_id", "simhash"]).to_pandas()
+    ids = rows["doc_id"].to_numpy(dtype=np.int64)
+    shs = rows["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        d = hamming64(np.full(len(ids) - i - 1, shs[i]), shs[i + 1 :])
+        for j in np.flatnonzero(d <= 3):
+            a, b = ids[i], ids[i + 1 + j]
+            want.add((min(a, b), max(a, b)))
+    assert got_pairs == want
+    # hamming values agree
+    ham = dict(zip(zip(got["id_a"], got["id_b"]), got["hamming"]))
+    by_id = dict(zip(ids, shs))
+    for (a, b), hm in ham.items():
+        assert hm == hamming64(np.array([by_id[a]]), np.array([by_id[b]]))[0]
+
+
+def test_simhash_exact_dups_distance_zero():
+    t = generate_corpus(120, seed=5)
+    cfg = DedupConfig(join_partitions=2, signer_concurrency=2)
+    feats = prep_dataset(rd.from_arrow(t), cfg).materialize()
+    pairs = simhash_dup_pairs(feats, cfg, max_hamming=0).to_pandas()
+    # identical contents -> identical simhash -> distance-0 pairs exist
+    assert len(pairs) > 0
+    assert (pairs["hamming"] == 0).all()

@@ -1,0 +1,104 @@
+"""Text-analysis operator tests: language-ID, quality features, winnowing."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import TokenHasher, mix64
+from lsh_apg_ray.stages.textstats import (
+    LangId,
+    STOPWORDS_EN,
+    fingerprint_dataset,
+    quality_features,
+    winnow_fingerprints,
+)
+
+
+def test_langid_on_real_sentences():
+    li = LangId()
+    cases = {
+        "the quick brown fox jumps over the lazy dog and runs to the house": "en",
+        "der hund läuft zu dem haus und die katze ist auf der straße": "de",
+        "el perro corre por la calle y el gato está en la casa con los niños": "es",
+        "le chien court dans la rue et le chat est dans les maisons pour un jour": "fr",
+    }
+    for text, want in cases.items():
+        got, score = li.predict(text)
+        assert got == want, (text, got, want)
+        assert score > 0.2
+    assert li.predict("")[0] == "und"
+    assert li.predict("xyzzy qwerty")[0] == "und"
+
+
+def test_langid_deterministic_batch():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["the cat and the dog", "der hund und die katze"]})
+    out = rd.from_pandas(df).map_batches(LangId, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out["pred_lang"].tolist() == ["en", "de"]
+
+
+def test_quality_features_hand_check():
+    text = "The cat and the cat\nsat on a mat"
+    df = pd.DataFrame({"doc_id": [7], "text": [text]})
+    out = quality_features(rd.from_pandas(df), DedupConfig()).to_pandas().iloc[0]
+    toks = TokenHasher(r"[a-z0-9_]+").tokenize(text)
+    assert out["n_tokens"] == len(toks) == 9
+    assert out["n_uniq_tokens"] == len(set(toks)) == 7
+    assert out["n_lines"] == 2
+    assert out["mean_token_len"] == sum(len(t) for t in toks) / len(toks)
+    n_stop = sum(1 for t in toks if t in STOPWORDS_EN)
+    assert out["stopword_ratio"] == n_stop / len(toks)
+
+
+def _naive_winnow(th, k, w):
+    n = len(th)
+    if n < k:
+        return np.empty(0, np.uint64)
+    g = np.uint64(0x9E3779B97F4A7C15)
+    hs = []
+    for s in range(n - k + 1):
+        h = th[s]
+        for j in range(1, k):
+            h = (h * g) ^ th[s + j]
+        hs.append(int(mix64(np.array([h], np.uint64))[0]))
+    hs = np.array(hs, dtype=np.uint64)
+    if len(hs) <= w:
+        return np.unique(hs.min(keepdims=True))
+    picked = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s : s + w]
+        m = win.min()
+        # rightmost minimum
+        idx = max(np.flatnonzero(win == m))
+        picked.add(int(win[idx]))
+    return np.unique(np.array(sorted(picked), dtype=np.uint64))
+
+
+def test_winnowing_matches_naive():
+    rng = np.random.default_rng(3)
+    h = TokenHasher(r"[a-z0-9_]+")
+    for length in (3, 5, 12, 60):
+        toks = [f"t{int(x)}" for x in rng.integers(0, 12, length)]
+        th = h.token_hashes(toks)
+        got = winnow_fingerprints(th, k=5, w=4)
+        want = _naive_winnow(th, 5, 4)
+        assert np.array_equal(got, want), length
+
+
+def test_winnowing_robust_to_local_edit():
+    # winnowing guarantee: fingerprints outside the edited neighborhood survive
+    h = TokenHasher(r"[a-z0-9_]+")
+    base = [f"w{i}" for i in range(200)]
+    edited = base.copy()
+    edited[100] = "CHANGED"
+    f1 = winnow_fingerprints(h.token_hashes(base), 5, 4)
+    f2 = winnow_fingerprints(h.token_hashes([t.lower() for t in edited]), 5, 4)
+    inter = len(np.intersect1d(f1, f2))
+    assert inter / len(f1) > 0.8
+
+
+def test_fingerprint_dataset_schema():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f g h", ""]})
+    out = fingerprint_dataset(rd.from_pandas(df), DedupConfig()).to_pandas()
+    assert list(out.columns) == ["doc_id", "n_fingerprints", "fp_xor"]
+    assert out.loc[out.doc_id == 2, "n_fingerprints"].iloc[0] == 0

@@ -1,0 +1,52 @@
+"""Windowed/session operator tests vs a pandas reference."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.stages.windows import sessionize, tumbling_aggregate
+
+
+def _events():
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    specs = [
+        (1, 0), (1, 100), (1, 4000), (1, 4100),          # user 1: 2 windows
+        (2, 50), (2, 7300),                              # user 2
+        (3, 0),                                          # user 3 singleton
+    ]
+    for i, (u, off) in enumerate(specs):
+        rows.append(
+            {"event_id": i, "user_id": u, "ts": t0 + pd.Timedelta(seconds=off),
+             "value": float(i + 1)}
+        )
+    return pd.DataFrame(rows)
+
+
+def test_tumbling_aggregate():
+    df = _events()
+    out = tumbling_aggregate(rd.from_pandas(df), "user_id", "ts", 3600).to_pandas()
+    out = out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    ref = df.assign(window_id=(df.ts.astype("int64") // (3600 * 10**6))).groupby(
+        ["user_id", "window_id"], as_index=False
+    ).agg(n_events=("value", "size"), min_value=("value", "min"),
+          max_value=("value", "max"), sum_value=("value", "sum"))
+    ref = ref.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    for c in ["user_id", "window_id", "n_events", "min_value", "max_value", "sum_value"]:
+        assert out[c].tolist() == ref[c].tolist(), c
+
+
+def test_sessionize_gap_splits():
+    df = _events()
+    out = sessionize(rd.from_pandas(df), "user_id", "ts", gap_s=1800).to_pandas()
+    out = out.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    # user 1: events at 0,100 then 4000,4100 -> 2 sessions (gap 3900 > 1800)
+    u1 = out[out.user_id == 1]
+    assert u1["session_seq"].tolist() == [0, 1]
+    assert u1["n_events"].tolist() == [2, 2]
+    # user 2: gap 7250 -> 2 sessions of 1
+    assert out[out.user_id == 2]["n_events"].tolist() == [1, 1]
+    # user 3 singleton
+    u3 = out[out.user_id == 3]
+    assert len(u3) == 1 and u3["n_events"].iloc[0] == 1
+    assert (u3["session_start"] == u3["session_end"]).all()
