@@ -292,6 +292,43 @@ def band_keys(signatures: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return mix64(h).view(np.int64)
 
 
+def zorder_interleave(h: np.ndarray, k: int) -> np.ndarray:
+    """Bit-interleave K per-table hash values into one 64-bit Z-order key —
+    the reference's `zlsh::getZ` (e2lsh.cpp:340-352): bit b of component j
+    lands at position b*K + j, so keys sorted numerically cluster points
+    whose leading hash bits agree across all K components.
+
+    h: (n, k) non-negative int array, each value < 2^(64//k). Vectorized:
+    one pass per (bit, component)."""
+    h = np.asarray(h, dtype=np.uint64)
+    n, kk = h.shape
+    assert kk == k
+    u = 64 // k  # bits kept per component (zlsh::normalizeHash picks u)
+    if (h >> np.uint64(u)).any():
+        raise ValueError(f"component value exceeds {u} bits for K={k}")
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(u):
+        for j in range(k):
+            bit = (h[:, j] >> np.uint64(b)) & np.uint64(1)
+            out |= bit << np.uint64(b * k + j)
+    return out
+
+
+def llcp(a: np.ndarray, b) -> np.ndarray:
+    """Length of the longest common leading bit-prefix of two Z-keys —
+    `getLLCP` (e2lsh.cpp:443-460): 64 - bit_length(a XOR b), vectorized as
+    XOR + float exponent extraction (exact for 64-bit via hi/lo split)."""
+    a = np.asarray(a, dtype=np.uint64)
+    x = a ^ np.asarray(b, dtype=np.uint64)
+    # bit length via two 32-bit halves (float64 mantissa can't hold 64 bits)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_hi = np.where(hi > 0, np.floor(np.log2(np.maximum(hi, 1))).astype(np.int64) + 1, 0)
+    bl_lo = np.where(lo > 0, np.floor(np.log2(np.maximum(lo, 1))).astype(np.int64) + 1, 0)
+    bit_len = np.where(hi > 0, bl_hi + 32, bl_lo)
+    return 64 - bit_len
+
+
 def simhash64(token_h: np.ndarray) -> int:
     """64-bit SimHash over token hashes (unweighted): sign of per-bit vote.
 

@@ -4,19 +4,31 @@ The Ray-Data re-expression of the reference's whole life-cycle (SURVEY.md §3,
 §7.2): hash-family setup -> batched hashing -> band keys -> bucketed index
 (groupby) -> candidate pairs -> exact verification -> connected components.
 
-Stage graph (shuffle boundaries marked; each is a natural checkpoint):
+Stage graph (shuffles and broadcasts marked; checkpoints at rep_feats /
+edges / assignments when checkpoint_dir is set):
 
-  read -> Prep actor pool -> MinHashSigner actor pool        [narrow]
-  -> groupby(sha).min(doc_id)                                 [shuffle 0: exact tier]
-  -> join rep_id back; LSH runs on unique contents only       [shuffle 0b]
-  -> band explode -> groupby(band_id, band_hash) -> pairs     [shuffle 1]
-  -> groupby(id_a, id_b) distinct                             [shuffle 2]
-  -> join sig -> est filter -> join shingles -> exact Jaccard [shuffle 3]
-  -> filter(jaccard >= theta) -> connected components         [shuffles 4..]
-  -> assignments (doc_id, ..., sha, rep_id, cluster_id)
+  pass A: read -> MetaPrep tasks: doc_id, sha256, sha_key     [narrow, cheap]
+  -> groupby(sha_key).min(doc_id)                             [shuffle 0,
+     partial-aggregated: only (key, id) rows move]             exact tier]
+  -> rep map broadcast (two numpy arrays via ray.put)         [no shuffle]
+  pass B: read -> RepFeatures tasks (REPRESENTATIVES only):
+     tokenize (Arrow kernels + dictionary encode) -> shingles
+     -> MinHash (scratch-buffer kernel) -> band keys           [narrow]
+  -> band explode -> bucket-partition groupby -> pair emit    [shuffle 1]
+  -> pair-partition groupby -> vectorized distinct/count      [shuffle 2]
+  -> verify: broadcast per-block shingle index (plasma,
+     zero-copy) -> exact Jaccard per pair                      [no shuffle;
+     falls back to 2 partitioned hash joins above
+     cfg.broadcast_max_ids pair-involved docs]
+  -> filter(jaccard >= theta) -> connected components         [driver
+     union-find below cfg.cc_driver_max_edges, else iterative
+     hash-min + pointer jumping, shuffles 3..3+log(diameter)]
+  -> assignments (doc_id, sha, nbytes, ..., rep_id, cluster_id)
 
-Content strings never cross a shuffle: after Prep only ids, 64-bit hashes and
-shingle-hash sets move (SURVEY.md §7.4).
+Content never crosses a shuffle: after the two scan passes only ids, 64-bit
+hashes and shingle-hash sets move (SURVEY.md §7.4). Note `ds` is scanned
+twice (pass A cheap, pass B expensive-but-reps-only); pass a re-readable
+Dataset (read_parquet), not an expensive derived plan.
 """
 
 from __future__ import annotations
@@ -39,6 +51,7 @@ from lsh_apg_ray.stages.minhash import rep_features_dataset
 from lsh_apg_ray.stages.pairs import bucket_stats, candidate_pairs
 from lsh_apg_ray.stages.prep import MetaPrep
 from lsh_apg_ray.stages.verify import verify_pairs
+from lsh_apg_ray.state.checkpoint import StageCheckpointer, config_fingerprint
 
 
 @dataclass
@@ -57,6 +70,8 @@ def dedup_pipeline(
     id_col: str | None = None,
     keep_cols: tuple[str, ...] = ("repo", "path", "commit", "lang"),
     collect_metrics: bool = False,
+    checkpoint_dir: str | None = None,
+    input_fingerprint: str = "",
 ) -> DedupResult:
     """Run the full dedup pipeline over a corpus Dataset.
 
@@ -68,12 +83,14 @@ def dedup_pipeline(
     """
     # ---- pass A (cheap, full corpus): doc_id + sha256 + meta — NO tokens ----
     # an INSTANCE is a plain callable -> stateless tasks (elastic scheduling;
-    # sha256 needs no per-worker state worth an actor pool)
+    # sha256 needs no per-worker state worth an actor pool). Materialized:
+    # consumed twice (rep groupby + the assignment table) and it is tiny
+    # (~120 B/doc — content does NOT ride along).
     meta = ds.map_batches(
         MetaPrep(content_col=content_col, id_col=id_col, keep_cols=tuple(keep_cols)),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-    )
+    ).materialize()
 
     # ---- exact tier (shuffle 0): one representative per distinct content ----
     # groupby(sha).min(doc_id) -> (sha, rep_id); the reference's analogue is
@@ -144,28 +161,52 @@ def dedup_pipeline(
     # Output is materialized once: (doc_id, n_shingles, shingles, bands) —
     # the signature itself never exists outside the actor (bands*8 bytes
     # instead of num_perm*8 travel onward).
-    rep_feats = rep_features_dataset(
-        ds, cfg, rep_ids_ref, content_col=content_col, id_col=id_col
-    ).map_batches(
-        lambda t: t.filter(pc.greater(t["n_shingles"], 0)),
-        batch_format="pyarrow",
-    ).materialize()
-    # (docs with no shingles — empty / sub-k-token files — dedup via the
-    # exact tier alone: an empty shingle set carries no similarity signal)
+    ckpt = StageCheckpointer(checkpoint_dir) if checkpoint_dir else None
+    base_fp = config_fingerprint(cfg, input_fingerprint) if ckpt else ""
+
+    def make_rep_feats():
+        return rep_features_dataset(
+            ds, cfg, rep_ids_ref, content_col=content_col, id_col=id_col
+        ).map_batches(
+            lambda t: t.filter(pc.greater(t["n_shingles"], 0)),
+            batch_format="pyarrow",
+        )
+        # (docs with no shingles — empty / sub-k-token files — dedup via the
+        # exact tier alone: an empty shingle set carries no similarity signal)
+
+    if ckpt:
+        # checkpoint = partitioned Parquet + _lineage.json; a rerun with the
+        # same (cfg, input) fingerprint resumes from the files and skips the
+        # tokenization pass entirely (Preprocess::ben_create pattern,
+        # Preprocess.cpp:227-254)
+        rep_feats = ckpt.stage("rep_feats", base_fp, make_rep_feats)
+    else:
+        rep_feats = make_rep_feats().materialize()
 
     band_ds = band_explode_precomputed(rep_feats, cfg)
     metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
     pairs = candidate_pairs(band_ds, cfg)
-    verified = verify_pairs(pairs, rep_feats, cfg)
-    edges = verified.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
-        batch_format="pyarrow",
-    ).materialize()
+
+    def make_edges():
+        verified = verify_pairs(pairs, rep_feats, cfg)
+        return verified.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
+            batch_format="pyarrow",
+        )
+
+    if ckpt:
+        edges = ckpt.stage("edges", base_fp, make_edges)
+    else:
+        edges = make_edges().materialize()
 
     # ---- clusters: CC over rep-level edges, applied to every doc via rep_id --
-    assignments = attach_clusters(
+    assignments_plan = attach_clusters(
         docs, edges, cfg, id_col="rep_id", docs_schema=docs_schema
     )
+    assignments = assignments_plan
+    if ckpt:
+        assignments = ckpt.stage("assignments", base_fp, lambda: assignments_plan)
+        ckpt.write_metrics()
 
     return DedupResult(
         assignments=assignments, duplicate_edges=edges, candidate_metrics=metrics

@@ -342,6 +342,15 @@ def q_e2lsh_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank", "dist"])
 
 
+def q_zorder_knn(sf_dir: str):
+    from lsh_apg_ray.stages.ann import load_queries, zorder_knn
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = zorder_knn(emb, qids, qmat, KNN_K, K=4, W=16.0, window=128)
+    return out.select_columns(["query_id", "neighbor_id", "rank", "dist"])
+
+
 # ---------------------------------------------------------------------------
 # windowed / session operators over the events log (SURVEY.md §2.9 — batch
 # re-expression of stream-shaped semantics; ordering assumptions in
@@ -517,6 +526,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "e2lsh_knn": q_e2lsh_knn,
+    "zorder_knn": q_zorder_knn,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,69 @@
+"""Reader for the reference's LSHBOX binary vector format.
+
+Format (README.md:45-47; loaded by Preprocess::load_data,
+Preprocess.cpp:53-94): a 12-byte header {sizeof(float)=4, N, dim} as three
+little-endian uint32, followed by N*dim little-endian float32 values,
+row-major. The reference splits the first MaxQueryNum=200 rows off as the
+query set (Preprocess.cpp:84-87) — `query_split` reproduces that.
+
+Ray mapping (SURVEY.md §2.1 S1): read_binary_files + a parsing map would
+stream shards of a sharded corpus; the reference format is a single
+monolithic file, so the parse happens in one task and the result is
+immediately repartitioned into blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def parse_lshbox_bytes(data: bytes) -> tuple[np.ndarray, int, int]:
+    """bytes -> (float32 matrix (N, dim), N, dim)."""
+    flt, n, dim = struct.unpack("<III", data[:12])
+    if flt != 4:
+        raise ValueError(f"unsupported element size {flt} (expected float32)")
+    mat = np.frombuffer(data, dtype="<f4", offset=12, count=n * dim).reshape(n, dim)
+    return mat, n, dim
+
+
+def write_lshbox(path: str, mat: np.ndarray) -> None:
+    """Inverse of parse (test fixture helper)."""
+    mat = np.ascontiguousarray(mat, dtype="<f4")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 4, mat.shape[0], mat.shape[1]))
+        f.write(mat.tobytes())
+
+
+def read_lshbox(path: str, num_blocks: int = 8):
+    """LSHBOX file -> Dataset (id:int64, vec:list<float>)."""
+    import ray.data as rd
+
+    with open(path, "rb") as f:
+        mat, n, dim = parse_lshbox_bytes(f.read())
+    table = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), dim
+            ),
+        }
+    )
+    return rd.from_arrow(table).repartition(num_blocks)
+
+
+def query_split(ds, max_query_num: int = 200, id_col: str = "id"):
+    """(queries, data) — first `max_query_num` ids are the query holdout,
+    mirroring Preprocess.cpp:84-87 / MaxQueryNum."""
+    import pyarrow.compute as pc
+
+    q = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], max_query_num)), batch_format="pyarrow"
+    )
+    d = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[id_col], max_query_num)),
+        batch_format="pyarrow",
+    )
+    return q, d

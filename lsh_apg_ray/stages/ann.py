@@ -264,6 +264,116 @@ def e2lsh_knn(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def zorder_knn(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    K: int = 4,
+    W: float = 16.0,
+    seed: int = 42,
+    window: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Prefix-similarity range probe over SORTED Z-order keys — the analogue
+    of `zlsh::knnBestFirst` (e2lsh.cpp:573-699): quantized E2LSH hashes are
+    bit-interleaved into one 64-bit Z key (`zlsh::getZ`), the dataset is
+    sorted by key, and each query expands a window around its own key
+    position (keys sharing a long common bit prefix = LLCP sit adjacent in
+    sorted order), exact-reranking only that window.
+
+    Two-pass (normalizeHash analogue, e2lsh.cpp:368-422): pass 1 aggregates
+    per-component hash minima so keys are non-negative and fit 64//K bits;
+    pass 2 builds keys, sorts, probes per sorted block (a query near a block
+    boundary sees a truncated window — recall/cost knob, like the
+    reference's probe budget). Returns (query_id, neighbor_id, rank, dist
+    [squared L2, USE_SQRDIST parity])."""
+    from lsh_apg_ray.hashing import zorder_interleave
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    tables = E2LSHTables(q.shape[1], L=1, K=K, W=W, seed=seed)
+
+    def raw_h(X: np.ndarray) -> np.ndarray:
+        return np.floor((X @ tables.A.T + tables.B) / tables.W).astype(np.int64)
+
+    # pass 1: global per-component minima (broadcastable scalars)
+    def block_min(t: pa.Table) -> pa.Table:
+        X = _to_matrix(t[vec_col])
+        h = raw_h(X) if len(X) else np.zeros((1, K), np.int64)
+        return pa.table({f"m{j}": pa.array([int(h[:, j].min())]) for j in range(K)})
+
+    mins_parts = embeddings.map_batches(block_min, batch_format="pyarrow").to_pandas()
+    mins = np.array([mins_parts[f"m{j}"].min() for j in range(K)], dtype=np.int64)
+    mins = np.minimum(mins, raw_h(q).min(axis=0))
+
+    def keys_of(X: np.ndarray) -> np.ndarray:
+        h = (raw_h(X) - mins).astype(np.uint64)
+        cap = np.uint64((1 << (64 // K)) - 1)
+        return zorder_interleave(np.minimum(h, cap), K).view(np.int64)
+
+    qkeys = keys_of(q)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, qkeys))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        X = _to_matrix(t[vec_col])
+        return t.append_column("zkey", pa.array(keys_of(X), pa.int64()))
+
+    keyed = embeddings.map_batches(add_key, batch_format="pyarrow").sort("zkey")
+
+    def probe(t: pa.Table) -> pa.Table:
+        qids, qmat, qk = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        X = _to_matrix(t[vec_col])
+        zk = t["zkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            pos = np.searchsorted(zk, qk[qi])
+            lo = max(0, pos - window // 2)
+            hi = min(len(zk), pos + window // 2)
+            if hi <= lo:
+                continue
+            ci = np.arange(lo, hi)
+            ci = ci[ids[ci] != qids[qi]]
+            if not len(ci):
+                continue
+            d = ((X[ci] - qmat[qi]) ** 2).sum(axis=1)
+            kk = min(k, len(ci))
+            top = np.argpartition(d, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi], np.int64))
+            out_n.append(ids[ci[top]])
+            out_d.append(np.round(d[top], ROUND_DECIMALS))
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = keyed.map_batches(probe, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def load_queries(embeddings_path_ds, n_queries: int, id_col="vec_id", vec_col="embedding"):
     """First n query vectors by id — deterministic holdout, the analogue of the
     reference's 'first 200 rows are the query set' split (Preprocess.cpp:84-87).

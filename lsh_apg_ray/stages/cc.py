@@ -14,12 +14,13 @@ Two exact implementations, selected by edge count (cfg.cc_driver_max_edges):
     assignment table inside map_batches (broadcast-small-side join,
     SURVEY.md §4 "skew").
 
-  - distributed hash-min label propagation: init label(v)=v; each round ships
-    every edge its endpoints' labels (hash join on node), takes
-    groupby(node).min(label), and stops when a `changed` aggregate hits zero
-    (fixpoint proof) or cfg.cc_max_rounds. Converges in O(diameter) rounds;
-    each round is edge-scale, not corpus-scale. Used when the edge list is
-    too big for one machine.
+  - distributed hash-min label propagation with POINTER JUMPING: init
+    label(v)=v; each round ships every edge its endpoints' labels (hash join
+    on node), takes groupby(node).min(label), then jumps label <- label(label)
+    — so convergence is O(log diameter) rounds, each edge-scale. Fixpoint is
+    proven by an order-independent label checksum (labels only decrease);
+    cfg.cc_max_rounds bounds the loop and non-convergence raises. Used when
+    the edge list is too big for one machine.
 
 Cluster ids are deterministic: the minimum doc_id of the component — no
 dependence on arrival order (SURVEY.md §7.4 determinism).
@@ -106,11 +107,11 @@ def cc_driver(edges) -> dict[int, int]:
 
 
 def cc_distributed(edges, cfg: DedupConfig):
-    """Hash-min label propagation; returns a Dataset (doc_id, cluster_id) for
-    nodes appearing in edges. Each round: 2 hash joins + 1 groupby-min +
-    1 changed-count aggregate, all edge-scale. Bounded by cfg.cc_max_rounds;
-    raises if the fixpoint is not reached (never returns silently-wrong
-    labels)."""
+    """Hash-min label propagation + pointer jumping; returns a Dataset
+    (doc_id, cluster_id) for nodes appearing in edges. Each round: 3 hash
+    joins + 1 groupby-min + 2 checksums, all edge-scale, O(log diameter)
+    rounds. Bounded by cfg.cc_max_rounds; raises if the fixpoint is not
+    reached (never returns silently-wrong labels)."""
     import ray.data as rd
 
     e = edges.select_columns(["id_a", "id_b"]).materialize()

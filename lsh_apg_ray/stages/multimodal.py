@@ -1,0 +1,156 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Ray-side plumbing — schema, actor-pool signatures, batch sizing, output
+layout — is real and tested; the DECODE KERNELS ARE STUBS: this container
+ships no image/audio codecs, so each decoder tries the real library at actor
+init and otherwise falls back to a DETERMINISTIC FAKE decode (features
+derived from the payload bytes via blake2). Swap `_fake_*` for the real
+kernel when PIL/torchaudio/pyav are available; nothing else changes.
+
+Design notes for binary payloads at scale (task brief "Memory-aware"):
+  - batches stay SMALL (default 64 rows) because one batch x concurrency of
+    multi-MB payloads must fit a worker heap;
+  - payload columns ride as Arrow large_binary and are never shuffled — all
+    stages here are narrow maps; downstream joins use the extracted
+    fixed-width features, not the payload;
+  - stateful stages are actor pools: the codec/model loads once per actor
+    (`__init__`), work happens per batch (`__call__`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("kind", pa.string()),          # image | audio | video
+        ("payload", pa.large_binary()),  # encoded bytes, opaque
+        ("media_meta", pa.string()),     # JSON sidecar (codec, dims, ...)
+    ]
+)
+
+
+def _stable_floats(payload: bytes, n: int, salt: bytes) -> np.ndarray:
+    """Deterministic pseudo-features from payload bytes (the fake decode)."""
+    out = np.empty(n, dtype=np.float64)
+    h = b""
+    i = 0
+    counter = 0
+    while i < n:
+        h = hashlib.blake2b(payload[:4096] + salt + counter.to_bytes(4, "little"),
+                            digest_size=32).digest()
+        take = min(n - i, 4)
+        for j in range(take):
+            out[i + j] = int.from_bytes(h[j * 8 : j * 8 + 8], "little") / 2**64
+        i += take
+        counter += 1
+    return out
+
+
+class ImageDecode:
+    """payload -> (width, height, mean_luma, embedding[dim]).
+
+    Real path: PIL decode + downscale + channel stats. STUB path (this
+    container): deterministic fake features from the bytes. The actor-pool
+    contract (init-once codec, per-batch vectorized work, small batches) is
+    identical either way.
+    """
+
+    def __init__(self, embed_dim: int = 16) -> None:
+        self.embed_dim = embed_dim
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None  # stub fallback, see module docstring
+
+    def _decode(self, payload: bytes) -> tuple[int, int, float, np.ndarray]:
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert("L"), dtype=np.float64)
+            emb = np.resize(arr.mean(axis=0), self.embed_dim) / 255.0
+            return img.width, img.height, float(arr.mean() / 255.0), emb
+        f = _stable_floats(payload, 3 + self.embed_dim, b"image")
+        w = 16 + int(f[0] * 4096)
+        h = 16 + int(f[1] * 4096)
+        return w, h, float(f[2]), f[3:]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        w = np.empty(n, np.int64)
+        h = np.empty(n, np.int64)
+        luma = np.empty(n, np.float64)
+        embs = np.empty((n, self.embed_dim), np.float64)
+        for i, p in enumerate(payloads):
+            w[i], h[i], luma[i], embs[i] = self._decode(p or b"")
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "mean_luma": pa.array(luma, pa.float64()),
+                "embedding": pa.array(list(embs), pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSample:
+    """video payload -> `n_frames` evenly-spaced frame descriptors.
+
+    Real path: pyav keyframe extraction. STUB: deterministic fake frame
+    hashes. flat_map-shaped: one input row -> n_frames output rows."""
+
+    def __init__(self, n_frames: int = 4) -> None:
+        self.n_frames = n_frames
+        try:
+            import av  # noqa: F401
+
+            self._av = av
+        except ImportError:
+            self._av = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, fhash = [], [], []
+        for item, p in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
+            feats = _stable_floats(p or b"", self.n_frames, b"video")
+            for fi in range(self.n_frames):
+                ids.append(item)
+                frames.append(fi)
+                fhash.append(int(feats[fi] * 2**62))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int64()),
+                "frame_hash": pa.array(fhash, pa.int64()),
+            }
+        )
+
+
+def decode_images(ds, embed_dim: int = 16, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(
+        ImageDecode,
+        fn_constructor_kwargs=dict(embed_dim=embed_dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,   # small: payload x concurrency must fit heap
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(ds, n_frames: int = 4, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs=dict(n_frames=n_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -19,6 +19,8 @@ from lsh_apg_ray.arrowutil import u64s_to_binary
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.hashing import (
     TokenHasher,
+    arrow_token_hashes,
+    batch_shingle_sets,
     doc_id_of,
     shingle_hashes,
     simhash64,
@@ -122,14 +124,27 @@ class Prep:
             raw = t.encode("utf-8")
             shas.append(hashlib.sha256(raw).hexdigest())
             nbytes[i] = len(raw)
-            toks = self.hasher.tokenize(t)
-            th = self.hasher.token_hashes(toks)
-            sh = shingle_hashes(th, cfg.shingle_k)
-            n_tokens[i] = len(toks)
-            n_shingles[i] = len(sh)
-            sh64 = simhash64(th) if len(th) else 0
-            simhashes[i] = sh64 - (1 << 64) if sh64 >= (1 << 63) else sh64
-            shingle_arrays.append(sh)
+        # vectorized Arrow tokenization (hashing.arrow_token_hashes) with a
+        # per-doc fallback for non-char-class token patterns
+        tok = arrow_token_hashes(batch[self.content_col], self.hasher, cfg.token_pattern)
+        if tok is not None:
+            flat_h, offsets = tok
+            shingle_arrays = batch_shingle_sets(flat_h, offsets, cfg.shingle_k)
+            for i in range(n):
+                th = flat_h[offsets[i] : offsets[i + 1]]
+                n_tokens[i] = len(th)
+                n_shingles[i] = len(shingle_arrays[i])
+                sh64 = simhash64(th) if len(th) else 0
+                simhashes[i] = sh64 - (1 << 64) if sh64 >= (1 << 63) else sh64
+        else:
+            for i, t in enumerate(texts):
+                th = self.hasher.token_hashes(self.hasher.tokenize(t))
+                sh = shingle_hashes(th, cfg.shingle_k)
+                n_tokens[i] = len(th)
+                n_shingles[i] = len(sh)
+                sh64 = simhash64(th) if len(th) else 0
+                simhashes[i] = sh64 - (1 << 64) if sh64 >= (1 << 63) else sh64
+                shingle_arrays.append(sh)
 
         cols: dict[str, pa.Array] = {
             "doc_id": pa.array(doc_ids, pa.int64()),

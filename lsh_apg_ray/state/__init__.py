@@ -1,0 +1,5 @@
+"""Checkpoint / lineage / metrics — resumable execution state."""
+
+from lsh_apg_ray.state.checkpoint import StageCheckpointer, config_fingerprint
+
+__all__ = ["StageCheckpointer", "config_fingerprint"]

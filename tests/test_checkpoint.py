@@ -1,0 +1,78 @@
+"""Checkpoint / lineage / resume tests (north-rule: resumable from checkpoint
+with per-partition lineage + metrics)."""
+
+import json
+import os
+import shutil
+
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+from lsh_apg_ray.state.checkpoint import StageCheckpointer, config_fingerprint
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _cfg(**over):
+    base = dict(threshold=0.7, join_partitions=2, signer_concurrency=2, batch_size=256)
+    base.update(over)
+    return DedupConfig(**base)
+
+
+def test_fingerprint_sensitivity():
+    a = config_fingerprint(_cfg(), "in1")
+    assert a == config_fingerprint(_cfg(), "in1")
+    assert a != config_fingerprint(_cfg(threshold=0.8), "in1")
+    assert a != config_fingerprint(_cfg(), "in2")
+
+
+def test_pipeline_checkpoints_and_resumes(small_corpus, ckpt_dir):
+    ds = rd.from_arrow(small_corpus)
+    cfg = _cfg()
+    r1 = dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir, input_fingerprint="corpus-v1")
+    a1 = r1.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # lineage manifests exist with per-partition file records
+    for stage in ("rep_feats", "edges", "assignments"):
+        man = json.load(open(os.path.join(ckpt_dir, stage, "_lineage.json")))
+        assert man["fingerprint"] and man["files"]
+        assert man["total_rows"] == sum(f["rows"] for f in man["files"])
+        for f in man["files"]:
+            assert os.path.exists(os.path.join(ckpt_dir, stage, f["name"]))
+    assert os.path.exists(os.path.join(ckpt_dir, "_metrics.json"))
+
+    # second run resumes every checkpointed stage and reproduces the result
+    r2 = dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir, input_fingerprint="corpus-v1")
+    a2 = r2.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a1.equals(a2)
+    metrics = json.load(open(os.path.join(ckpt_dir, "_metrics.json")))
+    assert all(metrics[s]["resumed"] for s in ("rep_feats", "edges", "assignments"))
+
+    # changed config -> stale fingerprint -> recompute (not reuse)
+    r3 = dedup_pipeline(
+        ds, _cfg(threshold=0.9), checkpoint_dir=ckpt_dir, input_fingerprint="corpus-v1"
+    )
+    r3.assignments.count()
+    metrics = json.load(open(os.path.join(ckpt_dir, "_metrics.json")))
+    assert not metrics["rep_feats"]["resumed"]
+
+
+def test_partial_checkpoint_not_trusted(small_corpus, ckpt_dir):
+    ds = rd.from_arrow(small_corpus)
+    cfg = _cfg()
+    dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir, input_fingerprint="x").assignments.count()
+    # simulate a lost partition file: resume must recompute, not trust it
+    stage_dir = os.path.join(ckpt_dir, "edges")
+    man = json.load(open(os.path.join(stage_dir, "_lineage.json")))
+    os.remove(os.path.join(stage_dir, man["files"][0]["name"]))
+    ck = StageCheckpointer(ckpt_dir)
+    assert not ck.is_complete("edges", man["fingerprint"])
+    r = dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir, input_fingerprint="x")
+    assert r.assignments.count() == small_corpus.num_rows

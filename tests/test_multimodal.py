@@ -1,0 +1,51 @@
+"""Multimodal stage tests: binary payload plumbing (decode is a documented
+deterministic stub in this container; the Ray-side schema/actor contract is
+what's under test)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsh_apg_ray.stages.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    sample_frames,
+)
+
+
+def _media_table(n=20, kind="image"):
+    rng = np.random.default_rng(4)
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array([kind] * n),
+            "payload": pa.array([rng.bytes(256) for _ in range(n)], pa.large_binary()),
+            "media_meta": pa.array(['{"codec":"fake"}'] * n),
+        }
+    )
+
+
+def test_media_schema_roundtrip():
+    t = _media_table()
+    assert t.schema.equals(MEDIA_SCHEMA)
+
+
+def test_image_decode_deterministic_and_shaped():
+    t = _media_table(30)
+    out1 = decode_images(rd.from_arrow(t), embed_dim=8).to_pandas().sort_values("item_id")
+    out2 = decode_images(rd.from_arrow(t), embed_dim=8).to_pandas().sort_values("item_id")
+    assert list(out1.columns) == ["item_id", "width", "height", "mean_luma", "embedding"]
+    assert len(out1) == 30
+    assert (out1["width"] > 0).all() and (out1["height"] > 0).all()
+    assert out1["mean_luma"].between(0, 1).all()
+    assert all(len(e) == 8 for e in out1["embedding"])
+    for c in ("width", "height", "mean_luma"):
+        assert out1[c].tolist() == out2[c].tolist()
+
+
+def test_frame_sample_flatmap_shape():
+    t = _media_table(10, kind="video")
+    out = sample_frames(rd.from_arrow(t), n_frames=3).to_pandas()
+    assert len(out) == 30
+    assert set(out["frame_idx"]) == {0, 1, 2}
+    assert out.groupby("item_id").size().eq(3).all()

@@ -1,0 +1,99 @@
+"""Z-order key, LLCP and sorted-key range probe — the parity suite for the
+reference's one hand-run unit test (`zlsh::testLLCP`, e2lsh.cpp:713-723) and
+its prefix-probe query path (`zlsh::knnBestFirst`, e2lsh.cpp:573-699)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.hashing import llcp, zorder_interleave
+from lsh_apg_ray.sources.lshbox import (
+    parse_lshbox_bytes,
+    query_split,
+    read_lshbox,
+    write_lshbox,
+)
+from lsh_apg_ray.stages.ann import zorder_knn
+
+
+def _naive_interleave(row, k):
+    out = 0
+    u = 64 // k
+    for b in range(u):
+        for j in range(k):
+            out |= ((int(row[j]) >> b) & 1) << (b * k + j)
+    return out
+
+
+def test_zorder_interleave_matches_naive():
+    rng = np.random.default_rng(0)
+    k = 4
+    h = rng.integers(0, 2 ** (64 // k), size=(50, k)).astype(np.uint64)
+    got = zorder_interleave(h, k)
+    for i in range(50):
+        assert int(got[i]) == _naive_interleave(h[i], k)
+
+
+def test_zorder_prefix_property():
+    # equal leading bits across all components -> long common key prefix
+    k = 2
+    a = np.array([[0b1100, 0b1010]], dtype=np.uint64)
+    b = np.array([[0b1101, 0b1010]], dtype=np.uint64)  # differs in last bit of comp 0
+    c = np.array([[0b0100, 0b1010]], dtype=np.uint64)  # differs in high bit
+    ka, kb, kc = (zorder_interleave(x, k)[0] for x in (a, b, c))
+    assert llcp(np.array([ka]), np.array([kb]))[0] > llcp(np.array([ka]), np.array([kc]))[0]
+
+
+def test_llcp_values():
+    a = np.array([0b1000, 0xFFFFFFFFFFFFFFFF, 5, 6, 1 << 40], dtype=np.uint64)
+    b = np.array([0b1001, 0, 5, 5, 0], dtype=np.uint64)
+    # xor:      1 (len 1) | all-ones (64) | 0 | 3 (len 2) | 2^40 (len 41)
+    assert llcp(a, b).tolist() == [63, 0, 64, 62, 23]
+
+
+def test_lshbox_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((300, 16)).astype(np.float32)
+    path = str(tmp_path / "vecs.lshbox")
+    write_lshbox(path, mat)
+    parsed, n, dim = parse_lshbox_bytes(open(path, "rb").read())
+    assert (n, dim) == (300, 16)
+    assert np.array_equal(parsed, mat)
+    ds = read_lshbox(path, num_blocks=4)
+    back = ds.to_pandas().sort_values("id")
+    assert len(back) == 300
+    got = np.stack([np.asarray(v, dtype=np.float32) for v in back["vec"]])
+    assert np.array_equal(got, mat)
+    q, d = query_split(ds, max_query_num=200)
+    assert q.count() == 200 and d.count() == 100
+
+
+def test_header_validation():
+    bad = struct.pack("<III", 8, 1, 1) + b"\x00" * 8
+    try:
+        parse_lshbox_bytes(bad)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_zorder_knn_recall():
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 32)) * 3
+    X = centers[rng.integers(0, 6, 300)] + rng.standard_normal((300, 32))
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(X)})
+    ds = rd.from_pandas(df)
+    qids = np.arange(6, dtype=np.int64)
+    k = 5
+    got = zorder_knn(ds, qids, X[:6], k=k, K=4, W=16.0, window=128).to_pandas()
+    hits = total = 0
+    for q in qids:
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want = set(np.argsort(d, kind="stable")[:k])
+        g = set(got[got.query_id == q]["neighbor_id"].tolist())
+        hits += len(g & want)
+        total += k
+    assert hits / total >= 0.5, hits / total  # window-bounded probe regime
