@@ -135,38 +135,6 @@ def rep_features_dataset(src, cfg: DedupConfig, rep_ids_ref, content_col="conten
     )
 
 
-class PrepSign:
-    """Fused Prep + MinHashSigner — one actor pool instead of two.
-
-    Both stages are narrow per-doc transforms; fusing them halves actor
-    startup (a large fixed cost on small runs) and skips materializing the
-    intermediate batch through the object store.
-    """
-
-    def __init__(self, cfg: DedupConfig, **prep_kwargs) -> None:
-        from lsh_apg_ray.stages.prep import Prep
-
-        self.prep = Prep(cfg, **prep_kwargs)
-        self.signer = MinHashSigner(cfg)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.signer(self.prep(batch))
-
-
-def prep_sign_dataset(ds, cfg: DedupConfig, content_col="content", id_col=None, keep_cols=()):
-    """Fused prep+sign actor pool over a Dataset."""
-    return ds.map_batches(
-        PrepSign,
-        fn_constructor_kwargs=dict(
-            cfg=cfg, content_col=content_col, id_col=id_col, keep_cols=tuple(keep_cols)
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=(1, cfg.signer_concurrency),
-        num_cpus=1,
-    )
-
-
 def sign_dataset(ds, cfg: DedupConfig):
     """Attach `sig` (list<uint64>[num_perm]) via a MinHashSigner actor pool."""
     return ds.map_batches(

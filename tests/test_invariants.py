@@ -1,0 +1,82 @@
+"""Cross-cutting invariants (FIXTURES.md): identical outputs across
+parallelism levels, and never-silent skew handling under bucket overflow."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import TokenHasher, shingle_hashes, exact_jaccard
+from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+
+def _run(small_corpus, **cfg_over):
+    base = dict(threshold=0.7, join_partitions=4, signer_concurrency=2, batch_size=256)
+    base.update(cfg_over)
+    res = dedup_pipeline(rd.from_arrow(small_corpus), DedupConfig(**base),
+                         collect_metrics=True)
+    a = res.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    e = res.duplicate_edges.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return a, e, res.candidate_metrics
+
+
+def test_identical_output_across_parallelism_levels(small_corpus):
+    # different partition counts / pool sizes / batch sizes -> same answer
+    a1, e1, _ = _run(small_corpus, join_partitions=2, signer_concurrency=1, batch_size=64)
+    a2, e2, _ = _run(small_corpus, join_partitions=7, signer_concurrency=3, batch_size=512)
+    assert a1[["doc_id", "sha", "rep_id", "cluster_id"]].equals(
+        a2[["doc_id", "sha", "rep_id", "cluster_id"]]
+    )
+    assert e1[["id_a", "id_b", "jaccard"]].equals(e2[["id_a", "id_b", "jaccard"]])
+
+
+def _near_dup_family(n: int, base_tokens: int = 120):
+    """n mutually-near-duplicate docs (distinct contents, pairwise J >~ 0.9)."""
+    base = [f"tok{i}" for i in range(base_tokens)]
+    docs = []
+    for v in range(n):
+        toks = base.copy()
+        toks[v % base_tokens] = f"var{v}"   # one substitution each
+        docs.append(" ".join(toks))
+    return docs
+
+
+def test_overflow_bucket_star_preserves_clusters():
+    n = 60
+    docs = _near_dup_family(n)
+    table = pa.table(
+        {
+            "repo": pa.array([f"r/{i}" for i in range(n)]),
+            "path": pa.array([f"p{i}.py" for i in range(n)]),
+            "commit": pa.array(["a" * 40] * n),
+            "lang": pa.array(["python"] * n),
+            "content": pa.array(docs),
+        }
+    )
+    cfg_kwargs = dict(threshold=0.7, join_partitions=2, signer_concurrency=2,
+                      batch_size=64)
+    # small cap -> every band bucket (all 60 docs collide) overflows
+    res_capped = dedup_pipeline(
+        rd.from_arrow(table), DedupConfig(max_bucket=8, **cfg_kwargs),
+        collect_metrics=True,
+    )
+    a = res_capped.assignments.to_pandas()
+    m = res_capped.candidate_metrics
+    # never silent: overflow is recorded
+    assert int(m["overflow_buckets"].iloc[0]) > 0
+    assert int(m["skipped_pairs"].iloc[0]) > 0
+    # star+chain keeps the (genuinely all-near-dup) bucket connected:
+    # cluster assignment identical to the uncapped run
+    res_full = dedup_pipeline(
+        rd.from_arrow(table), DedupConfig(max_bucket=10_000, **cfg_kwargs)
+    )
+    b = res_full.assignments.to_pandas()
+    ga = a.sort_values("doc_id")["cluster_id"].tolist()
+    gb = b.sort_values("doc_id")["cluster_id"].tolist()
+    assert ga == gb
+    assert len(set(ga)) == 1  # one family, one cluster
+    # sanity: the family really is pairwise-near-dup at the configured k
+    h = TokenHasher(r"[a-z0-9_]+")
+    s0 = shingle_hashes(h.token_hashes(h.tokenize(docs[0])), 3)
+    s1 = shingle_hashes(h.token_hashes(h.tokenize(docs[1])), 3)
+    assert exact_jaccard(s0, s1)[2] >= 0.7
