@@ -287,6 +287,13 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_token_counts(sf_dir: str):
+    from lsh_apg_ray.stages.textstats import bpe_ish_token_counts
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return bpe_ish_token_counts(ds)
+
+
 def q_fingerprints(sf_dir: str):
     from lsh_apg_ray.stages.textstats import fingerprint_dataset
 
@@ -410,6 +417,46 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured column handling: parse the JSON `props` sidecar and
+    aggregate an extracted field per event_type (vectorized-enough: stdlib
+    json over string batches inside map_batches; at scale this would be
+    pyarrow's JSON reader over a struct-typed column)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from lsh_apg_ray.sources import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        return pa.table(
+            {"event_type": t["event_type"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return ev.map_batches(extract, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Sum("k", alias_name="sum_k"),
+        Max("k", alias_name="max_k"),
+    ).map_batches(lambda df: df.assign(sum_k=df["sum_k"].astype("int64")),
+                  batch_format="pandas")
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_top_error_users(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -518,11 +565,13 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
     "top_error_users": q_top_error_users,
+    "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
     "top_lineitems": q_top_lineitems,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "bpe_token_counts": q_bpe_token_counts,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "e2lsh_knn": q_e2lsh_knn,
@@ -547,6 +596,7 @@ ORACLE_SQL = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "top_error_users": SQL_TOP_ERROR_USERS,
+    "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,
     "top_lineitems": SQL_TOP_LINEITEMS,
     "quality_scores": SQL_QUALITY_SCORES,

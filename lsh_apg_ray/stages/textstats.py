@@ -104,6 +104,31 @@ def quality_features(ds, cfg: DedupConfig, text_col: str = "text", id_col: str =
     return ds.map_batches(feats, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer pattern (public, Radford et al. 2019 release):
+# contractions | letter runs | digit runs | other-symbol runs | whitespace
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+def bpe_ish_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Approximate LLM-token counting with a BPE-ish pre-tokenizer regex
+    (compiled once per worker) — the cheap proxy for corpus token budgeting
+    when no tokenizer model ships with the container."""
+    import re
+
+    pat = re.compile(BPE_ISH_PATTERN)
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = np.fromiter((len(pat.findall(t)) for t in texts), np.int64, count=len(texts))
+        return pa.table(
+            {id_col: batch[id_col], "n_bpe_tokens": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     k-gram rolling hashes -> per-window (width w) minimum, rightmost-min rule

@@ -102,3 +102,15 @@ def test_fingerprint_dataset_schema():
     out = fingerprint_dataset(rd.from_pandas(df), DedupConfig()).to_pandas()
     assert list(out.columns) == ["doc_id", "n_fingerprints", "fp_xor"]
     assert out.loc[out.doc_id == 2, "n_fingerprints"].iloc[0] == 0
+
+
+def test_bpe_ish_token_counts():
+    import re
+
+    from lsh_apg_ray.stages.textstats import BPE_ISH_PATTERN, bpe_ish_token_counts
+
+    texts = ["I'll say it's 42 items, don't panic!", "", "hello   world"]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    out = bpe_ish_token_counts(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    pat = re.compile(BPE_ISH_PATTERN)
+    assert out["n_bpe_tokens"].tolist() == [len(pat.findall(t)) for t in texts]
