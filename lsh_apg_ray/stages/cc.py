@@ -66,44 +66,43 @@ def _label_checksum(labels) -> int:
     return total
 
 
-class _UnionFind:
-    __slots__ = ("parent",)
+def cc_driver(edges) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over a streamed edge Dataset.
 
-    def __init__(self) -> None:
-        self.parent: dict[int, int] = {}
-
-    def find(self, x: int) -> int:
-        p = self.parent
-        root = x
-        while p.get(root, root) != root:
-            root = p[root]
-        while p.get(x, x) != root:
-            p[x], x = root, p[x]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
-            return
-        if ra > rb:  # min id wins -> deterministic labels
-            ra, rb = rb, ra
-        self.parent[rb] = ra
-        self.parent.setdefault(ra, ra)
-
-    def labels(self) -> dict[int, int]:
-        return {x: self.find(x) for x in self.parent}
-
-
-def cc_driver(edges) -> dict[int, int]:
-    """Union-find over a streamed edge Dataset; returns node -> min-id label
-    (only for nodes that appear in at least one edge)."""
-    uf = _UnionFind()
+    Returns (node_ids sorted, labels) for nodes appearing in >=1 edge, where
+    label = MIN doc_id of the component. Numpy-only: iterated pointer jumping
+    on a dense parent array + np.minimum.at unions — O((E+V) log V) with no
+    per-edge Python (the dict-based union-find loop cost ~1-2 s per 100k
+    edges on this host; this is milliseconds)."""
+    a_parts, b_parts = [], []
     for batch in edges.select_columns(["id_a", "id_b"]).iter_batches(
-        batch_size=1 << 16, batch_format="numpy"
+        batch_size=1 << 18, batch_format="numpy"
     ):
-        for a, b in zip(batch["id_a"].tolist(), batch["id_b"].tolist()):
-            uf.union(a, b)
-    return uf.labels()
+        a_parts.append(batch["id_a"].astype(np.int64))
+        b_parts.append(batch["id_b"].astype(np.int64))
+    if not a_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    ids = np.unique(np.concatenate([a, b]))  # sorted: dense index order == id order
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    parent = np.arange(len(ids), dtype=np.int64)
+    for _ in range(64):
+        # full path compression: parent <- root (log-depth pointer jumping)
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        ra, rb = parent[ai], parent[bi]
+        if (ra == rb).all():
+            # min-index root == min id (ids sorted) -> labels are min doc_id
+            return ids, ids[parent]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        np.minimum.at(parent, hi, lo)
+    raise RuntimeError("cc_driver did not converge in 64 rounds")
 
 
 def cc_distributed(edges, cfg: DedupConfig):
@@ -203,14 +202,19 @@ def attach_clusters(
     lazy plan (avoids a partial execution just to fetch the schema)."""
     n_edges = edges.count()
     if n_edges <= cfg.cc_driver_max_edges:
-        label_map = cc_driver(edges)
-        ref = ray.put(label_map)
+        node_ids, labels = cc_driver(edges)
+        ref = ray.put((node_ids, labels))  # two numpy arrays, zero-copy reads
 
         def apply(batch: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(ref)
-            ids = batch[id_col]
-            batch["cluster_id"] = [m.get(i, i) for i in ids.tolist()]
-            batch["cluster_id"] = batch["cluster_id"].astype(np.int64)
+            k, lab = ray.get(ref)
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            if len(k):
+                pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+                hit = k[pos] == ids
+                out = np.where(hit, lab[np.minimum(pos, len(lab) - 1)], ids)
+            else:
+                out = ids
+            batch["cluster_id"] = out.astype(np.int64)
             return batch
 
         return docs.map_batches(apply, batch_format="pandas")

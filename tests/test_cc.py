@@ -19,7 +19,18 @@ EXPECT = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
 def test_cc_driver():
-    assert cc_driver(_edges_ds(EDGES)) == EXPECT
+    ids, labels = cc_driver(_edges_ds(EDGES))
+    assert dict(zip(ids.tolist(), labels.tolist())) == EXPECT
+
+
+def test_cc_driver_long_chain_and_star():
+    n = 500
+    chain = [(i, i + 1) for i in range(n)]
+    ids, labels = cc_driver(_edges_ds(chain))
+    assert set(labels.tolist()) == {0} and len(ids) == n + 1
+    star = [(0, i) for i in range(1, 200)]
+    ids, labels = cc_driver(_edges_ds(star))
+    assert set(labels.tolist()) == {0}
 
 
 def test_cc_distributed_matches_driver():
