@@ -287,6 +287,13 @@ ORDER BY doc_id
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    from lsh_apg_ray.stages.textstats import containment_pairs
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return containment_pairs(ds, _cfg(max_bucket=100_000), threshold=0.5)
+
+
 def q_bpe_token_counts(sf_dir: str):
     from lsh_apg_ray.stages.textstats import bpe_ish_token_counts
 
@@ -572,6 +579,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "bpe_token_counts": q_bpe_token_counts,
+    "containment_pairs": q_containment_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "e2lsh_knn": q_e2lsh_knn,

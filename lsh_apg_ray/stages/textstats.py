@@ -155,6 +155,82 @@ def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
     return np.unique(wins[np.arange(len(wins)), idx])
 
 
+def containment_pairs(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
+                      threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Containment / substring-duplicate detection via winnowing fingerprints
+    (the north-star's "suffix-array substring pass" role, with winnowing as
+    the scalable fingerprint family): a fragment shares most of its selected
+    fingerprints with any document containing it, regardless of relative
+    sizes, so containment(A,B) = |F_A ∩ F_B| / min(|F_A|, |F_B|) stays high
+    where Jaccard collapses.
+
+    Same shuffle skeleton as every other tier: explode (fingerprint, doc) ->
+    bucket groupby -> pair co-occurrence count (= |F_A ∩ F_B| exactly) ->
+    join per-doc fingerprint counts -> score >= threshold.
+    Output: (id_a, id_b, n_shared, containment).
+    """
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.joins import hash_join, out_schema
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+
+    hasher = TokenHasher(cfg.token_pattern)
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids_out, fps_out = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            fps = winnow_fingerprints(hasher.token_hashes(hasher.tokenize(t)), k, w)
+            ids_out.append(np.full(len(fps), i, np.int64))
+            fps_out.append(fps.view(np.int64))
+        ids_cat = np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+        fps_cat = np.concatenate(fps_out) if fps_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "band_id": pa.array(np.zeros(len(ids_cat), np.int32)),
+                "band_hash": pa.array(fps_cat, pa.int64()),
+                "doc_id": pa.array(ids_cat, pa.int64()),
+            }
+        )
+
+    fp_ds = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    sizes = fp_ds.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
+    shared = rename_ds(candidate_pairs(fp_ds, cfg), {"n_bands": "n_shared"})
+    i64 = pa.int64()
+    ps = pa.schema([("id_a", i64), ("id_b", i64), ("n_shared", i64)])
+    sa = pa.schema([("id_a", i64), ("na", i64)])
+    sb = pa.schema([("id_b", i64), ("nb", i64)])
+    j = hash_join(
+        shared, rename_ds(sizes, {"doc_id": "id_a", "n_fp": "na"}), "id_a",
+        num_partitions=cfg.join_partitions, left_schema=ps, right_schema=sa,
+    )
+    j = hash_join(
+        j, rename_ds(sizes, {"doc_id": "id_b", "n_fp": "nb"}), "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(ps, sa, "id_a"), right_schema=sb,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cont = ns / np.maximum(np.minimum(na, nb), 1)
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "n_shared": pa.array(ns, pa.int64()),
+                "containment": pa.array(cont, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["containment"], threshold))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
 def fingerprint_dataset(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
                         text_col: str = "text", id_col: str = "doc_id"):
     """(id, n_fingerprints, fp_xor): winnowing fingerprints per doc; fp_xor is

@@ -114,3 +114,22 @@ def test_bpe_ish_token_counts():
     out = bpe_ish_token_counts(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
     pat = re.compile(BPE_ISH_PATTERN)
     assert out["n_bpe_tokens"].tolist() == [len(pat.findall(t)) for t in texts]
+
+
+def test_containment_detects_fragment():
+    from lsh_apg_ray.stages.textstats import containment_pairs
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    big = " ".join(rng.choice(vocab, 400))
+    fragment = " ".join(big.split()[100:180])          # contained substring
+    unrelated = " ".join(rng.choice(vocab, 120))
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [big, fragment, unrelated]})
+    cfg = DedupConfig(join_partitions=2, signer_concurrency=2, max_bucket=10_000)
+    out = containment_pairs(rd.from_pandas(df), cfg, threshold=0.5).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs                              # fragment ⊂ big found
+    got = out[(out.id_a == 1) & (out.id_b == 2)]["containment"].iloc[0]
+    assert got > 0.8
+    # jaccard would have been low: sizes 400 vs 80 tokens -> J <= 0.2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
