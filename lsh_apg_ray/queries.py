@@ -206,6 +206,29 @@ def q_minhash_lsh_dedup(sf_dir: str):
     return res.assignments.select_columns(["doc_id", "cluster_id"])
 
 
+def q_corpus_dedup(sf_dir: str):
+    """Flagship over the BASELINE.json input_hint corpus shape
+    (repo, path, commit, lang, content): a deterministic synthetic code
+    corpus (size keyed to the scale factor) is materialized once under /tmp
+    and deduped end-to-end. Rows-only driver check; the full oracle gate for
+    this path lives in tests/test_pipeline.py."""
+    import os
+
+    import ray.data as rd
+
+    from lsh_apg_ray.corpus import write_corpus
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    n_files = max(1000, int(float(sf) * 100_000))
+    d = write_corpus(f"/tmp/lsh_apg_query_corpus_{sf}", n_files=n_files, seed=77,
+                     shards=8)
+    res = dedup_pipeline(rd.read_parquet(d), _cfg())
+    return res.assignments.select_columns(
+        ["doc_id", "repo", "path", "sha", "rep_id", "cluster_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # brute-force cosine top-k over embeddings (ben_make analogue, SURVEY.md A1)
 # ---------------------------------------------------------------------------
@@ -580,6 +603,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "bpe_token_counts": q_bpe_token_counts,
     "containment_pairs": q_containment_pairs,
+    "corpus_dedup": q_corpus_dedup,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "e2lsh_knn": q_e2lsh_knn,

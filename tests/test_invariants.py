@@ -80,3 +80,25 @@ def test_overflow_bucket_star_preserves_clusters():
     s0 = shingle_hashes(h.token_hashes(h.tokenize(docs[0])), 3)
     s1 = shingle_hashes(h.token_hashes(h.tokenize(docs[1])), 3)
     assert exact_jaccard(s0, s1)[2] >= 0.7
+
+
+def _tiny_corpus(rows):
+    return pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "commit": pa.array(["c" * 40] * len(rows), pa.string()),
+            "lang": pa.array(["python"] * len(rows), pa.string()),
+            "content": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_single_doc_and_empty_corpus():
+    cfg = DedupConfig(threshold=0.7, join_partitions=2, signer_concurrency=2)
+    one = dedup_pipeline(
+        rd.from_arrow(_tiny_corpus([("r", "p1", "alpha beta gamma delta")])), cfg
+    ).assignments.to_pandas()
+    assert len(one) == 1 and (one.cluster_id == one.doc_id).all()
+    empty = dedup_pipeline(rd.from_arrow(_tiny_corpus([])), cfg).assignments.to_pandas()
+    assert len(empty) == 0
