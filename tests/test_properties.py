@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the hash kernels: parity of the
+vectorized Arrow tokenizer with the reference regex path on arbitrary text
+(including unicode), and the MinHash/winnowing structural guarantees."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from lsh_apg_ray.hashing import (
+    TokenHasher,
+    arrow_token_hashes,
+    batch_shingle_sets,
+    derive_seeds,
+    exact_jaccard,
+    minhash_signatures,
+    shingle_hashes,
+)
+
+PAT = r"[a-z0-9_]+"
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=9, max_codepoint=126), max_size=300
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(ascii_text, max_size=8))
+def test_arrow_tokenizer_parity_ascii(texts):
+    import pyarrow as pa
+
+    h = TokenHasher(PAT)
+    res = arrow_token_hashes(pa.array(texts, pa.string()), h, PAT)
+    flat, offs = res
+    sets = batch_shingle_sets(flat, offs, 3)
+    for i, t in enumerate(texts):
+        th = h.token_hashes(h.tokenize(t))
+        assert np.array_equal(flat[offs[i] : offs[i + 1]], th), repr(t)
+        assert np.array_equal(sets[i], shingle_hashes(th, 3)), repr(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200),
+    st.sets(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200),
+)
+def test_minhash_identity_and_bounds(sa, sb):
+    seeds = derive_seeds(42, "minhash-perm", 64)
+    a = np.array(sorted(sa), dtype=np.uint64)
+    b = np.array(sorted(sb), dtype=np.uint64)
+    sigs = minhash_signatures([a, b, a], seeds)
+    # identical sets -> identical signatures, always
+    assert (sigs[0] == sigs[2]).all()
+    # estimate within [0,1]; equals 1 iff sets equal (w.h.p. for distinct)
+    est = float((sigs[0] == sigs[1]).mean())
+    _, _, true_j = exact_jaccard(a, b)
+    assert 0.0 <= est <= 1.0
+    if set(sa) == set(sb):
+        assert est == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=6, max_size=120))
+def test_winnowing_subset_of_kgram_hashes(tokens):
+    from lsh_apg_ray.stages.textstats import winnow_fingerprints
+
+    h = TokenHasher(PAT)
+    th = h.token_hashes([f"t{v}" for v in tokens])
+    fps = winnow_fingerprints(th, k=5, w=4)
+    allk = shingle_hashes(th, 5)
+    # fingerprints are a (winnowed) subset of the full k-gram hash set
+    assert np.isin(fps, allk).all()
+    assert len(fps) >= 1
