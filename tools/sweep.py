@@ -1,0 +1,123 @@
+"""LSH parameter sweep — recall/cost protocol parity with the reference.
+
+The reference benchmarks its index by sweeping ef/k and appending
+`Dataset,k,L,K,T,RATIO,RECALL,AVG_TIME,COST,DATE` rows
+(`alg.h:98-134`, results `dataset/ANN/LSH-G_div_result.csv`). This sweeps the
+(bands, rows) banding configs of the MinHash tier against the EXACT
+similarity join as golden truth and appends an analogous CSV:
+
+    config,bands,rows,theta,recall,precision_pre_verify,candidate_frac,sec,date
+
+- recall          = |LSH dup pairs ∩ exact dup pairs| / |exact dup pairs|
+                    (precision is 1.0 by construction: exact verification)
+- precision_pre_verify = exact dup pairs / candidate pairs (how much the
+                    banding over-generates; the chi-squared-prune role)
+- candidate_frac  = candidate pairs / C(n_docs, 2) — the COST analogue
+                    (fraction of the quadratic work actually done)
+
+Usage: python tools/sweep.py [sf_dir] [out_csv]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from datetime import datetime, timezone
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_csv = sys.argv[2] if len(sys.argv) > 2 else "/tmp/lsh_sweep.csv"
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.sources import read_documents
+    from lsh_apg_ray.stages.allpairs import exact_similarity_join
+    from lsh_apg_ray.stages.bands import band_explode_precomputed
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+    from lsh_apg_ray.stages.prep import prep_dataset
+    from lsh_apg_ray.stages.verify import verify_pairs
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    import numpy as np
+
+    theta = 0.7
+    base = DedupConfig(threshold=theta, join_partitions=8, signer_concurrency=4,
+                       batch_size=512, max_bucket=1_000_000)
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(ds, base, content_col="text", id_col="doc_id").materialize()
+    n_docs = feats.count()
+
+    golden = exact_similarity_join(feats, base, threshold=theta).to_pandas()
+    gold = set(zip(golden["id_a"], golden["id_b"]))
+    print(f"n_docs={n_docs} golden_dup_pairs={len(gold)}")
+
+    from lsh_apg_ray.arrowutil import binary_to_u64_matrix, u64s_to_binary
+    from lsh_apg_ray.hashing import band_keys
+
+    rows_out = []
+    for bands, rows in [(8, 16), (16, 8), (32, 4), (64, 2), (16, 4), (8, 4)]:
+        num_perm = bands * rows
+        cfg = DedupConfig(threshold=theta, num_perm=num_perm, bands=bands,
+                          rows=rows, join_partitions=8, signer_concurrency=4,
+                          batch_size=512)
+        t0 = time.time()
+        # re-sign at this num_perm from the cached shingle sets
+        from lsh_apg_ray.hashing import derive_seeds, minhash_signatures
+        from lsh_apg_ray.arrowutil import binary_to_u64_list
+
+        seeds = derive_seeds(cfg.seed, "minhash-perm", num_perm)
+
+        def sign(t: pa.Table, seeds=seeds, cfg=cfg) -> pa.Table:
+            sets = binary_to_u64_list(t["shingles"])
+            sigs = minhash_signatures(sets, seeds)
+            bk = band_keys(sigs, cfg.bands, cfg.rows).view(np.uint64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_shingles": t["n_shingles"],
+                    "shingles": t["shingles"],
+                    "bands": u64s_to_binary(list(bk)),
+                }
+            )
+
+        rf = feats.map_batches(sign, batch_format="pyarrow").map_batches(
+            lambda t: t.filter(pc.greater(t["n_shingles"], 0)), batch_format="pyarrow"
+        ).materialize()
+        pairs = candidate_pairs(band_explode_precomputed(rf, cfg), cfg).materialize()
+        n_cand = pairs.count()
+        verified = verify_pairs(pairs, rf, cfg)
+        edges = verified.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["jaccard"], theta)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        sec = time.time() - t0
+        found = set(zip(edges["id_a"], edges["id_b"]))
+        recall = len(found & gold) / len(gold) if gold else 1.0
+        prec = len(found) / n_cand if n_cand else 1.0
+        cand_frac = n_cand / (n_docs * (n_docs - 1) / 2)
+        rows_out.append(
+            f"minhash,{bands},{rows},{theta},{recall:.4f},{prec:.4f},"
+            f"{cand_frac:.6f},{sec:.2f},{datetime.now(timezone.utc).date()}"
+        )
+        print(rows_out[-1])
+
+    header = "config,bands,rows,theta,recall,precision_pre_verify,candidate_frac,sec,date"
+    with open(out_csv, "w") as f:
+        f.write(header + "\n" + "\n".join(rows_out) + "\n")
+    print(f"wrote {out_csv}")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
