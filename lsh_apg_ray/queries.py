@@ -399,10 +399,11 @@ def q_events_tumbling(sf_dir: str):
     from lsh_apg_ray.stages.windows import tumbling_aggregate
 
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
-    out = tumbling_aggregate(ev, "user_id", "ts", width_s=3600)
-    return out.map_batches(
-        lambda df: df.assign(sum_value=df["sum_value"].round(4)),
-        batch_format="pandas",
+    # sum_value_e4 (int64, order-free) is the hash-compared sum; a rounded
+    # distributed float sum would be data-dependent flaky vs the serial oracle
+    out = tumbling_aggregate(ev, "user_id", "ts", width_s=3600, scaled_sum=True)
+    return out.select_columns(
+        ["user_id", "window_id", "n_events", "min_value", "max_value", "sum_value_e4"]
     )
 
 
@@ -410,7 +411,7 @@ SQL_EVENTS_TUMBLING = """
 SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS window_id,
        CAST(count(*) AS BIGINT) AS n_events,
        min(value) AS min_value, max(value) AS max_value,
-       round(sum(value), 4) AS sum_value
+       CAST(sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -80,8 +80,15 @@ def knn_cosine(
         sims = np.round(qmat @ xn.T, ROUND_DECIMALS)  # (Q, n)
         nq, n = sims.shape
         kk = min(k + 1, n)  # +1 so dropping `self` can't evict a true top-k
-        # partial top-k per query within the batch (keeps Q*(k+1) rows per batch)
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # Deterministic per-batch partial top-k: survivors are chosen by
+        # (sim desc, neighbor_id asc), NOT by argpartition's arbitrary order —
+        # otherwise >=k+2 rows tying on rounded sim within one batch could
+        # evict the tied neighbor with the smallest id before the final
+        # deterministic merge runs (exact ties are realistic: duplicate
+        # embedding vectors exist in real corpora).
+        idx = np.empty((nq, kk), dtype=np.int64)
+        for qi in range(nq):
+            idx[qi] = np.lexsort((ids, -sims[qi]))[:kk]
         rows_q = np.repeat(qids, kk)
         rows_n = ids[idx.reshape(-1)]
         rows_s = np.take_along_axis(sims, idx, axis=1).reshape(-1)

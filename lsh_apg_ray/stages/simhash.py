@@ -54,10 +54,18 @@ def simhash_dup_pairs(ds, cfg: DedupConfig, max_hamming: int = 3,
     simhashes are 8 bytes/doc, so the broadcast side stays tiny far longer
     than shingle payloads would.
     """
+    import dataclasses
+
     import ray
 
     chunks = 4
     assert max_hamming <= chunks - 1, "pigeonhole completeness needs max_hamming < chunks"
+    # Completeness contract: the generic star+chain bucket cap would silently
+    # drop candidate pairs from hot 16-bit-chunk buckets, breaking the
+    # pigeonhole guarantee — so this tier runs uncapped. The quadratic risk is
+    # bounded in practice: identical simhashes are overwhelmingly exact dups,
+    # which the exact tier collapses before this stage in the flagship.
+    cfg = dataclasses.replace(cfg, max_bucket=2**31)
     sim_small = ds.select_columns([id_col, sim_col]).materialize()
     pairs = candidate_pairs(chunk_explode(sim_small, chunks, id_col, sim_col), cfg)
 

@@ -39,7 +39,13 @@ _BIN = pa.large_binary()
 def _semi_filter_payload(pairs, payload, cfg: DedupConfig):
     """Broadcast semi-join: keep only payload rows whose doc_id occurs in a
     candidate pair. Returns the filtered payload (or the original when the id
-    set is too large to broadcast)."""
+    set is too large to broadcast).
+
+    Cap: 16x cfg.broadcast_max_ids — this path only runs AFTER the main
+    broadcast-verify path hit its cap, and an id array is 8 bytes/doc (far
+    cheaper than the shingle payloads the main path would broadcast), so the
+    semi-filter stays useful well past the point the full index does not."""
+    cap = cfg.broadcast_max_ids * 16
     ids = set()
     too_big = False
     for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
@@ -47,7 +53,7 @@ def _semi_filter_payload(pairs, payload, cfg: DedupConfig):
     ):
         ids.update(b["id_a"].tolist())
         ids.update(b["id_b"].tolist())
-        if len(ids) > cfg.broadcast_max_ids:
+        if len(ids) > cap:
             too_big = True
             break
     if too_big:

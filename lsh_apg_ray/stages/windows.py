@@ -26,29 +26,46 @@ def _epoch_us(ts_col) -> np.ndarray:
     return ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def tumbling_aggregate(events, key: str, ts_col: str, width_s: int):
+def tumbling_aggregate(events, key: str, ts_col: str, width_s: int,
+                       scaled_sum: bool = False):
     """Per (key, window) aggregate over tumbling windows of width_s seconds.
 
     window_id = floor(epoch_seconds / width_s); ordering-free (the aggregate
     is commutative), so this is one vectorized map + one partial-aggregated
     groupby shuffle — the cheapest possible windowing plan.
     Output: key, window_id, n_events, min_value, max_value, sum_value.
+
+    scaled_sum: additionally emit `sum_value_e4` = int64 sum of
+    floor(value*10000 + 0.5) per row. A distributed float sum depends on
+    accumulation order in its last ulps, so a rounded-float sum compared
+    value-hash-exact against a serial oracle is data-dependent flaky; the
+    integer-scaled sum is accumulation-order-free and exact on both sides.
     """
 
     def add_window(t: pa.Table) -> pa.Table:
         us = _epoch_us(t[ts_col])
         win = us // (width_s * 1_000_000)
-        return t.append_column("window_id", pa.array(win, pa.int64()))
+        t = t.append_column("window_id", pa.array(win, pa.int64()))
+        if scaled_sum:
+            v = t["value"]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            e4 = np.floor(v.to_numpy(zero_copy_only=False) * 1e4 + 0.5).astype(np.int64)
+            t = t.append_column("value_e4", pa.array(e4, pa.int64()))
+        return t
 
+    aggs = [
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Sum("value", alias_name="sum_value"),
+    ]
+    if scaled_sum:
+        aggs.append(Sum("value_e4", alias_name="sum_value_e4"))
     return (
         events.map_batches(add_window, batch_format="pyarrow")
         .groupby([key, "window_id"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
-            Sum("value", alias_name="sum_value"),
-        )
+        .aggregate(*aggs)
     )
 
 

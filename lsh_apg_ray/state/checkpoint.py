@@ -67,10 +67,14 @@ class StageCheckpointer:
         if m is None or m.get("fingerprint") != fingerprint:
             return False
         d = self._dir(stage)
-        # verify the manifest's files are all present with the recorded rows
+        # verify the manifest's files are all present with the recorded size —
+        # a truncated partition (disk-full, external tampering) must trigger
+        # recompute, not a silent resume over corrupt data
         for f in m.get("files", []):
             p = os.path.join(d, f["name"])
             if not os.path.exists(p):
+                return False
+            if "bytes" in f and os.path.getsize(p) != f["bytes"]:
                 return False
         return True
 
