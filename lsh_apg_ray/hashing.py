@@ -100,17 +100,19 @@ def _split_pattern_of(token_pattern: str) -> str | None:
     return f"[^{m.group(1)}]+" if m else None
 
 
-def arrow_token_hashes(
-    col, hasher: "TokenHasher", token_pattern: str
-) -> tuple[np.ndarray, np.ndarray] | None:
-    """Vectorized batch tokenization: Arrow string column -> (flat u64 token
-    hashes, per-doc offsets[n+1]).
+def arrow_token_index(
+    col, token_pattern: str
+) -> tuple[np.ndarray, np.ndarray, list[str]] | None:
+    """Vectorized batch tokenization: Arrow string column -> (flat dictionary
+    indices, per-doc offsets[n+1], unique-token dictionary).
 
     pc.utf8_lower + pc.split_pattern_regex + pc.dictionary_encode keep every
     token inside Arrow buffers — no per-token Python strings (the Python
     findall path allocates ~100s of MB of PyObjects per batch pass, which is
-    catastrophic on memory-ballooned hosts). Only the UNIQUE dictionary
-    tokens are hashed through the (cross-batch cached) TokenHasher.
+    catastrophic on memory-ballooned hosts). Per-token work downstream (hash,
+    profile membership, length) is done ONCE per unique dictionary token and
+    scattered through `indices`. Empty tokens (split artifacts at string
+    edges) are removed from indices/offsets and never appear in use sites.
     Returns None when the token pattern is not a plain char class.
     """
     import pyarrow as pa
@@ -123,23 +125,44 @@ def arrow_token_hashes(
         col = col.combine_chunks()
     sp = pc.split_pattern_regex(pc.utf8_lower(col), pattern=split_pat)
     offsets = np.asarray(sp.offsets, dtype=np.int64)
-    flat = sp.values
-    de = pc.dictionary_encode(flat)
+    de = pc.dictionary_encode(sp.values)
     dictionary = de.dictionary.to_pylist()
     indices = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dict_h = hasher.token_hashes(dictionary)
-    flat_h = dict_h[indices] if len(indices) else np.empty(0, _U64)
-    # drop empty tokens (split artifacts at string edges)
     try:
         empty_idx = dictionary.index("")
     except ValueError:
         empty_idx = -1
     if empty_idx >= 0:
         keep = indices != empty_idx
-        flat_h = flat_h[keep]
+        indices = indices[keep]
         cs = np.zeros(len(keep) + 1, dtype=np.int64)
         np.cumsum(keep, out=cs[1:])
         offsets = cs[offsets]
+    return indices, offsets, dictionary
+
+
+def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums of `values` under `offsets[n+1]` — cumsum-based so
+    empty segments are handled exactly (np.add.reduceat is wrong there)."""
+    cs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(values, out=cs[1:])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def arrow_token_hashes(
+    col, hasher: "TokenHasher", token_pattern: str
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized batch tokenization: Arrow string column -> (flat u64 token
+    hashes, per-doc offsets[n+1]). Only the UNIQUE dictionary tokens are
+    hashed through the (cross-batch cached) TokenHasher; see
+    arrow_token_index for the tokenization contract.
+    """
+    ti = arrow_token_index(col, token_pattern)
+    if ti is None:
+        return None
+    indices, offsets, dictionary = ti
+    dict_h = hasher.token_hashes(dictionary)
+    flat_h = dict_h[indices] if len(indices) else np.empty(0, _U64)
     return flat_h, offsets
 
 

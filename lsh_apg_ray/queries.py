@@ -278,6 +278,62 @@ def q_langid(sf_dir: str):
     ).select_columns(["doc_id", "pred_lang", "lang_score"])
 
 
+def _sql_langid() -> str:
+    """Exact SQL replica of LangId: per-language stopword-profile hit ratio
+    over the shared tokenizer, argmax with lexicographic tie-break, 'und'
+    when no profile scores > 0. Both sides compute score = int/int in f64,
+    so equality/greatest comparisons are bit-exact."""
+    from lsh_apg_ray.stages.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        lst = "[" + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])) + "]"
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> list_contains({lst}, x))) AS DOUBLE)"
+            f" / greatest(len(toks), 1) AS s_{lang}"
+        )
+    pred_cases = "\n       ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, len(toks) AS n_tok, {", ".join(score_exprs)} FROM tokd
+),
+m AS (
+  SELECT *, greatest({", ".join(f"s_{lang}" for lang in langs)}) AS best FROM sc
+)
+SELECT doc_id,
+  CASE WHEN n_tok = 0 OR best <= 0 THEN 'und'
+       {pred_cases}
+       END AS pred_lang,
+  CASE WHEN n_tok = 0 OR best <= 0 THEN 0.0 ELSE best END AS lang_score
+FROM m ORDER BY doc_id
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+def _sql_bpe() -> str:
+    from lsh_apg_ray.stages.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+SQL_BPE_TOKEN_COUNTS = _sql_bpe()
+
+
 def q_quality_scores(sf_dir: str):
     from lsh_apg_ray.stages.textstats import quality_features
 
@@ -634,7 +690,6 @@ ORACLE_SQL = {
     "top_lineitems": SQL_TOP_LINEITEMS,
     "quality_scores": SQL_QUALITY_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # langid / fingerprints / simhash_pairs / e2lsh_knn: heuristic or
-    # approximate operators — rows-only driver check; exactness is enforced
-    # by pytest against in-repo reference implementations (tests/).
+    "langid": SQL_LANGID,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
 }

@@ -14,7 +14,12 @@ import pandas as pd
 import pyarrow as pa
 
 from lsh_apg_ray.config import DedupConfig
-from lsh_apg_ray.hashing import TokenHasher, mix64
+from lsh_apg_ray.hashing import (
+    TokenHasher,
+    arrow_token_index,
+    mix64,
+    segment_sums,
+)
 
 # Minimal per-language stopword profiles (public common-word lists, trimmed).
 LANG_PROFILES: dict[str, frozenset[str]] = {
@@ -40,6 +45,7 @@ class LangId:
 
     def __init__(self, cfg: DedupConfig | None = None, text_col: str = "text") -> None:
         cfg = cfg or DedupConfig()
+        self.token_pattern = cfg.token_pattern
         self.hasher = TokenHasher(cfg.token_pattern)
         self.text_col = text_col
 
@@ -56,13 +62,36 @@ class LangId:
         return best_lang, best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for t in batch[self.text_col].to_pylist():
-            lang, score = self.predict(t)
-            preds.append(lang)
-            scores.append(score)
-        out = batch.append_column("pred_lang", pa.array(preds, pa.string()))
-        return out.append_column("lang_score", pa.array(scores, pa.float64()))
+        ti = arrow_token_index(batch[self.text_col], self.token_pattern)
+        if ti is None:  # non-char-class pattern: per-row fallback
+            preds, scores = [], []
+            for t in batch[self.text_col].to_pylist():
+                lang, score = self.predict(t)
+                preds.append(lang)
+                scores.append(score)
+            out = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+            return out.append_column("lang_score", pa.array(scores, pa.float64()))
+        # vectorized path: profile membership is evaluated ONCE per unique
+        # dictionary token, then scattered/summed per doc — no per-row Python
+        indices, offsets, dictionary = ti
+        langs = sorted(LANG_PROFILES)
+        n = len(offsets) - 1
+        n_tok = np.diff(offsets)
+        scores = np.zeros((len(langs), n), dtype=np.float64)
+        denom = np.maximum(n_tok, 1)
+        for li, lang in enumerate(langs):
+            prof = LANG_PROFILES[lang]
+            member = np.fromiter(
+                (t in prof for t in dictionary), np.int64, count=len(dictionary)
+            )
+            scores[li] = segment_sums(member[indices], offsets) / denom
+        best = scores.max(axis=0)
+        first_best = (scores == best).argmax(axis=0)  # lexicographic tie-break
+        hit = (best > 0) & (n_tok > 0)
+        pred = np.where(hit, np.array(langs, dtype=object)[first_best], "und")
+        score = np.where(hit, best, 0.0)
+        out = batch.append_column("pred_lang", pa.array(pred.tolist(), pa.string()))
+        return out.append_column("lang_score", pa.array(score, pa.float64()))
 
 
 def quality_features(ds, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"):
@@ -73,21 +102,49 @@ def quality_features(ds, cfg: DedupConfig, text_col: str = "text", id_col: str =
     stop = STOPWORDS_EN
 
     def feats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = batch[id_col]
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
-        n_tok = np.empty(n, np.int64)
-        n_uniq = np.empty(n, np.int64)
-        n_lines = np.empty(n, np.int64)
-        sum_len = np.empty(n, np.int64)
-        n_stop = np.empty(n, np.int64)
-        for i, t in enumerate(texts):
-            toks = hasher.tokenize(t)
-            n_tok[i] = len(toks)
-            n_uniq[i] = len(set(toks))
-            n_lines[i] = t.count("\n") + 1 if t else 0
-            sum_len[i] = sum(len(x) for x in toks)
-            n_stop[i] = sum(1 for x in toks if x in stop)
+        n = batch.num_rows
+        ti = arrow_token_index(batch[text_col], cfg.token_pattern)
+        if ti is not None:
+            # vectorized: per-token work happens once per unique dictionary
+            # token; per-doc stats are segment sums over the scatter
+            indices, offsets, dictionary = ti
+            n_tok = np.diff(offsets)
+            tok_len = np.fromiter(
+                (len(t) for t in dictionary), np.int64, count=len(dictionary)
+            )
+            stop_member = np.fromiter(
+                (t in stop for t in dictionary), np.int64, count=len(dictionary)
+            )
+            sum_len = segment_sums(tok_len[indices], offsets)
+            n_stop = segment_sums(stop_member[indices], offsets)
+            # distinct dictionary slots per doc, via one global unique pass
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+            key = doc_of * np.int64(max(1, len(dictionary))) + indices
+            uniq_docs = np.unique(key) // np.int64(max(1, len(dictionary)))
+            n_uniq = np.bincount(uniq_docs, minlength=n).astype(np.int64)
+            col = batch[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nl = pc.count_substring(col, "\n").to_numpy(zero_copy_only=False)
+            nonempty = pc.not_equal(col, "").to_numpy(zero_copy_only=False)
+            n_lines = np.where(nonempty, nl + 1, 0).astype(np.int64)
+        else:  # non-char-class token pattern: per-row fallback
+            texts = batch[text_col].to_pylist()
+            n_tok = np.empty(n, np.int64)
+            n_uniq = np.empty(n, np.int64)
+            n_lines = np.empty(n, np.int64)
+            sum_len = np.empty(n, np.int64)
+            n_stop = np.empty(n, np.int64)
+            for i, t in enumerate(texts):
+                toks = hasher.tokenize(t)
+                n_tok[i] = len(toks)
+                n_uniq[i] = len(set(toks))
+                n_lines[i] = t.count("\n") + 1 if t else 0
+                sum_len[i] = sum(len(x) for x in toks)
+                n_stop[i] = sum(1 for x in toks if x in stop)
         mean_len = np.where(n_tok > 0, sum_len / np.maximum(n_tok, 1), 0.0)
         stop_ratio = np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0)
         return pa.table(
@@ -105,9 +162,14 @@ def quality_features(ds, cfg: DedupConfig, text_col: str = "text", id_col: str =
 
 
 # GPT-2-style pre-tokenizer pattern (public, Radford et al. 2019 release):
-# contractions | letter runs | digit runs | other-symbol runs | whitespace
+# contractions | letter runs | digit runs | other-symbol runs | whitespace.
+# The original's trailing-whitespace lookahead `\s+(?!\S)` is dropped so the
+# pattern is RE2-compatible (the DuckDB oracle re-runs it verbatim via
+# regexp_extract_all; RE2 has no lookahead) — whitespace runs before a token
+# count as one token instead of splitting, a definitional choice applied
+# identically on both sides.
 BPE_ISH_PATTERN = (
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 )
 
 
