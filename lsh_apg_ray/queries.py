@@ -366,11 +366,123 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# oracle intermediate dumps. Non-SQL-expressible sub-computations (custom
+# 64-bit hashing, LSH probe results) are written to a deterministic /tmp path
+# so the DuckDB oracle can independently re-derive everything downstream of
+# them (winnowing selection, pair generation, hamming verification, recall
+# scoring). The driver runs the Ray query before its SQL, so the dump always
+# exists and is fresh (overwritten atomically per run).
+# ---------------------------------------------------------------------------
+
+_ORACLE_DUMP_ROOT = "/tmp/lsh_apg_oracle"
+
+
+def _dump_path(sf_dir: str, name: str) -> str:
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ORACLE_DUMP_ROOT, base, name)
+
+
+def _dump_ds(ds, sf_dir: str, name: str) -> str:
+    """Write a small intermediate Dataset to the deterministic dump path
+    (atomic replace). Oracle-gate plumbing only — runs at correctness scale."""
+    import os
+    import shutil
+
+    final = _dump_path(sf_dir, name)
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return final
+
+
+# the driver's oracle SQL is a static string; it runs at sf0.01
+_SQL_SF = "sf0.01"
+
+# u64-order helpers over the int64 two's-complement dump columns: DuckDB
+# compares BIGINT signed, but winnowing minima are defined on u64 order.
+_SQL_U64 = (
+    "(CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN "
+    "CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+)
+
+_WINNOW_W = 4
+
+
+def _sql_winnow_sel(kdir: str, w: int = _WINNOW_W) -> str:
+    """CTE body: winnowing selection from the dumped k-gram table. The
+    selected fingerprint SET equals the set of width-w window minima (the
+    rightmost-min tie rule changes which POSITION is charged, never the
+    value), computed in u64 order; `fp` is HUGEINT u64."""
+    ukh = _SQL_U64.format(c="kh")
+    return f"""
+kg AS (SELECT doc_id, pos, {ukh} AS ukh FROM read_parquet('{kdir}/*.parquet')),
+st AS (
+  SELECT doc_id, pos,
+         min(ukh) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS wnd
+  FROM kg
+),
+sel AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM st WHERE pos <= greatest(0, wnd - {w})
+)"""
+
+
+def q_fingerprints(sf_dir: str):
+    from lsh_apg_ray.stages.textstats import fingerprint_dataset, kgram_rows
+
+    cfg = _cfg()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    _dump_ds(kgram_rows(ds, cfg, k=5), sf_dir, "kgrams_k5")
+    return fingerprint_dataset(ds, cfg)
+
+
+SQL_FINGERPRINTS = f"""
+WITH {_sql_winnow_sel(_dump_path(_SQL_SF, "kgrams_k5"))},
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+         CAST(CASE WHEN bit_xor(fp) >= CAST(9223372036854775808 AS HUGEINT)
+              THEN bit_xor(fp) - CAST(18446744073709551616 AS HUGEINT)
+              ELSE bit_xor(fp) END AS BIGINT) AS fp_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+       COALESCE(a.fp_xor, 0) AS fp_xor
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_containment_pairs(sf_dir: str):
-    from lsh_apg_ray.stages.textstats import containment_pairs
+    from lsh_apg_ray.stages.textstats import containment_pairs, kgram_rows
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    _dump_ds(kgram_rows(ds, _cfg(), k=5), sf_dir, "kgrams_k5")
     return containment_pairs(ds, _cfg(max_bucket=100_000), threshold=0.5)
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_sql_winnow_sel(_dump_path(_SQL_SF, "kgrams_k5"))},
+pairsq AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sel GROUP BY doc_id)
+SELECT id_a, id_b, n_shared,
+       CAST(n_shared AS DOUBLE) / greatest(least(sa.n, sb.n), 1) AS containment
+FROM pairsq
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / greatest(least(sa.n, sb.n), 1) >= 0.5
+ORDER BY 1, 2
+"""
 
 
 def q_bpe_token_counts(sf_dir: str):
@@ -378,13 +490,6 @@ def q_bpe_token_counts(sf_dir: str):
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return bpe_ish_token_counts(ds)
-
-
-def q_fingerprints(sf_dir: str):
-    from lsh_apg_ray.stages.textstats import fingerprint_dataset
-
-    ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    return fingerprint_dataset(ds, _cfg())
 
 
 # ---------------------------------------------------------------------------
@@ -692,4 +797,6 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "langid": SQL_LANGID,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "fingerprints": SQL_FINGERPRINTS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
 }

@@ -191,11 +191,10 @@ def bpe_ish_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
-def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    k-gram rolling hashes -> per-window (width w) minimum, rightmost-min rule
-    -> unique sorted selected hashes. Deterministic; robust position-based
-    fingerprinting for containment/overlap detection."""
+def kgram_hashes(token_h: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-gram hash sequence over a token-hash array: polynomial fold
+    of each width-k window + mix64 finalizer. Position i hashes tokens
+    [i, i+k). Length = max(0, n_tokens - k + 1)."""
     n = len(token_h)
     if n < k:
         return np.empty(0, np.uint64)
@@ -204,7 +203,16 @@ def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
     g = np.uint64(0x9E3779B97F4A7C15)
     for j in range(1, k):
         h = (h * g) ^ token_h[j : j + wnd]
-    h = mix64(h)
+    return mix64(h)
+
+
+def winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection (Schleimer et al., SIGMOD 2003) over a k-gram hash
+    sequence: per width-w window minimum, rightmost-min tie rule -> unique
+    sorted selected hashes (u64 order)."""
+    wnd = len(h)
+    if wnd == 0:
+        return np.empty(0, np.uint64)
     if wnd <= w:
         return np.unique(h.min(keepdims=True))
     # sliding-window minimum via stride trick (w is small)
@@ -215,6 +223,55 @@ def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
     rev = wins[:, ::-1]
     idx = (w - 1) - rev.argmin(axis=1)
     return np.unique(wins[np.arange(len(wins)), idx])
+
+
+def winnow_fingerprints(token_h: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Winnowing document fingerprints: kgram_hashes + winnow_select.
+    Deterministic; robust position-based fingerprinting for
+    containment/overlap detection."""
+    return winnow_select(kgram_hashes(token_h, k), w)
+
+
+def kgram_rows(ds, cfg: DedupConfig, k: int = 5,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, pos, kh): each doc's hashed k-gram sequence as rows.
+
+    This is the oracle boundary table for the winnowing operators: token and
+    k-gram hashing (blake2b + splitmix64) are not expressible in SQL, so the
+    driver's DuckDB oracle consumes this dumped table and independently
+    re-derives the winnowing selection, pair generation and scoring
+    (window-min with u64 ordering over `kh`)."""
+    from lsh_apg_ray.hashing import arrow_token_hashes
+
+    hasher = TokenHasher(cfg.token_pattern)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids_in = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = arrow_token_hashes(batch[text_col], hasher, cfg.token_pattern)
+        ids_out, pos_out, kh_out = [], [], []
+        if tok is not None:
+            flat_h, offsets = tok
+            for i in range(len(ids_in)):
+                h = kgram_hashes(flat_h[offsets[i]: offsets[i + 1]], k)
+                ids_out.append(np.full(len(h), ids_in[i], np.int64))
+                pos_out.append(np.arange(len(h), dtype=np.int64))
+                kh_out.append(h.view(np.int64))
+        else:
+            for i, t in zip(ids_in, batch[text_col].to_pylist()):
+                h = kgram_hashes(hasher.token_hashes(hasher.tokenize(t)), k)
+                ids_out.append(np.full(len(h), i, np.int64))
+                pos_out.append(np.arange(len(h), dtype=np.int64))
+                kh_out.append(h.view(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "doc_id": pa.array(cat(ids_out), pa.int64()),
+                "pos": pa.array(cat(pos_out), pa.int64()),
+                "kh": pa.array(cat(kh_out), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow")
 
 
 def containment_pairs(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
