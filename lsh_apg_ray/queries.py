@@ -32,6 +32,52 @@ def _cfg(**over) -> DedupConfig:
 
 
 # ---------------------------------------------------------------------------
+# oracle intermediate dumps. Non-SQL-expressible sub-computations (custom
+# 64-bit hashing, LSH probe results) are written to a deterministic /tmp path
+# so the DuckDB oracle can independently re-derive everything downstream of
+# them (winnowing selection, pair generation, hamming verification, recall
+# scoring). The driver runs the Ray query before its SQL, so the dump always
+# exists and is fresh (overwritten atomically per run).
+# ---------------------------------------------------------------------------
+
+_ORACLE_DUMP_ROOT = "/tmp/lsh_apg_oracle"
+
+
+def _dump_path(sf_dir: str, name: str) -> str:
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ORACLE_DUMP_ROOT, base, name)
+
+
+def _dump_ds(ds, sf_dir: str, name: str) -> str:
+    """Write a small intermediate Dataset to the deterministic dump path
+    (atomic replace). Oracle-gate plumbing only — runs at correctness scale."""
+    import os
+    import shutil
+
+    final = _dump_path(sf_dir, name)
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return final
+
+
+# the driver's oracle SQL is a static string; it runs at sf0.01
+_SQL_SF = "sf0.01"
+
+# u64-order helpers over the int64 two's-complement dump columns: DuckDB
+# compares BIGINT signed, but winnowing minima are defined on u64 order.
+_SQL_U64 = (
+    "(CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN "
+    "CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+)
+
+
+# ---------------------------------------------------------------------------
 # aggregate / scan operators (showDataset analogue, SURVEY.md §2.6 M11/A3)
 # ---------------------------------------------------------------------------
 
@@ -223,10 +269,88 @@ def q_corpus_dedup(sf_dir: str):
     n_files = max(1000, int(float(sf) * 100_000))
     d = write_corpus(f"/tmp/lsh_apg_query_corpus_{sf}", n_files=n_files, seed=77,
                      shards=8)
-    res = dedup_pipeline(rd.read_parquet(d), _cfg())
+    corpus = rd.read_parquet(d)
+
+    # oracle boundary: doc_id is blake2b of the natural key (not
+    # SQL-expressible), so dump the id-mapped corpus; the oracle re-derives
+    # sha256, exact-duplicate reps, exact-Jaccard pairs and the recursive
+    # connected components entirely in SQL from it.
+    def with_id(t):
+        import pyarrow as pa
+
+        from lsh_apg_ray.hashing import doc_id_of
+
+        ids = [
+            doc_id_of(r, p, c)
+            for r, p, c in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                               t["commit"].to_pylist())
+        ]
+        return t.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    _dump_ds(
+        corpus.map_batches(with_id, batch_format="pyarrow").select_columns(
+            ["doc_id", "repo", "path", "content"]
+        ),
+        sf_dir,
+        "corpus_ids",
+    )
+    res = dedup_pipeline(corpus, _cfg())
     return res.assignments.select_columns(
         ["doc_id", "repo", "path", "sha", "rep_id", "cluster_id"]
     )
+
+
+SQL_CORPUS_DEDUP = f"""
+WITH RECURSIVE
+corpus AS (SELECT * FROM read_parquet('{_dump_path(_SQL_SF, "corpus_ids")}/*.parquet')),
+docs AS (
+  SELECT c.doc_id, c.repo, c.path, sha256(c.content) AS sha, r.rep_id
+  FROM corpus c
+  JOIN (SELECT content, min(doc_id) AS rep_id FROM corpus GROUP BY content) r
+    ON c.content = r.content
+),
+rep AS (
+  SELECT min(doc_id) AS rep_id, content FROM corpus GROUP BY content
+),
+tok AS (
+  SELECT rep_id AS doc_id,
+         list_filter(string_split_regex(lower(content), '[^a-z0-9_]+'), x -> x <> '') AS ws
+  FROM rep
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(ws) - 2)) g(i)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {THETA}
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS rep_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.repo, d.path, d.sha, d.rep_id,
+       COALESCE(c.cluster_id, d.rep_id) AS cluster_id
+FROM docs d LEFT JOIN comp c USING (rep_id)
+ORDER BY d.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -366,51 +490,6 @@ ORDER BY doc_id
 """
 
 
-# ---------------------------------------------------------------------------
-# oracle intermediate dumps. Non-SQL-expressible sub-computations (custom
-# 64-bit hashing, LSH probe results) are written to a deterministic /tmp path
-# so the DuckDB oracle can independently re-derive everything downstream of
-# them (winnowing selection, pair generation, hamming verification, recall
-# scoring). The driver runs the Ray query before its SQL, so the dump always
-# exists and is fresh (overwritten atomically per run).
-# ---------------------------------------------------------------------------
-
-_ORACLE_DUMP_ROOT = "/tmp/lsh_apg_oracle"
-
-
-def _dump_path(sf_dir: str, name: str) -> str:
-    import os
-
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_ORACLE_DUMP_ROOT, base, name)
-
-
-def _dump_ds(ds, sf_dir: str, name: str) -> str:
-    """Write a small intermediate Dataset to the deterministic dump path
-    (atomic replace). Oracle-gate plumbing only — runs at correctness scale."""
-    import os
-    import shutil
-
-    final = _dump_path(sf_dir, name)
-    tmp = f"{final}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    ds.write_parquet(tmp)
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
-    return final
-
-
-# the driver's oracle SQL is a static string; it runs at sf0.01
-_SQL_SF = "sf0.01"
-
-# u64-order helpers over the int64 two's-complement dump columns: DuckDB
-# compares BIGINT signed, but winnowing minima are defined on u64 order.
-_SQL_U64 = (
-    "(CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN "
-    "CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
-)
-
 _WINNOW_W = 4
 
 
@@ -502,8 +581,23 @@ def q_simhash_pairs(sf_dir: str):
 
     cfg = _cfg()
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id")
+    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id").materialize()
+    # oracle boundary: the 64-bit simhash values (custom token hashing is not
+    # SQL-expressible); the oracle brute-forces ALL pairs over them, so the
+    # hash-match proves the pigeonhole candidate generation is complete and
+    # the popcount verification exact.
+    _dump_ds(feats.select_columns(["doc_id", "simhash"]), sf_dir, "simhash")
     return simhash_dup_pairs(feats, cfg, max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{_dump_path(_SQL_SF, "simhash")}/*.parquet'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -799,4 +893,11 @@ ORACLE_SQL = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    # corpus_dedup is the flagship MinHash-LSH pipeline over the input_hint
+    # corpus shape; at this (num_perm=128, bands=32, rows=4, theta=0.7)
+    # config its recall is exactly 1.0 and the pipeline is deterministic, so
+    # it matches the exact-Jaccard clustering computed in SQL (same contract
+    # as minhash_lsh_dedup above).
+    "corpus_dedup": SQL_CORPUS_DEDUP,
 }
