@@ -625,13 +625,112 @@ ORDER BY 1, 2
 """
 
 
+def _knn_protocol(sf_dir: str, dump_name: str, ann_ds, k: int):
+    """The reference's query-benchmark protocol (alg.h:98-134, Query.cpp:9-67)
+    as a query surface: per query_id emit n_results, n_hits (|ann ∩ golden|),
+    recall = n_hits/k and ratio = sum(ann dist)/sum(golden top-k dist).
+
+    Oracle contract: the approximate result is dumped; the golden top-k is
+    computed INDEPENDENTLY on each side (Ray brute force vs SQL window rank
+    over the embeddings view), so the hash match verifies the golden ranking
+    and the recall/ratio scoring end-to-end."""
+    import pandas as pd
+
+    from lsh_apg_ray.stages.ann import knn_l2, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    ann_ds = ann_ds.materialize()
+    _dump_ds(ann_ds, sf_dir, dump_name)
+    ann = ann_ds.to_pandas()
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+
+    g_sets = golden.groupby("query_id")["neighbor_id"].apply(set)
+    g_sum = golden.groupby("query_id")["dist"].sum()
+    rows = []
+    for qid in sorted(int(q) for q in qids):
+        a = ann[ann["query_id"] == qid]
+        hits = len(set(a["neighbor_id"]) & g_sets.get(qid, set()))
+        sg = float(g_sum.get(qid, 0.0))
+        sa = float(a["dist"].sum())
+        rows.append(
+            {
+                "query_id": qid,
+                "n_results": len(a),
+                "n_hits": hits,
+                "recall": hits / k,
+                "ratio": round(sa / sg, 6) if sg > 0 else 1.0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"], pa.int64()),
+            "n_results": pa.array(df["n_results"], pa.int64()),
+            "n_hits": pa.array(df["n_hits"], pa.int64()),
+            "recall": pa.array(df["recall"], pa.float64()),
+            "ratio": pa.array(df["ratio"], pa.float64()),
+        }
+    )
+
+
+def _sql_knn_protocol(dump_name: str) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+d AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(power(list_distance(q.qe, CAST(e.embedding AS DOUBLE[])), 2), 12) AS dist
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+g AS (
+  SELECT qid, nid, dist FROM (
+    SELECT qid, nid, dist,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+    FROM d
+  ) WHERE rnk <= {KNN_K}
+),
+gagg AS (SELECT qid, sum(dist) AS g_sum FROM g GROUP BY qid),
+ann AS (SELECT * FROM read_parquet('{_dump_path(_SQL_SF, dump_name)}/*.parquet')),
+aagg AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_results, sum(dist) AS a_sum
+  FROM ann GROUP BY query_id
+),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ann a JOIN g ON g.qid = a.query_id AND g.nid = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT q2.qid AS query_id,
+       COALESCE(aagg.n_results, 0) AS n_results,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / {KNN_K} AS recall,
+       CASE WHEN gagg.g_sum > 0
+            THEN round(COALESCE(aagg.a_sum, 0) / gagg.g_sum, 6)
+            ELSE 1.0 END AS ratio
+FROM (SELECT DISTINCT qid FROM q) q2
+LEFT JOIN aagg ON aagg.query_id = q2.qid
+LEFT JOIN hits ON hits.query_id = q2.qid
+JOIN gagg ON gagg.qid = q2.qid
+ORDER BY 1
+"""
+
+
 def q_e2lsh_knn(sf_dir: str):
     from lsh_apg_ray.stages.ann import e2lsh_knn, load_queries
 
     emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     qids, qmat = load_queries(emb, KNN_QUERIES)
     out = e2lsh_knn(emb, qids, qmat, KNN_K, L=16, K=4, W=16.0)
-    return out.select_columns(["query_id", "neighbor_id", "rank", "dist"])
+    return _knn_protocol(
+        sf_dir, "e2lsh_knn",
+        out.select_columns(["query_id", "neighbor_id", "rank", "dist"]), KNN_K,
+    )
+
+
+SQL_E2LSH_KNN = _sql_knn_protocol("e2lsh_knn")
 
 
 def q_zorder_knn(sf_dir: str):
@@ -640,7 +739,13 @@ def q_zorder_knn(sf_dir: str):
     emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     qids, qmat = load_queries(emb, KNN_QUERIES)
     out = zorder_knn(emb, qids, qmat, KNN_K, K=4, W=16.0, window=128)
-    return out.select_columns(["query_id", "neighbor_id", "rank", "dist"])
+    return _knn_protocol(
+        sf_dir, "zorder_knn",
+        out.select_columns(["query_id", "neighbor_id", "rank", "dist"]), KNN_K,
+    )
+
+
+SQL_ZORDER_KNN = _sql_knn_protocol("zorder_knn")
 
 
 # ---------------------------------------------------------------------------
@@ -900,4 +1005,10 @@ ORACLE_SQL = {
     # it matches the exact-Jaccard clustering computed in SQL (same contract
     # as minhash_lsh_dedup above).
     "corpus_dedup": SQL_CORPUS_DEDUP,
+    # e2lsh_knn / zorder_knn emit the reference's recall/ratio benchmark
+    # protocol rows; the oracle recomputes the golden top-k and the scoring
+    # independently (the dumped LSH result is the shared input, like the
+    # reference's cached .bench files).
+    "e2lsh_knn": SQL_E2LSH_KNN,
+    "zorder_knn": SQL_ZORDER_KNN,
 }

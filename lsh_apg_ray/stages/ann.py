@@ -114,6 +114,67 @@ def knn_cosine(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def knn_l2(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Brute-force squared-L2 top-k — the golden oracle for the LSH kNN tiers
+    (`Preprocess::ben_make`, Preprocess.cpp:107-142: scan all N, sort, keep
+    top-k; USE_SQRDIST parity with def.h:3). Same deterministic contract as
+    knn_cosine: dist rounded to 12 dp, ties by neighbor_id asc; the per-batch
+    prune is chosen by (dist asc, neighbor_id asc), never argpartition order.
+    Per-query distance formula matches the probe tiers exactly:
+    ((x - q)**2).sum(axis=1). Returns (query_id, neighbor_id, rank, dist)."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        n = len(ids)
+        kk = min(k + 1, n)  # +1 so dropping `self` can't evict a true top-k
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            d = np.round(((x - qmat[qi]) ** 2).sum(axis=1), ROUND_DECIMALS)
+            sel = np.lexsort((ids, d))[:kk]
+            keep = ids[sel] != qids[qi] if exclude_self else np.ones(len(sel), bool)
+            out_q.append(np.full(keep.sum(), qids[qi], np.int64))
+            out_n.append(ids[sel][keep])
+            out_d.append(d[sel][keep])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(score_batch, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def embedding_near_dup(
     embeddings,
     threshold: float,
