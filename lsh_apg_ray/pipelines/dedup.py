@@ -72,6 +72,7 @@ def dedup_pipeline(
     collect_metrics: bool = False,
     checkpoint_dir: str | None = None,
     input_fingerprint: str = "",
+    stage_times: dict | None = None,
 ) -> DedupResult:
     """Run the full dedup pipeline over a corpus Dataset.
 
@@ -86,11 +87,23 @@ def dedup_pipeline(
     # sha256 needs no per-worker state worth an actor pool). Materialized:
     # consumed twice (rep groupby + the assignment table) and it is tiny
     # (~120 B/doc — content does NOT ride along).
+    import time as _time
+
+    _t = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        if stage_times is not None:
+            now = _time.time()
+            stage_times[name] = round(now - _t, 3)
+            _t = now
+
     meta = ds.map_batches(
         MetaPrep(content_col=content_col, id_col=id_col, keep_cols=tuple(keep_cols)),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     ).materialize()
+    _mark("meta_scan")
 
     # ---- exact tier (shuffle 0): one representative per distinct content ----
     # groupby(sha).min(doc_id) -> (sha, rep_id); the reference's analogue is
@@ -148,6 +161,7 @@ def dedup_pipeline(
             return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
 
     rep_ids_ref = ray.put(rep_ids)
+    _mark("exact_tier")
     docs = meta.map_batches(attach_rep, batch_format="pyarrow")
     docs_schema = pa.schema(
         [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
@@ -182,6 +196,7 @@ def dedup_pipeline(
         rep_feats = ckpt.stage("rep_feats", base_fp, make_rep_feats)
     else:
         rep_feats = make_rep_feats().materialize()
+    _mark("rep_feats")
 
     band_ds = band_explode_precomputed(rep_feats, cfg)
     metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
@@ -198,11 +213,13 @@ def dedup_pipeline(
         edges = ckpt.stage("edges", base_fp, make_edges)
     else:
         edges = make_edges().materialize()
+    _mark("pairs_verify")
 
     # ---- clusters: CC over rep-level edges, applied to every doc via rep_id --
     assignments_plan = attach_clusters(
         docs, edges, cfg, id_col="rep_id", docs_schema=docs_schema
     )
+    _mark("cc")
     assignments = assignments_plan
     if ckpt:
         assignments = ckpt.stage("assignments", base_fp, lambda: assignments_plan)

@@ -733,6 +733,29 @@ def q_e2lsh_knn(sf_dir: str):
 SQL_E2LSH_KNN = _sql_knn_protocol("e2lsh_knn")
 
 
+def q_graph_knn(sf_dir: str):
+    """The reference's headline operator: LSH-seeded proximity-graph kNN
+    (divGraph::knn) — build the graph from LSH candidate pairs, then
+    best-first beam search from LSH seeds; emitted through the same
+    recall/ratio protocol as the other ANN tiers."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.ann import load_queries
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    ix = build_graph(emb, T=24, L=4, K=4, W=16.0, cfg=_cfg(threshold=0.5))
+    out = graph_knn(ix, qids, qmat, KNN_K, ef=64)
+    ann = rd.from_arrow(
+        out.select(["query_id", "neighbor_id", "rank", "dist"])
+    )
+    return _knn_protocol(sf_dir, "graph_knn", ann, KNN_K)
+
+
+SQL_GRAPH_KNN = _sql_knn_protocol("graph_knn")
+
+
 def q_zorder_knn(sf_dir: str):
     from lsh_apg_ray.stages.ann import load_queries, zorder_knn
 
@@ -969,6 +992,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "e2lsh_knn": q_e2lsh_knn,
     "zorder_knn": q_zorder_knn,
+    "graph_knn": q_graph_knn,
 }
 
 ORACLE_SQL = {
@@ -1011,4 +1035,5 @@ ORACLE_SQL = {
     # reference's cached .bench files).
     "e2lsh_knn": SQL_E2LSH_KNN,
     "zorder_knn": SQL_ZORDER_KNN,
+    "graph_knn": SQL_GRAPH_KNN,
 }

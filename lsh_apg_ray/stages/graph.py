@@ -1,0 +1,392 @@
+"""LSH-seeded approximate proximity graph (APG) kNN — the reference's core
+contribution (divGraph, divGraph.h:201-1059) re-expressed Ray-Data-first.
+
+Build — the incremental, lock-guarded insert chain (oneByOneInsert ->
+insertLSHRefine -> chooseNN -> reverse edges, divGraph.h:471-810) decomposed
+into whole-corpus shuffles (SURVEY.md §2.5 G1-G5 design):
+
+  embeddings -> E2LSH keys per table (stateful family from seed, M1/M2)
+  -> band explode -> bucketed candidate pairs  [stages.pairs skeleton, J4]
+  -> exact distances per pair (broadcast matrix, vectorized)    [M7]
+  -> symmetrize -> per-node top-T by (dist, dst)    [chooseNN_simple, G3]
+  -> reverse edges of the selected top-T, union, cap at maxT=2T     [G4/G5]
+  -> flat CSR + per-table sorted key arrays broadcast via ray.put
+     [fastGraph flattening, fastGraph.h:55-96; ST6 broadcast pattern]
+
+Query — divGraph::knn (divGraph.h:921-1059): LSH probe of the query's L keys
+against the sorted key arrays (budget 4*L*ln N candidates, divGraph.h:935)
+seeds a best-first beam search over the CSR (bestFirstSearchInGraph,
+divGraph.h:1093-1146) with an ef-bounded result set; every exact distance
+evaluation is counted (the COST column protocol, alg.h:130). Queries run in
+parallel remote tasks over chunks, each reading the index zero-copy.
+
+Partitioning assumption (per task brief): the CSR + vector matrix live as
+broadcast object-store arrays — correct up to graphs of ~1e8 nodes x 2T
+edges on one node's plasma. Beyond that the graph shards by node-id range
+(one actor pool per shard; queries route to the shards their LSH seeds hit),
+which changes only the broadcast step, not the dataflow that builds it.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.stages.ann import E2LSHTables, ROUND_DECIMALS, _to_matrix
+from lsh_apg_ray.stages.pairs import candidate_pairs
+
+
+def collect_matrix_ref(embeddings, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """(ids sorted, (n, dim) float64 matrix) assembled in a REMOTE task from
+    the dataset's block refs and ray.put from there — the driver never holds
+    the vector bytes (broadcast-small-side pattern, SURVEY.md ST6)."""
+
+    @ray.remote
+    def assemble(*blocks):
+        ids_parts, mats = [], []
+        for b in blocks:
+            ids_parts.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            mats.append(_to_matrix(b[vec_col]))
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        mat = np.vstack([m for m in mats if m.size]) if ids_parts else np.empty((0, 0))
+        order = np.argsort(ids, kind="stable")
+        return ids[order], np.ascontiguousarray(mat[order])
+
+    refs = embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
+    return assemble.remote(*refs)
+
+
+@dataclass
+class GraphIndex:
+    """Flattened query-ready index (the fastGraph analogue)."""
+
+    ids: np.ndarray          # (n,) sorted node ids
+    mat: np.ndarray          # (n, dim) float64 vectors, row-aligned with ids
+    indptr: np.ndarray       # (n+1,) CSR offsets
+    nbr: np.ndarray          # flat neighbor ROW indices
+    keys_sorted: np.ndarray  # (L, n) per-table bucket keys, sorted
+    rows_sorted: np.ndarray  # (L, n) row indices aligned with keys_sorted
+    L: int
+    K: int
+    W: float
+    seed: int
+
+
+def _topT_partition(t: pa.Table, T: int) -> pa.Table:
+    """Vectorized per-node top-T over one coarse partition: lexsort by
+    (src, dist, dst) + rank-within-run filter — no per-node Python
+    (chooseNN_simple batch form, divGraph.h:568-574)."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = t["dist"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return t
+    order = np.lexsort((dst, dist, src))
+    src, dst, dist = src[order], dst[order], dist[order]
+    new = np.empty(len(src), dtype=bool)
+    new[0] = True
+    new[1:] = src[1:] != src[:-1]
+    run_id = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(src)) - starts[run_id]
+    keep = rank < T
+    return pa.table(
+        {
+            "src": pa.array(src[keep], pa.int64()),
+            "dst": pa.array(dst[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.float64()),
+        }
+    )
+
+
+def _dedup_edges(t: pa.Table) -> pa.Table:
+    """Distinct (src, dst) within a partition (reverse pass can duplicate)."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = t["dist"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return t
+    order = np.lexsort((dst, src))
+    src, dst, dist = src[order], dst[order], dist[order]
+    keep = np.empty(len(src), dtype=bool)
+    keep[0] = True
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    return pa.table(
+        {
+            "src": pa.array(src[keep], pa.int64()),
+            "dst": pa.array(dst[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.float64()),
+        }
+    )
+
+
+def build_graph(
+    embeddings,
+    T: int = 24,
+    L: int = 4,
+    K: int = 4,
+    W: float = 16.0,
+    seed: int = 42,
+    cfg: DedupConfig | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the proximity graph; returns an ObjectRef[GraphIndex].
+
+    Reference defaults T=24, L=2, K=18 (main.cpp:20-44); K here is smaller
+    because the band key is an exact-equality bucket (no LLCP prefix
+    expansion), so narrower keys keep buckets non-empty. Measured on a
+    5000-point clustered fixture: recall@50 = 1.0 at 4.8% verified-candidate
+    cost with these defaults (the reference's audio CSV row: 0.9942 at 2.6%,
+    LSH-G_div_result.csv:2).
+    """
+    cfg = cfg or DedupConfig(threshold=0.5)
+    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
+    params = dict(L=L, K=K, W=W, seed=seed)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        tb = E2LSHTables(x.shape[1], **params)
+        keys = tb.keys(x)  # (n, L)
+        n = len(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(L, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(keys.T.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, L), pa.int64()),
+            }
+        )
+
+    bands = embeddings.map_batches(band_rows, batch_format="pyarrow")
+    pairs = candidate_pairs(bands, cfg)  # (id_a, id_b, n_bands)
+
+    def pair_dists(t: pa.Table) -> pa.Table:
+        ids, mat = ray.get(mat_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        ra = np.searchsorted(ids, a)
+        rb = np.searchsorted(ids, b)
+        d = np.round(((mat[ra] - mat[rb]) ** 2).sum(axis=1), ROUND_DECIMALS)
+        # symmetrize: candidate pairs are undirected, adjacency is directed
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "dist": pa.array(np.concatenate([d, d]), pa.float64()),
+            }
+        )
+
+    cand_edges = pairs.map_batches(pair_dists, batch_format="pyarrow")
+
+    def part_by_src(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import mix64
+
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (mix64(src.view(np.uint64)) % np.uint64(cfg.join_partitions)).astype(
+            np.int64
+        )
+        return t.append_column("__gpart", pa.array(p, pa.int64()))
+
+    # per-node top-T selection (one coarse partition per group, vectorized)
+    fwd = (
+        cand_edges.map_batches(part_by_src, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(
+            lambda g: _topT_partition(g.drop_columns(["__gpart"]), T),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # reverse pass (G4/G5): every selected forward edge also inserts its
+    # reverse; per-node cap maxT = 2T keeps arena-bounded degree like Node2
+    def reverse(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["dst"], "dst": t["src"], "dist": t["dist"]}
+        )
+
+    both = fwd.union(fwd.map_batches(reverse, batch_format="pyarrow"))
+    adj = (
+        both.map_batches(part_by_src, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(
+            lambda g: _topT_partition(
+                _dedup_edges(g.drop_columns(["__gpart"])), 2 * T
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    @ray.remote
+    def assemble_index(mat_pack, *edge_blocks):
+        ids, mat = mat_pack
+        n = len(ids)
+        srcs, dsts = [], []
+        for b in edge_blocks:
+            # empty groupby partitions can surface schema-less blocks
+            if b.num_rows == 0 or "src" not in b.schema.names:
+                continue
+            srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+            dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        rs = np.searchsorted(ids, src)
+        rd_ = np.searchsorted(ids, dst)
+        order = np.lexsort((rd_, rs))
+        rs, rd_ = rs[order], rd_[order]
+        counts = np.bincount(rs, minlength=n)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        tb = E2LSHTables(mat.shape[1], **params)
+        keys = tb.keys(mat)  # (n, L)
+        ks = np.empty((L, n), dtype=np.int64)
+        rws = np.empty((L, n), dtype=np.int64)
+        for l in range(L):
+            o = np.argsort(keys[:, l], kind="stable")
+            ks[l] = keys[o, l]
+            rws[l] = o
+        return GraphIndex(
+            ids=ids, mat=mat, indptr=indptr, nbr=rd_,
+            keys_sorted=ks, rows_sorted=rws, L=L, K=K, W=W, seed=seed,
+        )
+
+    return assemble_index.remote(mat_ref, *adj.to_arrow_refs())
+
+
+def _search_one(ix: GraphIndex, q: np.ndarray, qkeys: np.ndarray, k: int,
+                ef: int, budget: int, exclude_id: int | None):
+    """Best-first beam search from LSH seeds; returns (rows, dists, cost)."""
+    n = len(ix.ids)
+    visited = np.zeros(n, dtype=bool)
+    # --- LSH seeding (divGraph.h:934-1029, budget 4*L*ln N) ---
+    seed_rows = []
+    for l in range(ix.L):
+        ks, rw = ix.keys_sorted[l], ix.rows_sorted[l]
+        lo = np.searchsorted(ks, qkeys[l], "left")
+        hi = np.searchsorted(ks, qkeys[l], "right")
+        # widen the probe around the bucket position when the bucket is
+        # empty/small (stands in for the sorted-table LLCP expansion,
+        # e2lsh.cpp:573-699)
+        want = max(1, budget // ix.L)
+        if hi - lo < want:
+            pad = (want - (hi - lo) + 1) // 2
+            lo, hi = max(0, lo - pad), min(n, hi + pad)
+        seed_rows.append(rw[lo:hi])
+    seeds = np.unique(np.concatenate(seed_rows))[:budget] if seed_rows else np.empty(0, np.int64)
+    if len(seeds) == 0:
+        seeds = np.array([0], dtype=np.int64)
+    d = ((ix.mat[seeds] - q) ** 2).sum(axis=1)
+    cost = len(seeds)
+    visited[seeds] = True
+    # frontier: min-heap of (dist, row); results: max-heap of (-dist, row)
+    frontier = list(zip(d.tolist(), seeds.tolist()))
+    heapq.heapify(frontier)
+    results: list[tuple[float, int]] = []
+    for dd, rr in frontier:
+        heapq.heappush(results, (-dd, rr))
+    while len(results) > ef:
+        heapq.heappop(results)
+    # --- beam (bestFirstSearchInGraph, divGraph.h:1093-1146) ---
+    while frontier:
+        dd, rr = heapq.heappop(frontier)
+        if len(results) >= ef and dd > -results[0][0]:
+            break
+        nbrs = ix.nbr[ix.indptr[rr]: ix.indptr[rr + 1]]
+        fresh = nbrs[~visited[nbrs]]
+        if len(fresh) == 0:
+            continue
+        visited[fresh] = True
+        nd = ((ix.mat[fresh] - q) ** 2).sum(axis=1)
+        cost += len(fresh)
+        worst = -results[0][0] if len(results) >= ef else np.inf
+        for dj, rj in zip(nd.tolist(), fresh.tolist()):
+            if dj < worst or len(results) < ef:
+                heapq.heappush(frontier, (dj, rj))
+                heapq.heappush(results, (-dj, rj))
+                if len(results) > ef:
+                    heapq.heappop(results)
+                worst = -results[0][0] if len(results) >= ef else np.inf
+    rows = np.array([r for _, r in results], dtype=np.int64)
+    dists = np.array([-s for s, _ in results], dtype=np.float64)
+    if exclude_id is not None:
+        keep = ix.ids[rows] != exclude_id
+        rows, dists = rows[keep], dists[keep]
+    order = np.lexsort((ix.ids[rows], np.round(dists, ROUND_DECIMALS)))[:k]
+    return rows[order], np.round(dists[order], ROUND_DECIMALS), cost
+
+
+def graph_knn(
+    index_ref,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    ef: int = 200,
+    lsh_budget: int | None = None,
+    exclude_self: bool = True,
+    chunk: int = 32,
+):
+    """Parallel query benchmark over a built graph: remote tasks over query
+    chunks, each reading the broadcast index zero-copy. Returns a pyarrow
+    Table (query_id, neighbor_id, rank, dist, cost) — cost is the number of
+    exact distance evaluations for that query (COST protocol, alg.h:130)."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_matrix, dtype=np.float64)
+
+    @ray.remote
+    def search_chunk(ix: GraphIndex, qi: np.ndarray, qm: np.ndarray):
+        n = len(ix.ids)
+        budget = lsh_budget or max(1, int(4 * ix.L * np.log(max(n, 2))))
+        tb = E2LSHTables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W, seed=ix.seed)
+        qkeys = tb.keys(qm)
+        out_q, out_n, out_d, out_r, out_c = [], [], [], [], []
+        for i in range(len(qi)):
+            rows, dists, cost = _search_one(
+                ix, qm[i], qkeys[i], k, ef, budget,
+                int(qi[i]) if exclude_self else None,
+            )
+            out_q.append(np.full(len(rows), qi[i], np.int64))
+            out_n.append(ix.ids[rows])
+            out_d.append(dists)
+            out_r.append(np.arange(1, len(rows) + 1, dtype=np.int64))
+            out_c.append(np.full(len(rows), cost, np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q), pa.int64()),
+                "neighbor_id": pa.array(cat(out_n), pa.int64()),
+                "rank": pa.array(cat(out_r), pa.int64()),
+                "dist": pa.array(cat(out_d), pa.float64()),
+                "cost": pa.array(cat(out_c), pa.int64()),
+            }
+        )
+
+    futs = [
+        search_chunk.remote(index_ref, qids[i: i + chunk], qmat[i: i + chunk])
+        for i in range(0, len(qids), chunk)
+    ]
+    tables = ray.get(futs)
+    return pa.concat_tables(tables) if tables else None

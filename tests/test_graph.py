@@ -1,0 +1,107 @@
+"""LSH-seeded proximity-graph kNN (stages/graph.py) — the divGraph analogue.
+
+Gate (VERDICT round-1 item 3): recall@50 >= 0.99 on a clustered embedding
+fixture at a verified-candidate cost well below brute force — the
+reference's published regime is 0.9942 recall at 2.6% cost on audio
+(LSH-G_div_result.csv:2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings():
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n, dim, c = 5000, 32, 50
+    centers = rng.standard_normal((c, dim)) * 2.0
+    x = centers[np.repeat(np.arange(c), n // c)] + rng.standard_normal((n, dim)) * 0.5
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    return rd.from_arrow(t).materialize(), ids, x.astype(np.float64)
+
+
+def _recall(golden_df, ann_df, qids, k) -> float:
+    recs = []
+    for q in qids:
+        g = set(golden_df[golden_df.query_id == q].neighbor_id)
+        a = set(ann_df[ann_df.query_id == q].neighbor_id)
+        recs.append(len(g & a) / k)
+    return float(np.mean(recs))
+
+
+def test_graph_knn_recall_and_cost(ray_session, clustered_embeddings):
+    from lsh_apg_ray.stages.ann import knn_l2
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    emb, ids, x = clustered_embeddings
+    qids, qmat = ids[:20], x[:20]
+    k = 50
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+
+    ix = build_graph(emb)
+    res = graph_knn(ix, qids, qmat, k=k, ef=120).to_pandas()
+
+    recall = _recall(golden, res, qids, k)
+    mean_cost = float(res.groupby("query_id")["cost"].first().mean())
+    assert recall >= 0.99, recall
+    # beam + seeds must verify far fewer candidates than brute force
+    assert mean_cost <= 0.10 * len(ids), mean_cost
+
+
+def test_graph_knn_deterministic(ray_session, clustered_embeddings):
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    emb, ids, x = clustered_embeddings
+    qids, qmat = ids[:5], x[:5]
+    outs = []
+    for _ in range(2):
+        ix = build_graph(emb)
+        outs.append(
+            graph_knn(ix, qids, qmat, k=10, ef=64)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    assert outs[0][["query_id", "neighbor_id", "dist"]].equals(
+        outs[1][["query_id", "neighbor_id", "dist"]]
+    )
+
+
+def test_graph_knn_small_fixture_exact(ray_session):
+    """On the sf0.001 embeddings the beam search is effectively exhaustive,
+    so the result must equal brute force exactly (ids + rounded dists)."""
+    from lsh_apg_ray.sources import read_embeddings
+    from lsh_apg_ray.stages.ann import knn_l2, load_queries
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    emb = read_embeddings("/root/testdata/sf0.001", columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, 5)
+    k = 5
+    golden = (
+        knn_l2(emb, qids, qmat, k)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    n = emb.count()
+    ix = build_graph(emb)
+    res = (
+        graph_knn(ix, qids, qmat, k=k, ef=max(200, n))
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert res[["query_id", "neighbor_id", "dist"]].equals(
+        golden[["query_id", "neighbor_id", "dist"]]
+    )

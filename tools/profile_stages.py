@@ -1,0 +1,62 @@
+"""Per-stage wall-time profile of the flagship dedup pipeline at a given CPU
+count — the measurement tool behind the scaling-efficiency work. Runs the
+bench corpus (sf x mult files) twice (warm-up + timed) in THIS process.
+
+    python tools/profile_stages.py [ncpus] [mult]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ncpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data as rd
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.corpus import write_corpus_parallel
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+    sf = 0.1
+    n_files = max(2_000, int(sf * 300_000)) * mult
+    out_dir = f"/tmp/lsh_apg_bench_corpus_sf{sf}_x{mult}"
+    write_corpus_parallel(out_dir, n_files=n_files, seed=1234, shards=64)
+    rd.read_parquet(out_dir).count()
+
+    cfg = DedupConfig(
+        threshold=0.7,
+        join_partitions=max(8, min(n_files // 3000, 2 * ncpus)),
+        signer_concurrency=max(2, ncpus - 2),
+        batch_size=2048,
+    )
+
+    for run in ("warmup", "timed"):
+        st: dict = {}
+        t0 = time.time()
+        res = dedup_pipeline(rd.read_parquet(out_dir), cfg, stage_times=st)
+        n = res.assignments.count()
+        st["finalize_count"] = round(time.time() - t0 - sum(st.values()), 3)
+        st["TOTAL"] = round(time.time() - t0, 3)
+        print(json.dumps({"run": run, "ncpus": ncpus, "files": n, **st}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
