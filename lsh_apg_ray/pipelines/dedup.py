@@ -4,30 +4,35 @@ The Ray-Data re-expression of the reference's whole life-cycle (SURVEY.md §3,
 §7.2): hash-family setup -> batched hashing -> band keys -> bucketed index
 (groupby) -> candidate pairs -> exact verification -> connected components.
 
-Stage graph (shuffles and broadcasts marked; checkpoints at rep_feats /
-edges / assignments when checkpoint_dir is set):
+Stage graph (round-2 fused plan; shuffles and broadcasts marked;
+checkpoints at feats / edges / assignments when checkpoint_dir is set):
 
-  pass A: read -> MetaPrep tasks: doc_id, sha256, sha_key     [narrow, cheap]
-  -> groupby(sha_key).min(doc_id)                             [shuffle 0,
-     partial-aggregated: only (key, id) rows move]             exact tier]
-  -> rep map broadcast (two numpy arrays via ray.put)         [no shuffle]
-  pass B: read -> RepFeatures tasks (REPRESENTATIVES only):
-     tokenize (Arrow kernels + dictionary encode) -> shingles
-     -> MinHash (scratch-buffer kernel) -> band keys           [narrow]
-  -> band explode -> bucket-partition groupby -> pair emit    [shuffle 1]
-  -> pair-partition groupby -> vectorized distinct/count      [shuffle 2]
+  fused scan: read -> doc_id, sha256, sha_key, nbytes, keep_cols,
+     tokenize (Arrow kernels + dictionary encode) -> shingle sets
+     -> MinHash (scratch-buffer kernel) -> band keys — for EVERY doc;
+     NO shingle payload is emitted (~380 B/doc materialized)   [narrow]
+  -> groupby(sha_key).min(doc_id)                              [shuffle 0,
+     partial-aggregated: only (key, id) rows move]              exact tier]
+  -> rep map + rep ids packed in WORKER tasks, broadcast from
+     plasma (hash-join fallback above cfg.broadcast_max_ids)   [no shuffle]
+  -> band rows for representatives (broadcast-id filter)
+  -> bucket-partition groupby -> pair emit                     [shuffle 1]
+  -> pair-partition groupby -> vectorized distinct/count       [shuffle 2]
+  -> pair-involved id set packed in a worker task              [no shuffle]
+  -> pass C: re-scan source restricted to pair-involved docs ->
+     shingle sets (the wide payload exists ONLY for candidates)
   -> verify: broadcast per-block shingle index (plasma,
-     zero-copy) -> exact Jaccard per pair                      [no shuffle;
+     zero-copy) -> segmented merge-intersect exact Jaccard      [no shuffle;
      falls back to 2 partitioned hash joins above
      cfg.broadcast_max_ids pair-involved docs]
-  -> filter(jaccard >= theta) -> connected components         [driver
+  -> filter(jaccard >= theta) -> connected components          [driver
      union-find below cfg.cc_driver_max_edges, else iterative
      hash-min + pointer jumping, shuffles 3..3+log(diameter)]
   -> assignments (doc_id, sha, nbytes, ..., rep_id, cluster_id)
 
-Content never crosses a shuffle: after the two scan passes only ids, 64-bit
-hashes and shingle-hash sets move (SURVEY.md §7.4). Note `ds` is scanned
-twice (pass A cheap, pass B expensive-but-reps-only); pass a re-readable
+Content never crosses a shuffle: only ids, 64-bit hashes and (for the
+candidate set) shingle-hash sets move (SURVEY.md §7.4). `ds` is scanned
+once fully and once restricted to pair-involved docs — pass a re-readable
 Dataset (read_parquet), not an expensive derived plan.
 """
 
@@ -47,9 +52,7 @@ from ray.data.aggregate import Count, Min
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.stages.bands import band_explode_precomputed
 from lsh_apg_ray.stages.cc import attach_clusters
-from lsh_apg_ray.stages.minhash import rep_features_dataset
 from lsh_apg_ray.stages.pairs import bucket_stats, candidate_pairs
-from lsh_apg_ray.stages.prep import MetaPrep
 from lsh_apg_ray.stages.verify import verify_pairs
 from lsh_apg_ray.state.checkpoint import StageCheckpointer, config_fingerprint
 
@@ -76,18 +79,21 @@ def dedup_pipeline(
 ) -> DedupResult:
     """Run the full dedup pipeline over a corpus Dataset.
 
-    `feats` (the Prep+sign output) is materialized once — it is consumed by
-    both the exact tier and the LSH tier, and re-running tokenization would
-    double the most expensive stage. At cluster scale this is the stage whose
-    output one would checkpoint to partitioned Parquet; in-object-store
-    materialization gives the same reuse with spill-on-pressure.
+    Round-2 physical plan (NOTES.md §1 scaling items executed): ONE fused
+    scan computes meta AND signatures for every doc (`feats`, ~380 B/doc —
+    no shingle payload); the shingle sets verify needs are re-derived later
+    from a column-pruned scan restricted to pair-involved docs. Tokenizing
+    duplicate contents costs ~dup_fraction extra scheduled CPU, and in
+    exchange the second full source scan, the pass-A->pass-B barrier and the
+    corpus-wide shingle materialization (the round-1 non-scaling costs) are
+    gone. All small-side collections (rep map, rep ids, pair ids) are
+    assembled in worker tasks and broadcast from plasma — nothing streams
+    through the driver.
     """
-    # ---- pass A (cheap, full corpus): doc_id + sha256 + meta — NO tokens ----
-    # an INSTANCE is a plain callable -> stateless tasks (elastic scheduling;
-    # sha256 needs no per-worker state worth an actor pool). Materialized:
-    # consumed twice (rep groupby + the assignment table) and it is tiny
-    # (~120 B/doc — content does NOT ride along).
     import time as _time
+
+    from lsh_apg_ray.stages.minhash import make_fused_prep_fn, make_shingle_payload_fn
+    from lsh_apg_ray.stages.verify import collect_pair_ids
 
     _t = _time.time()
 
@@ -98,12 +104,30 @@ def dedup_pipeline(
             stage_times[name] = round(now - _t, 3)
             _t = now
 
-    meta = ds.map_batches(
-        MetaPrep(content_col=content_col, id_col=id_col, keep_cols=tuple(keep_cols)),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    ).materialize()
-    _mark("meta_scan")
+    ckpt = StageCheckpointer(checkpoint_dir) if checkpoint_dir else None
+    base_fp = config_fingerprint(cfg, input_fingerprint) if ckpt else ""
+
+    # ---- fused pass (single scan of the source): doc_id + sha256 + meta +
+    # tokenize -> shingles -> MinHash -> band keys for EVERY doc. Stateless
+    # tasks with worker-global cached hash state. Materialized once: consumed
+    # by the exact tier, the band explode and the assignment table.
+    def make_feats():
+        return ds.map_batches(
+            make_fused_prep_fn(cfg, content_col=content_col, id_col=id_col,
+                               keep_cols=tuple(keep_cols)),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+
+    if ckpt:
+        # checkpoint = partitioned Parquet + _lineage.json; a rerun with the
+        # same (cfg, input) fingerprint resumes from the files and skips the
+        # tokenization pass entirely (Preprocess::ben_create pattern,
+        # Preprocess.cpp:227-254)
+        feats = ckpt.stage("feats", base_fp, make_feats)
+    else:
+        feats = make_feats().materialize()
+    _mark("feats_scan")
 
     # ---- exact tier (shuffle 0): one representative per distinct content ----
     # groupby(sha).min(doc_id) -> (sha, rep_id); the reference's analogue is
@@ -117,42 +141,61 @@ def dedup_pipeline(
     # the birthday bound (K >~ 1e9) set cfg.exact_sha_grouping=True to group
     # on the full sha (exact at any scale; dict broadcast).
     group_key = "sha" if cfg.exact_sha_grouping else "sha_key"
+    meta = feats.select_columns(
+        ["doc_id", "sha", "sha_key", "nbytes", *keep_cols]
+    )
     rep_by_key = (
-        meta.select_columns([group_key, "doc_id"])
+        feats.select_columns([group_key, "doc_id"])
         .groupby(group_key)
         .aggregate(Min("doc_id", alias_name="rep_id"))
-    )
+    ).materialize()
     n_unique = rep_by_key.count()
-    if n_unique > cfg.broadcast_max_ids:
-        raise NotImplementedError(
-            "exact tier above broadcast_max_ids unique contents: partition "
-            "the corpus (or add a hash-join rep attachment via joins.hash_join)"
-        )
-    if cfg.exact_sha_grouping:
-        rep_map: dict[str, int] = {}
-        for b in rep_by_key.iter_batches(batch_size=1 << 16, batch_format="pandas"):
-            rep_map.update(zip(b["sha"], b["rep_id"]))
-        rep_map_ref = ray.put(rep_map)
-        rep_ids = np.unique(np.fromiter(rep_map.values(), np.int64, count=len(rep_map)))
+    meta_schema = pa.schema(
+        [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
+         ("nbytes", pa.int64())]
+        + [(c, pa.string()) for c in keep_cols]
+    )
 
-        def attach_rep(t: pa.Table) -> pa.Table:
-            m = ray.get(rep_map_ref)
-            reps = np.fromiter(
-                (m[s] for s in t["sha"].to_pylist()), np.int64, count=t.num_rows
-            )
-            return t.append_column("rep_id", pa.array(reps, pa.int64()))
-
-    else:
-        key_parts, rep_parts = [], []
-        for b in rep_by_key.iter_batches(batch_size=1 << 16, batch_format="numpy"):
-            key_parts.append(b["sha_key"].astype(np.int64))
-            rep_parts.append(b["rep_id"].astype(np.int64))
-        keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
-        reps = np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int64)
+    @ray.remote
+    def _pack_rep_map(*blocks):
+        """Sorted (key, rep) arrays for the broadcast lookup — assembled and
+        plasma-stored in a worker task; the rows never pass through the
+        driver (round-1: driver-side iter_batches collection was one of the
+        measured non-scaling costs)."""
+        kp, rp = [], []
+        for b in blocks:
+            if b.num_rows == 0:
+                continue
+            kp.append(b[group_key].to_numpy(zero_copy_only=False).astype(np.int64))
+            rp.append(b["rep_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        keys = np.concatenate(kp) if kp else np.empty(0, np.int64)
+        reps = np.concatenate(rp) if rp else np.empty(0, np.int64)
         order = np.argsort(keys)
-        keys, reps = keys[order], reps[order]
-        rep_map_ref = ray.put((keys, reps))
-        rep_ids = np.unique(reps)
+        return keys[order], reps[order]
+
+    @ray.remote
+    def _uniq_rep_ids(*blocks):
+        rp = [
+            b["rep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in blocks
+            if b.num_rows
+        ]
+        return np.unique(np.concatenate(rp)) if rp else np.empty(0, np.int64)
+
+    rep_blocks = rep_by_key.to_arrow_refs()
+    # representative id SET for pass B (8 B/unique): broadcastable far past
+    # the map cap; the hard bound below is the documented single-node plasma
+    # ceiling — beyond it, partition the corpus by sha range and run shards.
+    if n_unique > 256 * cfg.broadcast_max_ids:
+        raise NotImplementedError(
+            "exact tier beyond the single-broadcast rep-id ceiling: "
+            "partition the corpus by sha range and dedup shard-wise"
+        )
+    rep_ids_ref = _uniq_rep_ids.remote(*rep_blocks)
+
+    if n_unique <= cfg.broadcast_max_ids and not cfg.exact_sha_grouping:
+        # broadcast fast path: sorted-array lookup, no shuffle
+        rep_map_ref = _pack_rep_map.remote(*rep_blocks)
 
         def attach_rep(t: pa.Table) -> pa.Table:
             k, r = ray.get(rep_map_ref)  # zero-copy plasma views
@@ -160,50 +203,83 @@ def dedup_pipeline(
             pos = np.clip(np.searchsorted(k, sk), 0, max(0, len(k) - 1))
             return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
 
-    rep_ids_ref = ray.put(rep_ids)
+        docs = meta.map_batches(attach_rep, batch_format="pyarrow")
+        docs_schema = meta_schema.append(pa.field("rep_id", pa.int64()))
+    elif n_unique <= cfg.broadcast_max_ids:
+        # exact full-sha mode: dict broadcast (exact at any scale per key)
+        rep_map: dict[str, int] = {}
+        for b in rep_by_key.iter_batches(batch_size=1 << 16, batch_format="pandas"):
+            rep_map.update(zip(b["sha"], b["rep_id"]))
+        rep_map_ref = ray.put(rep_map)
+
+        def attach_rep_sha(t: pa.Table) -> pa.Table:
+            m = ray.get(rep_map_ref)
+            reps = np.fromiter(
+                (m[s] for s in t["sha"].to_pylist()), np.int64, count=t.num_rows
+            )
+            return t.append_column("rep_id", pa.array(reps, pa.int64()))
+
+        docs = meta.map_batches(attach_rep_sha, batch_format="pyarrow")
+        docs_schema = meta_schema.append(pa.field("rep_id", pa.int64()))
+    else:
+        # scale fallback: partitioned hash-join rep attachment — identical
+        # semantics, rep rows shuffle instead of broadcasting
+        from lsh_apg_ray.joins import hash_join, out_schema
+
+        key_type = pa.string() if cfg.exact_sha_grouping else pa.int64()
+        rep_schema = pa.schema([(group_key, key_type), ("rep_id", pa.int64())])
+        docs = hash_join(
+            meta, rep_by_key, group_key,
+            num_partitions=cfg.join_partitions,
+            left_schema=meta_schema, right_schema=rep_schema,
+        )
+        docs_schema = out_schema(meta_schema, rep_schema, group_key)
     _mark("exact_tier")
-    docs = meta.map_batches(attach_rep, batch_format="pyarrow")
-    docs_schema = pa.schema(
-        [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
-         ("nbytes", pa.int64())]
-        + [(c, pa.string()) for c in keep_cols]
-        + [("rep_id", pa.int64())]
+
+    # ---- LSH tier: band rows for unique-content representatives with >= 1
+    # shingle (duplicates would only inflate buckets; sub-k-token docs dedup
+    # via the exact tier alone — an empty shingle set carries no signal)
+    def rep_band_filter(t: pa.Table) -> pa.Table:
+        w = ray.get(rep_ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(w, d), 0, max(0, len(w) - 1))
+        mask = (w[pos] == d) if len(w) else np.zeros(len(d), bool)
+        mask &= t["n_shingles"].to_numpy(zero_copy_only=False) > 0
+        return t.filter(pa.array(mask))
+
+    band_src = feats.select_columns(["doc_id", "n_shingles", "bands"]).map_batches(
+        rep_band_filter, batch_format="pyarrow"
+    )
+    band_ds = band_explode_precomputed(band_src, cfg)
+    metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
+    pairs = candidate_pairs(band_ds, cfg).materialize()
+    pair_ids_ref = collect_pair_ids.remote(
+        *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
+    )
+    _mark("pairs")
+
+    # ---- verify payload (pass C, pair-involved docs only): the shingle
+    # sets are re-derived from a fresh column-pruned scan restricted by the
+    # broadcast pair-id set — the wide payload never materializes corpus-wide.
+    # If the pair-involved set outgrows even the 16x id-broadcast budget,
+    # fall back to tokenizing every representative (the round-1 shape) and
+    # let verify_pairs shuffle it through the join path.
+    from lsh_apg_ray.stages.verify import _len_of
+
+    n_pair_ids = ray.get(_len_of.remote(pair_ids_ref))
+    if n_pair_ids <= 16 * cfg.broadcast_max_ids:
+        payload_ids_ref = pair_ids_ref
+    else:
+        payload_ids_ref = rep_ids_ref
+    payload = ds.map_batches(
+        make_shingle_payload_fn(cfg, payload_ids_ref, content_col=content_col,
+                                id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
     )
 
-    # ---- pass B (expensive, representatives only): tokenize -> shingles ->
-    # MinHash -> band keys, in ONE actor pool over a fresh scan of the source.
-    # Output is materialized once: (doc_id, n_shingles, shingles, bands) —
-    # the signature itself never exists outside the actor (bands*8 bytes
-    # instead of num_perm*8 travel onward).
-    ckpt = StageCheckpointer(checkpoint_dir) if checkpoint_dir else None
-    base_fp = config_fingerprint(cfg, input_fingerprint) if ckpt else ""
-
-    def make_rep_feats():
-        return rep_features_dataset(
-            ds, cfg, rep_ids_ref, content_col=content_col, id_col=id_col
-        ).map_batches(
-            lambda t: t.filter(pc.greater(t["n_shingles"], 0)),
-            batch_format="pyarrow",
-        )
-        # (docs with no shingles — empty / sub-k-token files — dedup via the
-        # exact tier alone: an empty shingle set carries no similarity signal)
-
-    if ckpt:
-        # checkpoint = partitioned Parquet + _lineage.json; a rerun with the
-        # same (cfg, input) fingerprint resumes from the files and skips the
-        # tokenization pass entirely (Preprocess::ben_create pattern,
-        # Preprocess.cpp:227-254)
-        rep_feats = ckpt.stage("rep_feats", base_fp, make_rep_feats)
-    else:
-        rep_feats = make_rep_feats().materialize()
-    _mark("rep_feats")
-
-    band_ds = band_explode_precomputed(rep_feats, cfg)
-    metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
-    pairs = candidate_pairs(band_ds, cfg)
-
     def make_edges():
-        verified = verify_pairs(pairs, rep_feats, cfg)
+        verified = verify_pairs(pairs, payload, cfg, pair_ids_ref=pair_ids_ref)
         return verified.map_batches(
             lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
             batch_format="pyarrow",

@@ -916,21 +916,67 @@ def q_quantity_by_nation(sf_dir: str):
         left_schema=pa.schema([("l_orderkey", pa.int64()), ("l_quantity", pa.float64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
     )
-    # small dims (customer -> nation name): broadcast lookup, no shuffle
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    # nation is a genuinely tiny dim (25 rows): broadcast as a name array.
+    # customer is NOT small at scale: broadcast two sorted numpy arrays below
+    # the threshold (vectorized searchsorted lookup, zero-copy plasma reads),
+    # else fall back to a partitioned hash join with identical semantics.
     nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    nation_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust_nation = {
-        int(c): nation_of[int(n)] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
-    ref = ray.put(cust_nation)
+    nat_names = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    nat_names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
 
-    def attach(df):
-        m = ray.get(ref)
-        df = df.assign(n_name=[m[int(c)] for c in df["o_custkey"]])
-        return df[["n_name", "l_quantity"]]
+    cust_ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    broadcast_max = 2_000_000
+    if cust_ds.count() <= broadcast_max:
 
-    out = j.map_batches(attach, batch_format="pandas").groupby("n_name").aggregate(
+        @ray.remote
+        def pack(*blocks):
+            ks = np.concatenate(
+                [b["c_custkey"].to_numpy(zero_copy_only=False) for b in blocks if b.num_rows]
+            ).astype(np.int64)
+            ns = np.concatenate(
+                [b["c_nationkey"].to_numpy(zero_copy_only=False) for b in blocks if b.num_rows]
+            ).astype(np.int64)
+            order = np.argsort(ks)
+            return ks[order], ns[order]
+
+        ref = pack.remote(*cust_ds.to_arrow_refs())
+        names_ref = ray.put(nat_names)
+
+        def attach(t: pa.Table) -> pa.Table:
+            ck, cn = ray.get(ref)
+            names = ray.get(names_ref)
+            oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(ck, oc), 0, max(0, len(ck) - 1))
+            nn = names[cn[pos]]
+            return pa.table(
+                {"n_name": pa.array(nn.tolist(), pa.string()),
+                 "l_quantity": t["l_quantity"]}
+            )
+
+        j = j.map_batches(attach, batch_format="pyarrow")
+    else:
+        from lsh_apg_ray.joins import out_schema as _oschema
+
+        js = pa.schema([("l_orderkey", pa.int64()), ("l_quantity", pa.float64()),
+                        ("o_custkey", pa.int64())])
+        cs = pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())])
+        j = hash_join(
+            j, cust_ds, "o_custkey", "c_custkey", num_partitions=8,
+            left_schema=js, right_schema=cs,
+        )
+        names_ref = ray.put(nat_names)
+
+        def attach_joined(t: pa.Table) -> pa.Table:
+            names = ray.get(names_ref)
+            cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"n_name": pa.array(names[cn].tolist(), pa.string()),
+                 "l_quantity": t["l_quantity"]}
+            )
+
+        j = j.map_batches(attach_joined, batch_format="pyarrow")
+
+    out = j.groupby("n_name").aggregate(
         Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
     )
     return out.map_batches(

@@ -56,6 +56,19 @@ def exact_similarity_join(feats, cfg: DedupConfig, threshold: float | None = Non
 
     Set cfg.max_bucket high enough that no shingle bucket overflows when exact
     results are required (overflow would drop pairs; bucket_stats reports it).
+
+    Skew at 100x (SURVEY §7.2's salting promise, resolved round 2): a hot
+    shingle bucket (document frequency f) is inherently quadratic — C(f,2)
+    pairs exist and exactness requires every co-occurrence, so salting can
+    only spread the work, not shrink it. The bound that matters instead:
+    under the star+chain cap a pair is LOST only if every one of its shared
+    shingles sits in an overflowing bucket; a pair at jaccard >= theta with
+    union u shares >= theta*u shingles, so a loss requires theta*u distinct
+    shingles to ALL have document frequency > max_bucket. Measured at the
+    exact-query configs (sf0.01/sf0.1 documents + bench corpus,
+    max_bucket=1e6): zero overflowing buckets (max observed bucket = corpus
+    boilerplate at ~5% of files), hence zero recall loss; bucket_stats
+    records overflow the moment a corpus violates this, never silently.
     """
     theta = cfg.threshold if threshold is None else threshold
     sh = shingle_explode(feats)

@@ -46,6 +46,36 @@ def _to_matrix(col) -> np.ndarray:
     return np.asarray(arr, dtype=np.float64)
 
 
+def collect_matrix_ref(embeddings, id_col: str = "vec_id",
+                       vec_col: str = "embedding", normalize: bool = False):
+    """ObjectRef[(ids sorted, (n, dim) float64 matrix)] assembled in a REMOTE
+    task from the dataset's block refs — the driver never holds the vector
+    bytes (broadcast-small-side pattern, SURVEY.md ST6). The single broadcast
+    matrix is the documented scale bound of the exact-verify consumers
+    (~1e8 x 64 f64 on one node's plasma); beyond it, shard by id range."""
+
+    @ray.remote
+    def assemble(*blocks):
+        ids_parts, mats = [], []
+        for b in blocks:
+            if b.num_rows == 0:
+                continue
+            ids_parts.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            mats.append(_to_matrix(b[vec_col]))
+        if not ids_parts:
+            return np.empty(0, np.int64), np.empty((0, 0))
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(mats)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], np.ascontiguousarray(mat[order])
+        if normalize:
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        return ids, mat
+
+    refs = embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
+    return assemble.remote(*refs)
+
+
 def knn_cosine(
     embeddings,
     query_ids: np.ndarray,
@@ -175,7 +205,7 @@ def knn_l2(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
-def embedding_near_dup(
+def embedding_near_dup_bruteforce(
     embeddings,
     threshold: float,
     id_col: str = "vec_id",
@@ -183,18 +213,11 @@ def embedding_near_dup(
 ):
     """All-pairs cosine near-duplicates: (id_a, id_b, sim) with sim >= theta.
 
-    Blocked brute force: the normalized matrix is broadcast once (ray.put)
-    and every batch multiplies against it — O(n^2 d) compute but only O(n d)
-    bytes moved. This is the exact baseline; the scale path is the LSH-
-    bucketed variant (e2lsh tables below) or a MinHash-style banding over
-    random hyperplane signs. sim is rounded to 12 dp (deterministic ties,
-    oracle parity)."""
-    all_rows = embeddings.select_columns([id_col, vec_col]).to_pandas()
-    all_rows = all_rows.sort_values(id_col)
-    ids = all_rows[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_rows[vec_col]])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    ref = ray.put((ids, mat))
+    Blocked brute force — O(n^2 d) compute, only O(n d) bytes moved (the
+    normalized matrix is assembled off-driver and broadcast once). This is
+    the EXACT ORACLE for the LSH-banded scale path below; use it for tests
+    and small corpora only."""
+    ref = collect_matrix_ref(embeddings, id_col, vec_col, normalize=True)
 
     def score(t: pa.Table) -> pa.Table:
         rids, rmat = ray.get(ref)
@@ -222,6 +245,118 @@ def embedding_near_dup(
         )
 
     return embeddings.map_batches(score, batch_format="pyarrow")
+
+
+_HYPERPLANE_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    """Worker-global random hyperplane matrix (dim x nbits), derived from the
+    seed — identical on every worker, never shipped (ST1 pattern)."""
+    key = (dim, nbits, seed)
+    r = _HYPERPLANE_CACHE.get(key)
+    if r is None:
+        r = np.random.default_rng(seed).standard_normal((dim, nbits))
+        _HYPERPLANE_CACHE[key] = r
+    return r
+
+
+def embedding_near_dup(
+    embeddings,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 256,
+    band_rows: int = 4,
+    seed: int = 42,
+    max_bucket: int = 1 << 20,
+    join_partitions: int = 8,
+):
+    """Near-duplicate pairs (id_a, id_b, sim >= theta) via hyperplane-sign
+    LSH banding — the SCALE PATH (the round-1 brute force is kept as the
+    oracle, embedding_near_dup_bruteforce).
+
+    SimHash-style (Charikar 2002): sign bits of nbits random projections;
+    P(bit match) = 1 - angle/pi, so banding `band_rows` bits x
+    nbits/band_rows bands collides near-duplicates in >=1 band w.h.p. —
+    P(miss | sim=0.4) = (1 - 0.63^4)^64 ~ 2e-5 at the defaults; tighten
+    band_rows for higher thresholds (candidate volume collapses as p^rows).
+    Pipeline = the standard skeleton: sign bits in map_batches -> band rows
+    -> bucketed candidate_pairs (capped + recorded skew) -> exact-cosine
+    verify against the broadcast normalized matrix. Only ids and band keys
+    shuffle; vectors never do."""
+    from dataclasses import replace
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+
+    bands = nbits // band_rows
+    assert bands * band_rows == nbits
+    ref = collect_matrix_ref(embeddings, id_col, vec_col, normalize=True)
+
+    def band_rows_fn(t: pa.Table) -> pa.Table:
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        r = _hyperplanes(x.shape[1], nbits, seed)
+        bits = (x @ r) > 0  # (n, nbits)
+        packed = np.zeros((len(ids), bands), dtype=np.int64)
+        for j in range(band_rows):
+            packed |= bits[:, j::band_rows][:, :bands].astype(np.int64) << j
+        n = len(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(packed.T.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            }
+        )
+
+    cfg = DedupConfig(
+        threshold=max(min(threshold, 1.0), 0.01),
+        max_bucket=max_bucket,
+        join_partitions=join_partitions,
+    )
+    pairs = candidate_pairs(
+        embeddings.map_batches(band_rows_fn, batch_format="pyarrow"), cfg
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        rids, rmat = ray.get(ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if len(a) == 0:
+            return empty
+        ra = np.searchsorted(rids, a)
+        rb = np.searchsorted(rids, b)
+        sim = np.round(np.einsum("ij,ij->i", rmat[ra], rmat[rb]), ROUND_DECIMALS)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 class E2LSHTables:

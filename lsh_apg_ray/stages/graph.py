@@ -37,29 +37,13 @@ import pyarrow as pa
 import ray
 
 from lsh_apg_ray.config import DedupConfig
-from lsh_apg_ray.stages.ann import E2LSHTables, ROUND_DECIMALS, _to_matrix
+from lsh_apg_ray.stages.ann import (
+    E2LSHTables,
+    ROUND_DECIMALS,
+    _to_matrix,
+    collect_matrix_ref,
+)
 from lsh_apg_ray.stages.pairs import candidate_pairs
-
-
-def collect_matrix_ref(embeddings, id_col: str = "vec_id",
-                       vec_col: str = "embedding"):
-    """(ids sorted, (n, dim) float64 matrix) assembled in a REMOTE task from
-    the dataset's block refs and ray.put from there — the driver never holds
-    the vector bytes (broadcast-small-side pattern, SURVEY.md ST6)."""
-
-    @ray.remote
-    def assemble(*blocks):
-        ids_parts, mats = [], []
-        for b in blocks:
-            ids_parts.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
-            mats.append(_to_matrix(b[vec_col]))
-        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
-        mat = np.vstack([m for m in mats if m.size]) if ids_parts else np.empty((0, 0))
-        order = np.argsort(ids, kind="stable")
-        return ids[order], np.ascontiguousarray(mat[order])
-
-    refs = embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
-    return assemble.remote(*refs)
 
 
 @dataclass

@@ -126,6 +126,153 @@ def make_rep_features_fn(cfg: DedupConfig, rep_ids_ref, content_col="content",
     return fn
 
 
+def make_fused_prep_fn(cfg: DedupConfig, content_col="content",
+                       id_col: str | None = None,
+                       keep_cols: tuple[str, ...] = ()):
+    """Single-scan fused pass A+B (round-2 scaling design, NOTES.md §1
+    'overlap pass A and pass B'): sha256/meta AND tokenize -> shingle ->
+    MinHash -> band keys for EVERY doc, in one scan of the source.
+
+    Tokenizing duplicate contents costs ~dup_fraction extra (scheduled
+    across the cluster, so it scales), and in exchange removes the second
+    full source scan, the pass-A->pass-B serialization barrier, and the
+    rep-map round trip before the expensive work can start.
+
+    Emits NO shingle payload — the wide column that made the round-1 pass-B
+    materialization ~2.4 KB/doc. Verify re-derives shingle sets later for
+    only the (small) pair-involved doc set (make_shingle_payload_fn).
+    Output: doc_id, sha, sha_key, nbytes, keep_cols..., n_shingles, bands.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from lsh_apg_ray.arrowutil import u64s_to_binary
+    from lsh_apg_ray.hashing import (
+        arrow_token_hashes,
+        band_keys,
+        batch_shingle_sets,
+        doc_id_of,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hasher, perm_seeds = _hash_state(cfg)
+        n = batch.num_rows
+        if id_col is not None:
+            doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_ids = np.fromiter(
+                (
+                    doc_id_of(r, p, c)
+                    for r, p, c in zip(
+                        batch["repo"].to_pylist(),
+                        batch["path"].to_pylist(),
+                        batch["commit"].to_pylist(),
+                    )
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        texts = batch[content_col].to_pylist()
+        shas: list[str] = []
+        sha_keys = np.empty(n, dtype=np.int64)
+        nbytes = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            digest = hashlib.sha256(raw).digest()
+            shas.append(digest.hex())
+            sha_keys[i] = int.from_bytes(digest[:8], "little", signed=True)
+            nbytes[i] = len(raw)
+        tok = arrow_token_hashes(batch[content_col], hasher, cfg.token_pattern)
+        if tok is not None:
+            flat_h, offsets = tok
+            sets = batch_shingle_sets(flat_h, offsets, cfg.shingle_k)
+        else:
+            sets = [
+                shingle_hashes(hasher.token_hashes(hasher.tokenize(t)), cfg.shingle_k)
+                for t in texts
+            ]
+        n_sh = np.fromiter((len(s) for s in sets), np.int64, count=len(sets))
+        sigs = minhash_signatures(sets, perm_seeds)
+        bands = band_keys(sigs, cfg.bands, cfg.rows).view(np.uint64)
+        cols: dict = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "sha": pa.array(shas, pa.string()),
+            "sha_key": pa.array(sha_keys, pa.int64()),
+            "nbytes": pa.array(nbytes, pa.int64()),
+        }
+        for c in keep_cols:
+            col = batch[c]
+            cols[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        cols["n_shingles"] = pa.array(n_sh, pa.int64())
+        cols["bands"] = u64s_to_binary(list(bands))
+        return pa.table(cols)
+
+    return fn
+
+
+def make_shingle_payload_fn(cfg: DedupConfig, ids_ref, content_col="content",
+                            id_col: str | None = None):
+    """Pass C of the round-2 flagship: (doc_id, shingles) for the docs in
+    the broadcast sorted id set — i.e. ONLY pair-involved docs. The shingle
+    payload (the widest intermediate, ~KBs/doc) never materializes
+    corpus-wide; it exists only for the candidate set, re-derived from the
+    source (column-pruned scan + the same deterministic tokenizer)."""
+    import numpy as np
+    import ray
+
+    from lsh_apg_ray.arrowutil import u64s_to_binary
+    from lsh_apg_ray.hashing import (
+        arrow_token_hashes,
+        batch_shingle_sets,
+        doc_id_of,
+        shingle_hashes,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hasher, _ = _hash_state(cfg)
+        n = batch.num_rows
+        if id_col is not None:
+            doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_ids = np.fromiter(
+                (
+                    doc_id_of(r, p, c)
+                    for r, p, c in zip(
+                        batch["repo"].to_pylist(),
+                        batch["path"].to_pylist(),
+                        batch["commit"].to_pylist(),
+                    )
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        w = ray.get(ids_ref)  # sorted int64, zero-copy plasma
+        pos = np.clip(np.searchsorted(w, doc_ids), 0, max(0, len(w) - 1))
+        mask = (w[pos] == doc_ids) if len(w) else np.zeros(n, bool)
+        batch = batch.filter(pa.array(mask))
+        doc_ids = doc_ids[mask]
+        tok = arrow_token_hashes(batch[content_col], hasher, cfg.token_pattern)
+        if tok is not None:
+            flat_h, offsets = tok
+            sets = batch_shingle_sets(flat_h, offsets, cfg.shingle_k)
+        else:
+            sets = [
+                shingle_hashes(hasher.token_hashes(hasher.tokenize(t)), cfg.shingle_k)
+                for t in batch[content_col].to_pylist()
+            ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "shingles": u64s_to_binary(sets),
+            }
+        )
+
+    return fn
+
+
 def rep_features_dataset(src, cfg: DedupConfig, rep_ids_ref, content_col="content",
                          id_col: str | None = None):
     return src.map_batches(

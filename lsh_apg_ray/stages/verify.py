@@ -98,19 +98,44 @@ def _attach_payloads(pairs, pairs_schema, payload, cfg: DedupConfig):
     )
 
 
+def segmented_intersections(sizes_a: np.ndarray, sizes_b: np.ndarray,
+                            flat: np.ndarray) -> np.ndarray:
+    """|A_i ∩ B_i| for every pair i in ONE vectorized pass.
+
+    `flat` is the concatenation [A_0..A_{n-1}, B_0..B_{n-1}] of the (unique-
+    per-set) u64 values; `sizes_*` are the per-pair set sizes. One lexsort of
+    (pair_id, value) over the whole batch; within a pair each side is
+    duplicate-free, so an adjacent equal value means one element from each
+    side — i.e. one intersection hit. Replaces the per-pair
+    np.intersect1d loop (a C sort per pair was ~10us, but the Python loop
+    overhead alone dominates at 1e9 candidate pairs)."""
+    n = len(sizes_a)
+    if n == 0:
+        return np.empty(0, np.int64)
+    pair_ids = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), sizes_a),
+         np.repeat(np.arange(n, dtype=np.int64), sizes_b)]
+    )
+    order = np.lexsort((flat, pair_ids))
+    v = flat[order]
+    p = pair_ids[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    return np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+
+
 def exact_jaccard_fn(batch: pa.Table) -> pa.Table:
-    """Exact Jaccard per pair: np.intersect1d (assume_unique) over the
-    pre-sorted u64 shingle sets — vectorized C sorts, ~10us per pair."""
+    """Exact Jaccard per pair over the pre-sorted u64 shingle sets, computed
+    batch-at-once with the segmented merge-intersect kernel."""
     sa = binary_to_u64_list(batch["shingles_a"])
     sb = binary_to_u64_list(batch["shingles_b"])
     n = batch.num_rows
-    n_inter = np.empty(n, dtype=np.int64)
-    n_union = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        a, b = sa[i], sb[i]
-        inter = len(np.intersect1d(a, b, assume_unique=True))
-        n_inter[i] = inter
-        n_union[i] = len(a) + len(b) - inter
+    la = np.fromiter((len(x) for x in sa), np.int64, count=n)
+    lb = np.fromiter((len(x) for x in sb), np.int64, count=n)
+    flat = (
+        np.concatenate(list(sa) + list(sb)) if n else np.empty(0, np.uint64)
+    )
+    n_inter = segmented_intersections(la, lb, flat)
+    n_union = la + lb - n_inter
     jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 0.0)
     out = batch.drop_columns(["shingles_a", "shingles_b"])
     out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
@@ -171,16 +196,21 @@ def _verify_with_broadcast(pairs, index_refs: list):
         if (blk_a < 0).any() or (blk_b < 0).any():
             raise RuntimeError("verify: pair doc_id missing from payload index")
         n = len(a)
-        n_inter = np.empty(n, dtype=np.int64)
-        n_union = np.empty(n, dtype=np.int64)
+        # gather both sides' set slices, then ONE segmented merge-intersect
+        # for the whole batch (no per-pair Python)
+        sizes = np.empty(2 * n, dtype=np.int64)
+        parts: list[np.ndarray] = [np.empty(0, np.uint64)] * (2 * n)
         for i in range(n):
             ids_x, off_x, val_x = indexes[blk_a[i]]
+            parts[i] = val_x[off_x[row_a[i]]: off_x[row_a[i] + 1]]
+            sizes[i] = len(parts[i])
+        for i in range(n):
             ids_y, off_y, val_y = indexes[blk_b[i]]
-            x = val_x[off_x[row_a[i]] : off_x[row_a[i] + 1]]
-            y = val_y[off_y[row_b[i]] : off_y[row_b[i] + 1]]
-            inter = len(np.intersect1d(x, y, assume_unique=True))
-            n_inter[i] = inter
-            n_union[i] = len(x) + len(y) - inter
+            parts[n + i] = val_y[off_y[row_b[i]]: off_y[row_b[i] + 1]]
+            sizes[n + i] = len(parts[n + i])
+        flat = np.concatenate(parts) if n else np.empty(0, np.uint64)
+        n_inter = segmented_intersections(sizes[:n], sizes[n:], flat)
+        n_union = sizes[:n] + sizes[n:] - n_inter
         jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 0.0)
         out = batch
         out = out.append_column("n_inter", pa.array(n_inter, pa.int64()))
@@ -190,7 +220,27 @@ def _verify_with_broadcast(pairs, index_refs: list):
     return pairs.map_batches(fn, batch_format="pyarrow")
 
 
-def verify_pairs(pairs, features, cfg: DedupConfig, pairs_schema: pa.Schema = PAIRS_SCHEMA):
+@ray.remote
+def collect_pair_ids(*pair_blocks):
+    """Sorted unique doc ids touched by >=1 candidate pair — computed in a
+    worker task from the pair blocks (round 1 streamed every pair through a
+    driver-side Python set, one of the measured non-scaling costs)."""
+    parts = []
+    for b in pair_blocks:
+        if b.num_rows == 0:
+            continue
+        parts.append(b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        parts.append(b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+@ray.remote
+def _len_of(arr) -> int:
+    return len(arr)
+
+
+def verify_pairs(pairs, features, cfg: DedupConfig,
+                 pairs_schema: pa.Schema = PAIRS_SCHEMA, pair_ids_ref=None):
     """pairs(id_a, id_b[, n_bands]) + features(doc_id, ..., shingles)
     -> verified pairs (id_a, id_b, n_bands, n_inter, n_union, jaccard);
     the caller filters jaccard >= cfg.threshold.
@@ -199,23 +249,19 @@ def verify_pairs(pairs, features, cfg: DedupConfig, pairs_schema: pa.Schema = PA
     needed shingle sets are packed into one flat index in the object store
     and every verify task reads them zero-copy — no shuffle at all. Fallback
     (huge candidate sets): broadcast semi-filter + two partitioned hash joins.
+
+    pair_ids_ref: optional precollected ObjectRef of the sorted pair-involved
+    id array (collect_pair_ids) — skips the collection here.
     """
     pairs = pairs.materialize()  # consumed twice: id scan + verify map/join
-    ids = set()
-    too_big = False
-    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
-        batch_size=1 << 16, batch_format="numpy"
-    ):
-        ids.update(b["id_a"].tolist())
-        ids.update(b["id_b"].tolist())
-        if len(ids) > cfg.broadcast_max_ids:
-            too_big = True
-            break
+    if pair_ids_ref is None:
+        pair_ids_ref = collect_pair_ids.remote(
+            *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
+        )
+    n_ids = ray.get(_len_of.remote(pair_ids_ref))
+    too_big = n_ids > cfg.broadcast_max_ids
 
     if not too_big:
-        pair_ids = np.fromiter(ids, dtype=np.int64, count=len(ids))
-        pair_ids.sort()
-        pair_ids_ref = ray.put(pair_ids)
         block_refs = features.select_columns(["doc_id", "shingles"]).to_arrow_refs()
         index_refs = [_build_block_index.remote(b, pair_ids_ref) for b in block_refs]
         return _verify_with_broadcast(pairs, index_refs)

@@ -23,6 +23,8 @@ from ray.data.aggregate import Count, Max, Min, Sum
 def _epoch_us(ts_col) -> np.ndarray:
     if isinstance(ts_col, pa.ChunkedArray):
         ts_col = ts_col.combine_chunks()
+    if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit != "us":
+        ts_col = ts_col.cast(pa.timestamp("us"))
     return ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
@@ -69,44 +71,81 @@ def tumbling_aggregate(events, key: str, ts_col: str, width_s: int,
     )
 
 
-def sessionize(events, key: str, ts_col: str, gap_s: int):
+def sessionize(events, key: str, ts_col: str, gap_s: int,
+               num_partitions: int = 16):
     """Session windows: a new session starts when the gap to the previous
     event of the same key exceeds gap_s seconds.
 
-    Ordering assumption: events of one key are sorted by (ts, event_id)
-    inside the per-key group (done here, after the groupby shuffle
-    co-locates each key). Output: key, session_seq (0-based per key),
-    session_start, session_end (us timestamps), n_events.
+    Physical plan: hash-partition by key into `num_partitions` COARSE
+    partitions (all events of one key co-locate), then ONE vectorized pass
+    per partition: lexsort by (key, ts, event_id), detect session boundaries
+    across all keys of the partition at once (key-change OR gap), and reduce
+    per-session aggregates with run-length numpy. No per-key Python — the
+    round-1 groupby(key).map_groups version invoked pandas once per user,
+    which is group-count-bound at millions of keys.
+    Output: key, session_seq (0-based per key), session_start, session_end
+    (us timestamps), n_events.
     """
     gap_us = gap_s * 1_000_000
+    _SPART = "__spart"
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
-        # normalize to microseconds regardless of the pandas datetime unit
-        # (Arrow timestamp[us] survives as us under pandas>=2; hand-built
-        # frames are often ns)
-        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-        new_session = np.empty(len(g), dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (us[1:] - us[:-1]) > gap_us
-        sid = np.cumsum(new_session) - 1
-        out = pd.DataFrame(
+    def add_part(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        part = (
+            pd_.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column(_SPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "session_seq": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, keys))
+        keys, us = keys[order], us[order]
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = keys[1:] != keys[:-1]
+        new_session = key_change.copy()
+        new_session[1:] |= (us[1:] - us[:-1]) > gap_us
+        # per-session run-length reduction
+        s_starts = np.flatnonzero(new_session)
+        s_ends = np.append(s_starts[1:], n) - 1
+        n_ev = s_ends - s_starts + 1
+        # session_seq: global session index minus the key's first session idx
+        gsid = np.cumsum(new_session) - 1
+        key_first_gsid = gsid[np.flatnonzero(key_change)]
+        key_run = np.cumsum(key_change) - 1  # per-row key run index
+        seq = gsid[s_starts] - key_first_gsid[key_run[s_starts]]
+        return pa.table(
             {
-                key: g[key].to_numpy(),
-                "session_seq": sid,
+                key: pa.array(keys[s_starts]),
+                "session_seq": pa.array(seq, pa.int64()),
+                "session_start": pa.array(us[s_starts], pa.timestamp("us")),
+                "session_end": pa.array(us[s_ends], pa.timestamp("us")),
+                "n_events": pa.array(n_ev, pa.int64()),
             }
         )
-        agg = out.groupby("session_seq", sort=True).size()
-        starts = us[new_session]
-        ends = np.append(us[np.flatnonzero(new_session)[1:] - 1], us[-1])
-        return pd.DataFrame(
-            {
-                key: np.repeat(g[key].iloc[0], len(agg)),
-                "session_seq": agg.index.to_numpy(dtype=np.int64),
-                "session_start": starts.astype("datetime64[us]"),
-                "session_end": ends.astype("datetime64[us]"),
-                "n_events": agg.to_numpy(dtype=np.int64),
-            }
-        )
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_SPART)
+        .map_groups(
+            lambda g: per_partition(g.drop_columns([_SPART])),
+            batch_format="pyarrow",
+        )
+    )

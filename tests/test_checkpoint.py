@@ -40,7 +40,7 @@ def test_pipeline_checkpoints_and_resumes(small_corpus, ckpt_dir):
     a1 = r1.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
     # lineage manifests exist with per-partition file records
-    for stage in ("rep_feats", "edges", "assignments"):
+    for stage in ("feats", "edges", "assignments"):
         man = json.load(open(os.path.join(ckpt_dir, stage, "_lineage.json")))
         assert man["fingerprint"] and man["files"]
         assert man["total_rows"] == sum(f["rows"] for f in man["files"])
@@ -53,7 +53,7 @@ def test_pipeline_checkpoints_and_resumes(small_corpus, ckpt_dir):
     a2 = r2.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a1.equals(a2)
     metrics = json.load(open(os.path.join(ckpt_dir, "_metrics.json")))
-    assert all(metrics[s]["resumed"] for s in ("rep_feats", "edges", "assignments"))
+    assert all(metrics[s]["resumed"] for s in ("feats", "edges", "assignments"))
 
     # changed config -> stale fingerprint -> recompute (not reuse)
     r3 = dedup_pipeline(
@@ -61,7 +61,7 @@ def test_pipeline_checkpoints_and_resumes(small_corpus, ckpt_dir):
     )
     r3.assignments.count()
     metrics = json.load(open(os.path.join(ckpt_dir, "_metrics.json")))
-    assert not metrics["rep_feats"]["resumed"]
+    assert not metrics["feats"]["resumed"]
 
 
 def test_partial_checkpoint_not_trusted(small_corpus, ckpt_dir):

@@ -30,6 +30,18 @@ def test_identical_output_across_parallelism_levels(small_corpus):
     assert e1[["id_a", "id_b", "jaccard"]].equals(e2[["id_a", "id_b", "jaccard"]])
 
 
+def test_hash_join_rep_attachment_equals_broadcast(small_corpus):
+    # forcing the rep map past the broadcast cap must flip the exact tier to
+    # the partitioned hash-join path with IDENTICAL output (scale fallback,
+    # round-1 NotImplementedError removed)
+    a1, e1, _ = _run(small_corpus)
+    a2, e2, _ = _run(small_corpus, broadcast_max_ids=10)
+    assert a1[["doc_id", "sha", "rep_id", "cluster_id"]].equals(
+        a2[["doc_id", "sha", "rep_id", "cluster_id"]]
+    )
+    assert e1[["id_a", "id_b", "jaccard"]].equals(e2[["id_a", "id_b", "jaccard"]])
+
+
 def _near_dup_family(n: int, base_tokens: int = 120):
     """n mutually-near-duplicate docs (distinct contents, pairwise J >~ 0.9)."""
     base = [f"tok{i}" for i in range(base_tokens)]

@@ -46,14 +46,23 @@ def main() -> int:
         batch_size=2048,
     )
 
-    for run in ("warmup", "timed"):
+    import gc
+
+    for run in ("warmup", "timed1", "timed2", "timed3"):
         st: dict = {}
         t0 = time.time()
         res = dedup_pipeline(rd.read_parquet(out_dir), cfg, stage_times=st)
         n = res.assignments.count()
         st["finalize_count"] = round(time.time() - t0 - sum(st.values()), 3)
         st["TOTAL"] = round(time.time() - t0, 3)
-        print(json.dumps({"run": run, "ncpus": ncpus, "files": n, **st}))
+        print(json.dumps({"run": run, "ncpus": ncpus, "files": n, **st}),
+              flush=True)
+        # drop all object references from this run before the next one —
+        # otherwise the plasma store carries two runs' worth of blocks and
+        # spills, which dominates the next run's time on this host
+        del res
+        gc.collect()
+        time.sleep(2)
     ray.shutdown()
     return 0
 
