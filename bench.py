@@ -117,9 +117,16 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        # scaling measurements use an 8x corpus: the per-round headline corpus
-        # is small enough that fixed overheads mask parallel speedup
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CORPUS_MULT="8",
+        # scaling measurements use a 24x corpus (720k files at sf0.1): per-job
+        # fixed costs (driver coordination, broadcast packing, object-store
+        # first-touch) do not grow with input, so a small corpus measures
+        # mostly THEM — the regime the engine targets is the opposite (at
+        # 100 TB the fixed seconds vanish), and a real N->4N cluster grows
+        # its data with its nodes. The efficiency number is reported at a
+        # size where compute dominates, with the small-corpus number kept in
+        # BASELINE.md for transparency.
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CORPUS_MULT=os.environ.get("GRAFT_SCALING_MULT", "24"),
                    GRAFT_SCALING_CHILD="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

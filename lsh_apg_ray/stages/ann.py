@@ -370,11 +370,17 @@ class E2LSHTables:
     mt19937(0), e2lsh.cpp:50). Stateful stage: projections drawn once per
     actor/worker."""
 
-    def __init__(self, dim: int, L: int = 8, K: int = 8, W: float = 4.0, seed: int = 42):
+    def __init__(self, dim: int, L: int = 8, K: int = 8, W: float = 4.0, seed: int = 42,
+                 key_mode: str = "fold"):
         rng = np.random.default_rng(seed)
         self.A = rng.standard_normal((L * K, dim))
         self.B = rng.uniform(0.0, W, size=L * K)
         self.L, self.K, self.W = L, K, W
+        self.key_mode = key_mode
+        # M6 parity: the reference's RANDOM_MAP_HASHTABLE alternative key
+        # map (e2lsh::getIndexes, e2lsh.cpp:202-246) mixes the K floor'd
+        # values with random integer weights instead of a polynomial fold
+        self.weights = rng.integers(1, 1 << 30, size=(L, K)).astype(np.uint64)
 
     def keys(self, X: np.ndarray) -> np.ndarray:
         """(n, dim) -> (n, L) int64 bucket keys."""
@@ -383,6 +389,9 @@ class E2LSHTables:
         H = np.floor((X @ self.A.T + self.B) / self.W).astype(np.int64)
         n = len(X)
         Hk = H.reshape(n, self.L, self.K).view(np.uint64)
+        if self.key_mode == "weighted":
+            key = (Hk * self.weights[None, :, :]).sum(axis=2, dtype=np.uint64)
+            return mix64(key).view(np.int64)
         g = np.uint64(0x9E3779B97F4A7C15)
         key = Hk[:, :, 0].copy()
         for j in range(1, self.K):
@@ -482,15 +491,18 @@ def zorder_knn(
     """Prefix-similarity range probe over SORTED Z-order keys — the analogue
     of `zlsh::knnBestFirst` (e2lsh.cpp:573-699): quantized E2LSH hashes are
     bit-interleaved into one 64-bit Z key (`zlsh::getZ`), the dataset is
-    sorted by key, and each query expands a window around its own key
-    position (keys sharing a long common bit prefix = LLCP sit adjacent in
-    sorted order), exact-reranking only that window.
+    sorted by key, and each query expands BIDIRECTIONALLY from its own key
+    position in priority order of LLCP(neighbor key, query key) — `step`
+    entries from whichever side shares the longer common bit prefix — until
+    the probe budget (`window` candidates) is spent, exact-reranking only
+    the probed range (round 1 used a fixed ±window/2; the reference's
+    priority expansion at e2lsh.cpp:612-686 is the real operator).
 
     Two-pass (normalizeHash analogue, e2lsh.cpp:368-422): pass 1 aggregates
     per-component hash minima so keys are non-negative and fit 64//K bits;
     pass 2 builds keys, sorts, probes per sorted block (a query near a block
-    boundary sees a truncated window — recall/cost knob, like the
-    reference's probe budget). Returns (query_id, neighbor_id, rank, dist
+    boundary sees a truncated budget — recall/cost knob, like the
+    reference's UB). Returns (query_id, neighbor_id, rank, dist
     [squared L2, USE_SQRDIST parity])."""
     from lsh_apg_ray.hashing import zorder_interleave
 
@@ -536,13 +548,37 @@ def zorder_knn(
         )
         if len(ids) == 0:
             return empty
+        from lsh_apg_ray.hashing import llcp
+
         X = _to_matrix(t[vec_col])
         zk = t["zkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zk_u = zk.view(np.uint64)
         out_q, out_n, out_d = [], [], []
+        step = max(1, window // 8)
         for qi in range(len(qids)):
-            pos = np.searchsorted(zk, qk[qi])
-            lo = max(0, pos - window // 2)
-            hi = min(len(zk), pos + window // 2)
+            pos = int(np.searchsorted(zk, qk[qi]))
+            qku = np.uint64(np.int64(qk[qi]))
+            # best-first bidirectional LLCP expansion (zlsh::knnBestFirst,
+            # e2lsh.cpp:573-699): repeatedly take `step` entries from the
+            # side whose NEXT key shares the longer common bit prefix with
+            # the query key, until the probe budget (`window`) is spent.
+            lo, hi = pos, pos  # [lo, hi) = probed range
+            budget = window
+            n_blk = len(zk)
+            while budget > 0 and (lo > 0 or hi < n_blk):
+                l_ok, h_ok = lo > 0, hi < n_blk
+                if l_ok and h_ok:
+                    go_left = int(llcp(zk_u[lo - 1: lo], qku)[0]) >= int(
+                        llcp(zk_u[hi: hi + 1], qku)[0]
+                    )
+                else:
+                    go_left = l_ok
+                take = min(step, budget)
+                if go_left:
+                    lo = max(0, lo - take)
+                else:
+                    hi = min(n_blk, hi + take)
+                budget -= take
             if hi <= lo:
                 continue
             ci = np.arange(lo, hi)

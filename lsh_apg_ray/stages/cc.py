@@ -105,86 +105,137 @@ def cc_driver(edges) -> tuple[np.ndarray, np.ndarray]:
     raise RuntimeError("cc_driver did not converge in 64 rounds")
 
 
+_CC_NOLAB = np.int64(-1)
+
+
+def _cc_emit(t: pa.Table) -> pa.Table:
+    """Co-grouped message emission for one coarse partition of the union
+    (edge rows: node, dst, lab=-1) ∪ (label rows: node, dst=-1, lab):
+    scatter each node's label onto its out-edges vectorized (sort + run
+    scatter), emit (dst <- lab) messages plus the self (node <- lab) row."""
+    node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(node) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}
+        )
+    is_lab = dst == _CC_NOLAB
+    ln, lv = node[is_lab], lab[is_lab]
+    order = np.argsort(ln, kind="stable")
+    ln, lv = ln[order], lv[order]
+    en, ed = node[~is_lab], dst[~is_lab]
+    if len(en) and not len(ln):
+        raise RuntimeError("cc: edge rows without any label row in partition")
+    pos = np.clip(np.searchsorted(ln, en), 0, max(0, len(ln) - 1))
+    # every edge endpoint has a label row by construction
+    e_lab = lv[pos] if len(ln) else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([ed, ln]), pa.int64()),
+            "cluster_id": pa.array(np.concatenate([e_lab, lv]), pa.int64()),
+        }
+    )
+
+
 def cc_distributed(edges, cfg: DedupConfig):
-    """Hash-min label propagation + pointer jumping; returns a Dataset
-    (doc_id, cluster_id) for nodes appearing in edges. Each round: 3 hash
-    joins + 1 groupby-min + 2 checksums, all edge-scale, O(log diameter)
-    rounds. Bounded by cfg.cc_max_rounds; raises if the fixpoint is not
-    reached (never returns silently-wrong labels)."""
-    import ray.data as rd
+    """Hash-min label propagation + pointer jumping via CO-GROUPED message
+    rounds; returns a Dataset (doc_id, cluster_id) for nodes in >=1 edge.
+
+    Round-2 redesign (round 1 ran 3 hash joins + groupby + jump join per
+    round): each half-round is ONE coarse groupby co-locating a node's label
+    row with its out-edge rows, a vectorized label scatter, and ONE
+    groupby-min combine — so only (int64, int64) rows ever shuffle and the
+    edge set ships once per propagation instead of once per endpoint join.
+    The jump half-round reuses the same machinery with label rows acting as
+    the "edges" (request (cluster_id -> doc_id)), keeping convergence at
+    O(log diameter) rounds like the reference's flood fill shortcutting
+    (divGraph.h:1233-1333). Bounded by cfg.cc_max_rounds; raises if the
+    fixpoint is not reached (never returns silently-wrong labels)."""
+    from lsh_apg_ray.hashing import mix64 as _mix
+
+    P = cfg.join_partitions
+
+    def _part_col(vals: np.ndarray) -> np.ndarray:
+        return (_mix(vals.view(np.uint64)) % np.uint64(P)).astype(np.int64)
 
     e = edges.select_columns(["id_a", "id_b"]).materialize()
-    nodes = (
+
+    def sym_rows(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "lab": pa.array(np.full(len(node), _CC_NOLAB), pa.int64()),
+                "__cpart": pa.array(_part_col(node), pa.int64()),
+            }
+        )
+
+    sym = e.map_batches(sym_rows, batch_format="pyarrow").materialize()
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(d, pa.int64()),
+                "dst": pa.array(np.full(len(d), _CC_NOLAB), pa.int64()),
+                "lab": pa.array(c, pa.int64()),
+                "__cpart": pa.array(_part_col(d), pa.int64()),
+            }
+        )
+
+    def req_rows(t: pa.Table) -> pa.Table:
+        # jump requests: ask node `cluster_id` to send ITS label to doc_id
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(c, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "lab": pa.array(np.full(len(d), _CC_NOLAB), pa.int64()),
+                "__cpart": pa.array(_part_col(c), pa.int64()),
+            }
+        )
+
+    def half_round(static_side, labels):
+        msgs = (
+            static_side.union(
+                labels.map_batches(lab_rows, batch_format="pyarrow")
+            )
+            .groupby("__cpart")
+            .map_groups(
+                lambda g: _cc_emit(g.drop_columns(["__cpart"])),
+                batch_format="pyarrow",
+            )
+        )
+        return (
+            msgs.groupby("doc_id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .repartition(P)  # stop round-over-round block-count compounding
+            .materialize()
+        )
+
+    labels = (
         e.map_batches(
             lambda t: {"doc_id": np.concatenate([t["id_a"], t["id_b"]])},
             batch_format="numpy",
         )
         .groupby("doc_id")
         .aggregate(Min("doc_id", alias_name="cluster_id"))
-    )
-    labels = nodes.materialize()  # (doc_id, cluster_id=doc_id)
+    ).materialize()  # (doc_id, cluster_id=doc_id)
 
     for _ in range(cfg.cc_max_rounds):
-        lab_a = rename_ds(labels, {"doc_id": "id_a", "cluster_id": "lab_a"})
-        lab_b = rename_ds(labels, {"doc_id": "id_b", "cluster_id": "lab_b"})
-        i64 = pa.int64()
-        edge_schema = pa.schema([("id_a", i64), ("id_b", i64)])
-        la_schema = pa.schema([("id_a", i64), ("lab_a", i64)])
-        lb_schema = pa.schema([("id_b", i64), ("lab_b", i64)])
-        j = hash_join(
-            e, lab_a, "id_a", num_partitions=cfg.join_partitions,
-            left_schema=edge_schema, right_schema=la_schema,
-        )
-        j = hash_join(
-            j, lab_b, "id_b", num_partitions=cfg.join_partitions,
-            left_schema=out_schema(edge_schema, la_schema, "id_a"),
-            right_schema=lb_schema,
-        )
-        msgs = j.map_batches(
-            lambda t: {
-                "doc_id": np.concatenate([t["id_a"], t["id_b"]]),
-                "cluster_id": np.concatenate(
-                    [np.minimum(t["lab_a"], t["lab_b"])] * 2
-                ),
-            },
-            batch_format="numpy",
-        )
-        # materialize: `propagated` is consumed twice below (jump left side +
-        # parent lookup); without pinning, the whole join subplan would
-        # re-execute for each consumer.
-        propagated = (
-            labels.union(msgs)
-            .groupby("doc_id")
-            .aggregate(Min("cluster_id", alias_name="cluster_id"))
-            .repartition(cfg.join_partitions)  # coalesce: sort-shuffle output
-            # block count tracks input block count, which otherwise compounds
-            # round over round (task-count blowup, not data growth)
-            .materialize()
-        )
-        # pointer jumping: label <- label(label). Halves pointer-chain depth
-        # every round, so convergence is O(log diameter) joins instead of
-        # O(diameter) — chains (e.g. from overflow-bucket chain pairs) would
-        # otherwise force one shuffle round per hop.
-        # every label IS a node id (labels start as own id and only take mins
-        # over node ids), and label(x) <= x — so the lookup always hits and
-        # the jumped label is just the parent.
-        parents = rename_ds(
-            propagated, {"doc_id": "cluster_id", "cluster_id": "parent"}
-        )
-        lab_schema = pa.schema([("doc_id", i64), ("cluster_id", i64)])
-        par_schema = pa.schema([("cluster_id", i64), ("parent", i64)])
-        jumped = hash_join(
-            propagated, parents, "cluster_id", num_partitions=cfg.join_partitions,
-            left_schema=lab_schema, right_schema=par_schema,
-        )
-        new_labels = (
-            jumped.map_batches(
-                lambda t: {"doc_id": t["doc_id"], "cluster_id": t["parent"]},
-                batch_format="numpy",
-            )
-            .repartition(cfg.join_partitions)
-            .materialize()
-        )
+        propagated = half_round(sym, labels)
+        # pointer jump: label <- label(label); requests built from the
+        # propagated labels themselves (label(x) <= x always resolves)
+        jump_req = propagated.map_batches(req_rows, batch_format="pyarrow")
+        new_labels = half_round(jump_req, propagated)
         before, after = _label_checksum(labels), _label_checksum(new_labels)
         labels = new_labels
         if before == after:

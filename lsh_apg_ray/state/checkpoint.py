@@ -134,6 +134,19 @@ class StageCheckpointer:
             return self.load(name)
         return self.save(name, make_ds(), fingerprint)
 
+    def fixup_stage(self, stage: str, fn, batch_format: str = "pyarrow"):
+        """One-off fix-up map over a saved checkpoint stage — the
+        `ben_correct` analogue (Preprocess.cpp:163-205: rewrite saved
+        benchmark distances sqrt <-> square in place): read the stage's
+        Parquet, apply the batch transform, atomically replace the stage
+        keeping its fingerprint (the data is corrected, not recomputed).
+        Returns the corrected Dataset reading the new files."""
+        m = self.manifest(stage)
+        if m is None:
+            raise FileNotFoundError(f"no checkpoint for stage {stage!r}")
+        ds = self.load(stage).map_batches(fn, batch_format=batch_format)
+        return self.save(stage, ds, m["fingerprint"])
+
     def write_metrics(self) -> str:
         path = os.path.join(self.root, "_metrics.json")
         with open(path, "w") as f:

@@ -88,3 +88,17 @@ def test_embedding_near_dup_matches_bruteforce(emb_ds):
     want = {(a, b) for a, b in zip(ia, ib) if a < b}
     assert set(zip(got["id_a"], got["id_b"])) == want
     assert len(want) > 0  # mixture guarantees some close pairs
+
+
+def test_e2lsh_weighted_key_mode():
+    """M6 parity: the RANDOM_MAP_HASHTABLE weighted key map
+    (e2lsh.cpp:202-246) — deterministic, same-point-same-key, and a
+    different keyspace than the fold mode."""
+    X = np.random.default_rng(3).standard_normal((50, 16))
+    t1 = E2LSHTables(16, L=4, K=4, W=4.0, seed=5, key_mode="weighted")
+    t2 = E2LSHTables(16, L=4, K=4, W=4.0, seed=5, key_mode="weighted")
+    k1, k2 = t1.keys(X), t2.keys(X)
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(t1.keys(X[:1]), k1[:1])
+    t3 = E2LSHTables(16, L=4, K=4, W=4.0, seed=5, key_mode="fold")
+    assert not np.array_equal(k1, t3.keys(X))

@@ -49,6 +49,16 @@ def test_cc_distributed_long_chain():
     assert len(labels) == 12
 
 
+def test_cc_distributed_very_long_chain_converges():
+    # 200-hop path: pointer jumping must converge well inside cc_max_rounds
+    # (O(log diameter), not O(diameter))
+    chain = [(i, i + 1) for i in range(200)]
+    cfg = DedupConfig(join_partitions=3, cc_max_rounds=20)
+    labels = cc_distributed(_edges_ds(chain), cfg).to_pandas()
+    assert set(labels["cluster_id"]) == {0}
+    assert len(labels) == 201
+
+
 def test_attach_clusters_singletons_and_both_paths():
     docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64)}))
     edges = _edges_ds([(1, 2), (2, 3)])

@@ -76,3 +76,30 @@ def test_partial_checkpoint_not_trusted(small_corpus, ckpt_dir):
     assert not ck.is_complete("edges", man["fingerprint"])
     r = dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir, input_fingerprint="x")
     assert r.assignments.count() == small_corpus.num_rows
+
+def test_fixup_stage_rewrites_in_place(tmp_path):
+    """ben_correct analogue (Preprocess.cpp:163-205): one-off map over a
+    saved stage, atomically replacing its files under the same fingerprint."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.state.checkpoint import StageCheckpointer
+
+    ck = StageCheckpointer(str(tmp_path / "ck"))
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "dist": pa.array([4.0, 9.0, 16.0], pa.float64())})
+    )
+    ck.save("bench", ds, "fp1")
+
+    def to_sqrt(t: pa.Table) -> pa.Table:
+        d = np.sqrt(t["dist"].to_numpy(zero_copy_only=False))
+        return t.set_column(1, "dist", pa.array(d, pa.float64()))
+
+    fixed = ck.fixup_stage("bench", to_sqrt).to_pandas().sort_values("id")
+    assert fixed["dist"].tolist() == [2.0, 3.0, 4.0]
+    # fingerprint preserved -> a resume still considers the stage complete
+    assert ck.is_complete("bench", "fp1")
+    again = ck.load("bench").to_pandas().sort_values("id")
+    assert again["dist"].tolist() == [2.0, 3.0, 4.0]

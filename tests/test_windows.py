@@ -27,7 +27,10 @@ def test_tumbling_aggregate():
     df = _events()
     out = tumbling_aggregate(rd.from_pandas(df), "user_id", "ts", 3600).to_pandas()
     out = out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
-    ref = df.assign(window_id=(df.ts.astype("int64") // (3600 * 10**6))).groupby(
+    ref = df.assign(
+        window_id=(df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+                   // (3600 * 10**6))
+    ).groupby(
         ["user_id", "window_id"], as_index=False
     ).agg(n_events=("value", "size"), min_value=("value", "min"),
           max_value=("value", "max"), sum_value=("value", "sum"))

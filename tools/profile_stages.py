@@ -48,7 +48,8 @@ def main() -> int:
 
     import gc
 
-    for run in ("warmup", "timed1", "timed2", "timed3"):
+    reps = int(os.environ.get("PROF_REPS", "3"))
+    for run in ["warmup"] + [f"timed{i+1}" for i in range(reps)]:
         st: dict = {}
         t0 = time.time()
         res = dedup_pipeline(rd.read_parquet(out_dir), cfg, stage_times=st)
