@@ -24,7 +24,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_FILES_PER_SF = 300_000  # sf0.1 -> 30_000 files
-BENCH_QUERIES = ["doc_stats", "exact_dedup", "minhash_lsh_dedup", "ngram_jaccard_pairs", "knn_cosine"]
+BENCH_QUERIES = ["doc_stats", "exact_dedup", "minhash_lsh_dedup",
+                 "ngram_jaccard_pairs", "knn_cosine", "graph_knn"]
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -137,8 +138,19 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # This host's wall-clock drifts 2-5x within a session (memory-ballooned
+    # VM; see BASELINE.md): a single lo/hi pair can land in different host
+    # states and measure the drift, not the engine. Alternate the levels
+    # `reps` times and score best-of-per-level — transient degraded episodes
+    # hit both levels equally often and are excluded symmetrically.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["files_per_sec"]
     tp_hi = r_hi["files_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -150,6 +162,8 @@ def run_scaling() -> dict:
         "cpus_high": hi,
         "sec_low": r_lo["value"],
         "sec_high": r_hi["value"],
+        "sec_low_all": [r["value"] for r in runs_lo],
+        "sec_high_all": [r["value"] for r in runs_hi],
         "files_per_sec_low": tp_lo,
         "files_per_sec_high": tp_hi,
         "sf": r_lo["sf"],

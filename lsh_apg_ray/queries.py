@@ -771,6 +771,21 @@ def q_zorder_knn(sf_dir: str):
 SQL_ZORDER_KNN = _sql_knn_protocol("zorder_knn")
 
 
+def q_ivf_knn(sf_dir: str):
+    from lsh_apg_ray.stages.ann import ivf_knn, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = ivf_knn(emb, qids, qmat, KNN_K, n_centroids=32, nprobe=8)
+    return _knn_protocol(
+        sf_dir, "ivf_knn",
+        out.select_columns(["query_id", "neighbor_id", "rank", "dist"]), KNN_K,
+    )
+
+
+SQL_IVF_KNN = _sql_knn_protocol("ivf_knn")
+
+
 # ---------------------------------------------------------------------------
 # windowed / session operators over the events log (SURVEY.md §2.9 — batch
 # re-expression of stream-shaped semantics; ordering assumptions in
@@ -833,12 +848,15 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 
 def q_props_extract(sf_dir: str):
     """Semi-structured column handling: parse the JSON `props` sidecar and
-    aggregate an extracted field per event_type (vectorized-enough: stdlib
-    json over string batches inside map_batches; at scale this would be
-    pyarrow's JSON reader over a struct-typed column)."""
+    aggregate an extracted field per event_type. Vectorized JSON path: one
+    Arrow `extract_regex` kernel over the whole column pulls the integer
+    field; any row the regex cannot handle (nested/escaped JSON) falls back
+    to stdlib json.loads — exact semantics, no per-row Python on the hot
+    path."""
     import json as _json
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Max, Sum
 
@@ -847,10 +865,19 @@ def q_props_extract(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        ks = [int(_json.loads(p)["k"]) for p in t["props"].to_pylist()]
-        return pa.table(
-            {"event_type": t["event_type"], "k": pa.array(ks, pa.int64())}
-        )
+        col = t["props"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.struct_field(m, "k").cast(pa.int64())
+        if ks.null_count:
+            vals = ks.to_numpy(zero_copy_only=False)
+            miss = np.flatnonzero(pc.is_null(ks).to_numpy(zero_copy_only=False))
+            raw = col.to_pylist()
+            for i in miss:
+                vals[i] = int(_json.loads(raw[i])["k"])
+            ks = pa.array(vals.astype(np.int64), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": ks})
 
     return ev.map_batches(extract, batch_format="pyarrow").groupby(
         "event_type"
@@ -1039,6 +1066,7 @@ QUERIES = {
     "e2lsh_knn": q_e2lsh_knn,
     "zorder_knn": q_zorder_knn,
     "graph_knn": q_graph_knn,
+    "ivf_knn": q_ivf_knn,
 }
 
 ORACLE_SQL = {
@@ -1082,4 +1110,5 @@ ORACLE_SQL = {
     "e2lsh_knn": SQL_E2LSH_KNN,
     "zorder_knn": SQL_ZORDER_KNN,
     "graph_knn": SQL_GRAPH_KNN,
+    "ivf_knn": SQL_IVF_KNN,
 }

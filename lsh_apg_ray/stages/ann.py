@@ -476,6 +476,118 @@ def e2lsh_knn(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def ivf_knn(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF (inverted-file) approximate kNN — the coarse-quantizer scale path
+    for similarity search: k-means centroids partition the corpus into
+    lists; a query exactly reranks only the `nprobe` nearest lists.
+
+    Ray shape: the centroid table is TRAINED in one remote task over a
+    broadcast sample (deterministic seeded Lloyd iterations), then each
+    batch assigns its rows to centroids vectorized and emits partial top-k
+    for the queries probing that row's list — same
+    broadcast-queries/partial-topk/merge skeleton as the LSH tiers (no
+    global sort, vectors never shuffle). Returns (query_id, neighbor_id,
+    rank, dist [squared L2])."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+
+    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
+
+    @ray.remote
+    def train(pack):
+        ids, mat = pack
+        n = len(ids)
+        c = min(n_centroids, max(1, n))
+        rng = np.random.default_rng(seed)
+        cent = mat[rng.choice(n, size=c, replace=False)].copy()
+        for _ in range(kmeans_iters):
+            d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) \
+                if n * c * mat.shape[1] < 5e7 else None
+            if d is None:
+                # blocked distance for big corpora
+                assign = np.empty(n, np.int64)
+                for s in range(0, n, 8192):
+                    blk = mat[s: s + 8192]
+                    dd = ((blk ** 2).sum(1)[:, None]
+                          - 2 * blk @ cent.T + (cent ** 2).sum(1)[None, :])
+                    assign[s: s + 8192] = dd.argmin(1)
+            else:
+                assign = d.argmin(1)
+            for j in range(c):
+                m = assign == j
+                if m.any():
+                    cent[j] = mat[m].mean(axis=0)
+        return cent
+
+    cent_ref = train.remote(mat_ref)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
+
+    def probe(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        qids, qmat = ray.get(qref)
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        # vectorized list assignment for the batch rows
+        dd = ((x ** 2).sum(1)[:, None] - 2 * x @ cent.T
+              + (cent ** 2).sum(1)[None, :])
+        row_cid = dd.argmin(1)
+        # per-query probed lists (tiny: Q x n_centroids)
+        qd = ((qmat ** 2).sum(1)[:, None] - 2 * qmat @ cent.T
+              + (cent ** 2).sum(1)[None, :])
+        probed = np.argsort(qd, axis=1, kind="stable")[:, : min(nprobe, cent.shape[0])]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            m = np.isin(row_cid, probed[qi])
+            m &= ids != qids[qi]
+            ci = np.flatnonzero(m)
+            if not len(ci):
+                continue
+            d = np.round(((x[ci] - qmat[qi]) ** 2).sum(axis=1), ROUND_DECIMALS)
+            kk = min(k, len(ci))
+            sel = np.lexsort((ids[ci], d))[:kk]
+            out_q.append(np.full(kk, qids[qi], np.int64))
+            out_n.append(ids[ci[sel]])
+            out_d.append(d[sel])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(probe, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def zorder_knn(
     embeddings,
     query_ids: np.ndarray,

@@ -56,10 +56,35 @@ class GraphIndex:
     nbr: np.ndarray          # flat neighbor ROW indices
     keys_sorted: np.ndarray  # (L, n) per-table bucket keys, sorted
     rows_sorted: np.ndarray  # (L, n) row indices aligned with keys_sorted
+    hashes: np.ndarray       # (n, K) table-0 raw projection values (chi2 prune)
     L: int
     K: int
     W: float
     seed: int
+
+
+def _inv_norm_cdf(p: float) -> float:
+    """Inverse standard-normal CDF via bisection on math.erfc —
+    deterministic, no scipy in the container."""
+    import math
+
+    lo, hi = -10.0, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if 0.5 * math.erfc(-mid / math.sqrt(2.0)) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def chi2_quantile(p: float, k: int) -> float:
+    """chi-squared quantile via the Wilson-Hilferty cube approximation —
+    the reference evaluates the same quantile with boost
+    (divGraph.h:216-232) to set its pruning coefficient."""
+    z = _inv_norm_cdf(p)
+    a = 2.0 / (9.0 * k)
+    return k * (1.0 - a + z * (a ** 0.5)) ** 3
 
 
 def _topT_partition(t: pa.Table, T: int) -> pa.Table:
@@ -253,17 +278,30 @@ def build_graph(
             o = np.argsort(keys[:, l], kind="stable")
             ks[l] = keys[o, l]
             rws[l] = o
+        # raw projection values over ALL S = L*K dims for the chi-squared
+        # prune (the reference prunes on its per-table K=18 dims,
+        # divGraph.h:528-566; our bucket keys use a narrower K, so the prune
+        # pools every table's projections to keep the bound tight)
+        h0 = (mat @ tb.A.T + tb.B) / tb.W
         return GraphIndex(
             ids=ids, mat=mat, indptr=indptr, nbr=rd_,
-            keys_sorted=ks, rows_sorted=rws, L=L, K=K, W=W, seed=seed,
+            keys_sorted=ks, rows_sorted=rws, hashes=h0,
+            L=L, K=K, W=W, seed=seed,
         )
 
     return assemble_index.remote(mat_ref, *adj.to_arrow_refs())
 
 
 def _search_one(ix: GraphIndex, q: np.ndarray, qkeys: np.ndarray, k: int,
-                ef: int, budget: int, exclude_id: int | None):
-    """Best-first beam search from LSH seeds; returns (rows, dists, cost)."""
+                ef: int, budget: int, exclude_id: int | None,
+                coeffq: float | None = None, qh: np.ndarray | None = None):
+    """Best-first beam search from LSH seeds; returns
+    (rows, dists, cost, pruned).
+
+    coeffq/qh enable the chi-squared LSH prune (divGraph.h:1118, coeff
+    divGraph.h:216-232): a neighbor's exact distance is skipped when its
+    K-dim hash-space distance scaled by W^2/chi2_K(pQ) already exceeds the
+    worst kept result — with probability pQ the skip is correct."""
     n = len(ix.ids)
     visited = np.zeros(n, dtype=bool)
     # --- LSH seeding (divGraph.h:934-1029, budget 4*L*ln N) ---
@@ -295,6 +333,7 @@ def _search_one(ix: GraphIndex, q: np.ndarray, qkeys: np.ndarray, k: int,
     while len(results) > ef:
         heapq.heappop(results)
     # --- beam (bestFirstSearchInGraph, divGraph.h:1093-1146) ---
+    pruned = 0
     while frontier:
         dd, rr = heapq.heappop(frontier)
         if len(results) >= ef and dd > -results[0][0]:
@@ -304,6 +343,14 @@ def _search_one(ix: GraphIndex, q: np.ndarray, qkeys: np.ndarray, k: int,
         if len(fresh) == 0:
             continue
         visited[fresh] = True
+        if coeffq is not None and len(results) >= ef:
+            worst_now = -results[0][0]
+            hd = ((ix.hashes[fresh] - qh) ** 2).sum(axis=1)
+            keep_m = hd * coeffq <= worst_now
+            pruned += int((~keep_m).sum())
+            fresh = fresh[keep_m]
+            if len(fresh) == 0:
+                continue
         nd = ((ix.mat[fresh] - q) ** 2).sum(axis=1)
         cost += len(fresh)
         worst = -results[0][0] if len(results) >= ef else np.inf
@@ -320,7 +367,7 @@ def _search_one(ix: GraphIndex, q: np.ndarray, qkeys: np.ndarray, k: int,
         keep = ix.ids[rows] != exclude_id
         rows, dists = rows[keep], dists[keep]
     order = np.lexsort((ix.ids[rows], np.round(dists, ROUND_DECIMALS)))[:k]
-    return rows[order], np.round(dists[order], ROUND_DECIMALS), cost
+    return rows[order], np.round(dists[order], ROUND_DECIMALS), cost, pruned
 
 
 def graph_knn(
@@ -332,11 +379,17 @@ def graph_knn(
     lsh_budget: int | None = None,
     exclude_self: bool = True,
     chunk: int = 32,
+    prob_q: float | None = None,
 ):
     """Parallel query benchmark over a built graph: remote tasks over query
     chunks, each reading the broadcast index zero-copy. Returns a pyarrow
-    Table (query_id, neighbor_id, rank, dist, cost) — cost is the number of
-    exact distance evaluations for that query (COST protocol, alg.h:130)."""
+    Table (query_id, neighbor_id, rank, dist, cost, pruned) — cost is the
+    number of exact distance evaluations for that query (COST protocol,
+    alg.h:130), pruned the chi-squared skips.
+
+    prob_q enables the chi-squared LSH prune at confidence prob_q (the
+    reference's pQ, default 0.9 at main.cpp:41). None = exact beam (no
+    prune) — the mode the deterministic oracle query uses."""
     qids = np.asarray(query_ids, dtype=np.int64)
     qmat = np.asarray(query_matrix, dtype=np.float64)
 
@@ -346,17 +399,26 @@ def graph_knn(
         budget = lsh_budget or max(1, int(4 * ix.L * np.log(max(n, 2))))
         tb = E2LSHTables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W, seed=ix.seed)
         qkeys = tb.keys(qm)
-        out_q, out_n, out_d, out_r, out_c = [], [], [], [], []
+        coeffq = None
+        qh_all = None
+        if prob_q is not None:
+            s_dims = ix.L * ix.K
+            coeffq = (ix.W ** 2) / chi2_quantile(prob_q, s_dims)
+            qh_all = (qm @ tb.A.T + tb.B) / tb.W
+        out_q, out_n, out_d, out_r, out_c, out_p = [], [], [], [], [], []
         for i in range(len(qi)):
-            rows, dists, cost = _search_one(
+            rows, dists, cost, pruned = _search_one(
                 ix, qm[i], qkeys[i], k, ef, budget,
                 int(qi[i]) if exclude_self else None,
+                coeffq=coeffq,
+                qh=qh_all[i] if qh_all is not None else None,
             )
             out_q.append(np.full(len(rows), qi[i], np.int64))
             out_n.append(ix.ids[rows])
             out_d.append(dists)
             out_r.append(np.arange(1, len(rows) + 1, dtype=np.int64))
             out_c.append(np.full(len(rows), cost, np.int64))
+            out_p.append(np.full(len(rows), pruned, np.int64))
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
         return pa.table(
             {
@@ -365,6 +427,7 @@ def graph_knn(
                 "rank": pa.array(cat(out_r), pa.int64()),
                 "dist": pa.array(cat(out_d), pa.float64()),
                 "cost": pa.array(cat(out_c), pa.int64()),
+                "pruned": pa.array(cat(out_p), pa.int64()),
             }
         )
 

@@ -102,3 +102,30 @@ def test_e2lsh_weighted_key_mode():
     assert np.array_equal(t1.keys(X[:1]), k1[:1])
     t3 = E2LSHTables(16, L=4, K=4, W=4.0, seed=5, key_mode="fold")
     assert not np.array_equal(k1, t3.keys(X))
+
+
+def test_ivf_knn_recall(emb_ds):
+    """IVF coarse-quantizer path: high recall on clustered data at a
+    fraction of the scanned lists."""
+    from lsh_apg_ray.stages.ann import ivf_knn
+
+    ds, X = emb_ds
+    qids = np.arange(8, dtype=np.int64)
+    k = 5
+    got = ivf_knn(ds, qids, X[:8], k=k, n_centroids=24, nprobe=6).to_pandas()
+    hits = total = 0
+    for q in qids:
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want = set(np.argsort(d, kind="stable")[:k])
+        g = set(got[got.query_id == q]["neighbor_id"].tolist())
+        hits += len(g & want)
+        total += k
+    assert hits / total >= 0.9, hits / total
+    # determinism across runs
+    got2 = ivf_knn(ds, qids, X[:8], k=k, n_centroids=24, nprobe=6).to_pandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "dist"]].equals(
+        b[["query_id", "neighbor_id", "dist"]]
+    )

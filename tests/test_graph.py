@@ -105,3 +105,33 @@ def test_graph_knn_small_fixture_exact(ray_session):
     assert res[["query_id", "neighbor_id", "dist"]].equals(
         golden[["query_id", "neighbor_id", "dist"]]
     )
+
+
+def test_graph_knn_chi2_prune(ray_session, clustered_embeddings):
+    """chi-squared LSH prune (divGraph.h:1118, pQ=0.9): skips exact distance
+    evaluations with bounded recall impact — same contract the reference
+    claims for its pruning coefficient."""
+    from lsh_apg_ray.stages.ann import knn_l2
+    from lsh_apg_ray.stages.graph import build_graph, chi2_quantile, graph_knn
+
+    # quantile sanity vs known values (chi2.ppf(0.9, 4) ~ 7.7794,
+    # chi2.ppf(0.95, 10) ~ 18.307)
+    assert abs(chi2_quantile(0.9, 4) - 7.7794) < 0.05
+    assert abs(chi2_quantile(0.95, 10) - 18.307) < 0.1
+
+    emb, ids, x = clustered_embeddings
+    qids, qmat = ids[:20], x[:20]
+    k = 50
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+    ix = build_graph(emb)
+    plain = graph_knn(ix, qids, qmat, k=k, ef=120).to_pandas()
+    pruned = graph_knn(ix, qids, qmat, k=k, ef=120, prob_q=0.9).to_pandas()
+
+    r_plain = _recall(golden, plain, qids, k)
+    r_pruned = _recall(golden, pruned, qids, k)
+    c_plain = float(plain.groupby("query_id")["cost"].first().mean())
+    c_pruned = float(pruned.groupby("query_id")["cost"].first().mean())
+    n_pruned = float(pruned.groupby("query_id")["pruned"].first().mean())
+    assert n_pruned > 0          # the prune actually fires
+    assert c_pruned < c_plain    # and saves exact evaluations
+    assert r_pruned >= r_plain - 0.03  # with bounded recall impact
