@@ -1,0 +1,330 @@
+"""Incremental (delta) near-duplicate maintenance.
+
+The reference's headline "fast index maintenance for dynamic datasets"
+(oneByOneInsert, divGraph.h:764-810; paper abstract) re-expressed as
+micro-batch delta runs over the checkpointed pipeline state: a new batch of
+files is folded into an existing dedup result at a cost that scales with
+the DELTA, not the corpus.
+
+Key insight (same as the reference's incremental insert probing only
+existing buckets): a new document can only create candidate pairs inside
+band buckets it lands in. So the delta run
+
+  1. fused-preps ONLY the delta docs (sha/meta/bands);
+  2. recomputes the exact-tier rep map over combined (cheap: 2 int columns
+     through one partial-aggregated groupby);
+  3. remaps the checkpointed edge endpoints where a delta doc displaced a
+     representative (same content, smaller doc_id) — vectorized broadcast;
+  4. band-explodes combined reps but keeps ONLY buckets touched by >=1
+     delta rep (broadcast bucket-key filter): pair emission + verification
+     scale with the delta's bucket footprint;
+  5. unions the remapped old edges with the newly verified ones, dedups,
+     and re-runs CC + assignment over the combined corpus;
+  6. writes the combined state back as the new checkpoint (feats/edges),
+     so deltas chain.
+
+Exactness contract (tested): the result equals a full recompute over
+base ∪ delta — bucket-untouched pairs cannot change (same bucket contents
+=> same candidates => same verified edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.pipelines.dedup import DedupResult
+from lsh_apg_ray.stages.bands import band_explode_precomputed
+from lsh_apg_ray.stages.cc import attach_clusters
+from lsh_apg_ray.stages.minhash import make_fused_prep_fn, make_shingle_payload_fn
+from lsh_apg_ray.stages.pairs import candidate_pairs
+from lsh_apg_ray.stages.verify import collect_pair_ids, verify_pairs
+from lsh_apg_ray.state.checkpoint import StageCheckpointer, config_fingerprint
+
+
+@ray.remote
+def _pack_sorted(*blocks, key: str, val: str):
+    kp, vp = [], []
+    for b in blocks:
+        if b.num_rows == 0:
+            continue
+        kp.append(b[key].to_numpy(zero_copy_only=False).astype(np.int64))
+        vp.append(b[val].to_numpy(zero_copy_only=False).astype(np.int64))
+    k = np.concatenate(kp) if kp else np.empty(0, np.int64)
+    v = np.concatenate(vp) if vp else np.empty(0, np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+@ray.remote
+def _uniq_col(*blocks, col: str):
+    parts = [
+        b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in blocks
+        if b.num_rows
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+def _lookup(keys_sorted: np.ndarray, vals: np.ndarray, x: np.ndarray,
+            default: np.ndarray) -> np.ndarray:
+    if not len(keys_sorted):
+        return default
+    pos = np.clip(np.searchsorted(keys_sorted, x), 0, len(keys_sorted) - 1)
+    hit = keys_sorted[pos] == x
+    return np.where(hit, vals[pos], default)
+
+
+def dedup_delta(
+    base_ds: Dataset,
+    delta_ds: Dataset,
+    cfg: DedupConfig,
+    checkpoint_dir: str,
+    content_col: str = "content",
+    id_col: str | None = None,
+    keep_cols: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    input_fingerprint: str = "",
+) -> DedupResult:
+    """Fold `delta_ds` into the checkpointed dedup state at
+    `checkpoint_dir` (produced by dedup_pipeline(..., checkpoint_dir=...)).
+    `base_ds` must be the re-readable base source (pass C re-derives
+    shingle payloads for pair-involved base docs from it)."""
+    ckpt = StageCheckpointer(checkpoint_dir)
+    old_feats = ckpt.load("feats")
+    old_edges = ckpt.load("edges")
+
+    # ---- 1. delta fused prep -------------------------------------------------
+    delta_feats = delta_ds.map_batches(
+        make_fused_prep_fn(cfg, content_col=content_col, id_col=id_col,
+                           keep_cols=tuple(keep_cols)),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).materialize()
+    feats = old_feats.union(delta_feats).materialize()
+
+    # ---- 2. combined exact tier (rep map over two int columns) --------------
+    group_key = "sha" if cfg.exact_sha_grouping else "sha_key"
+    rep_by_key = (
+        feats.select_columns([group_key, "doc_id"])
+        .groupby(group_key)
+        .aggregate(Min("doc_id", alias_name="rep_id"))
+    ).materialize()
+    rep_blocks = rep_by_key.to_arrow_refs()
+    rep_map_ref = _pack_sorted.remote(*rep_blocks, key=group_key, val="rep_id")
+    rep_ids_ref = _uniq_col.remote(*rep_blocks, col="rep_id")
+
+    def attach_rep(t: pa.Table) -> pa.Table:
+        k, r = ray.get(rep_map_ref)
+        sk = t[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(k, sk), 0, max(0, len(k) - 1))
+        return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
+
+    meta_cols = ["doc_id", "sha", "sha_key", "nbytes", *keep_cols]
+    docs = feats.select_columns(meta_cols).map_batches(
+        attach_rep, batch_format="pyarrow"
+    )
+    docs_schema = pa.schema(
+        [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
+         ("nbytes", pa.int64())]
+        + [(c, pa.string()) for c in keep_cols]
+        + [("rep_id", pa.int64())]
+    )
+
+    # ---- 3. remap old edge endpoints where a delta doc displaced a rep ------
+    # old rep o and new rep n share the content group <=> same group key; the
+    # mapping o -> n is (old feats row of o).group_key looked up in the new
+    # rep map. Build it from the old edges' endpoint set only (small).
+    old_ep_ref = collect_pair_ids.remote(
+        *old_edges.select_columns(["id_a", "id_b"]).to_arrow_refs()
+    )
+
+    @ray.remote
+    def _rep_remap(old_eps, *old_feat_blocks):
+        k, r = ray.get(rep_map_ref)
+        ids_p, key_p = [], []
+        for b in old_feat_blocks:
+            if b.num_rows == 0:
+                continue
+            d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g = b[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(d, old_eps)
+            ids_p.append(d[m])
+            key_p.append(g[m])
+        ids = np.concatenate(ids_p) if ids_p else np.empty(0, np.int64)
+        gk = np.concatenate(key_p) if key_p else np.empty(0, np.int64)
+        pos = np.clip(np.searchsorted(k, gk), 0, max(0, len(k) - 1))
+        new_rep = r[pos] if len(k) else ids
+        order = np.argsort(ids)
+        return ids[order], new_rep[order]
+
+    remap_ref = _rep_remap.remote(
+        old_ep_ref, *old_feats.select_columns(["doc_id", group_key]).to_arrow_refs()
+    )
+
+    def remap_edges(t: pa.Table) -> pa.Table:
+        mk, mv = ray.get(remap_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a2 = _lookup(mk, mv, a, a)
+        b2 = _lookup(mk, mv, b, b)
+        lo, hi = np.minimum(a2, b2), np.maximum(a2, b2)
+        keep = lo != hi
+        out = pa.table(
+            {
+                "id_a": pa.array(lo[keep], pa.int64()),
+                "id_b": pa.array(hi[keep], pa.int64()),
+                "n_bands": pa.array(
+                    t["n_bands"].to_numpy(zero_copy_only=False)[keep]
+                    if "n_bands" in t.column_names
+                    else np.zeros(int(keep.sum()), np.int64),
+                    pa.int64(),
+                ),
+                "n_inter": t["n_inter"].filter(pa.array(keep))
+                if "n_inter" in t.column_names
+                else pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+                "n_union": t["n_union"].filter(pa.array(keep))
+                if "n_union" in t.column_names
+                else pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+                "jaccard": t["jaccard"].filter(pa.array(keep)),
+            }
+        )
+        return out
+
+    old_edges_remapped = old_edges.map_batches(remap_edges, batch_format="pyarrow")
+
+    # ---- 4. candidate pairs from delta-touched buckets only ------------------
+    def rep_band_filter(t: pa.Table) -> pa.Table:
+        w = ray.get(rep_ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(w, d), 0, max(0, len(w) - 1))
+        mask = (w[pos] == d) if len(w) else np.zeros(len(d), bool)
+        mask &= t["n_shingles"].to_numpy(zero_copy_only=False) > 0
+        return t.filter(pa.array(mask))
+
+    band_cols = ["doc_id", "n_shingles", "bands"]
+    delta_bands = band_explode_precomputed(
+        delta_feats.select_columns(band_cols).map_batches(
+            rep_band_filter, batch_format="pyarrow"
+        ),
+        cfg,
+    )
+
+    @ray.remote
+    def _bucket_keys(*blocks):
+        parts = []
+        for b in blocks:
+            if b.num_rows == 0:
+                continue
+            bi = b["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            parts.append(
+                (bi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ bh.view(np.uint64)
+            )
+        if not parts:
+            return np.empty(0, np.int64)
+        # sort in INT64 order (the filter's searchsorted runs on int64 keys;
+        # a u64-ordered array viewed as int64 is not sorted)
+        return np.sort(np.unique(np.concatenate(parts)).view(np.int64))
+
+    delta_bands = delta_bands.materialize()
+    touched_ref = _bucket_keys.remote(*delta_bands.to_arrow_refs())
+
+    all_bands = band_explode_precomputed(
+        feats.select_columns(band_cols).map_batches(
+            rep_band_filter, batch_format="pyarrow"
+        ),
+        cfg,
+    )
+
+    def touched_filter(t: pa.Table) -> pa.Table:
+        touched = ray.get(touched_ref)
+        bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (
+            (bi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ bh.view(np.uint64)
+        ).view(np.int64)
+        if not len(touched):
+            return t.filter(pa.array(np.zeros(len(bi), bool)))
+        pos = np.clip(np.searchsorted(touched, key), 0, len(touched) - 1)
+        return t.filter(pa.array(touched[pos] == key))
+
+    pairs = candidate_pairs(
+        all_bands.map_batches(touched_filter, batch_format="pyarrow"), cfg
+    ).materialize()
+    pair_ids_ref = collect_pair_ids.remote(
+        *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
+    )
+
+    # ---- payload: pair-involved docs from base ∪ delta sources ---------------
+    payload = base_ds.union(delta_ds).map_batches(
+        make_shingle_payload_fn(cfg, pair_ids_ref, content_col=content_col,
+                                id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    new_edges = verify_pairs(pairs, payload, cfg, pair_ids_ref=pair_ids_ref).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
+        batch_format="pyarrow",
+    )
+
+    # ---- 5. union + dedup edges, CC, assignments ----------------------------
+    def dedup_edge_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(a):
+            return t
+        # deterministic survivor per (a, b): highest n_bands (the freshly
+        # recomputed row sees the full combined bucket)
+        nb = t["n_bands"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-nb, b, a))
+        t = t.take(pa.array(order))
+        a, b = a[order], b[order]
+        keep = np.empty(len(a), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return t.filter(pa.array(keep))
+
+    edge_cols = ["id_a", "id_b", "n_bands", "n_inter", "n_union", "jaccard"]
+    combined = old_edges_remapped.select_columns(edge_cols).union(
+        new_edges.select_columns(edge_cols)
+    )
+
+    def add_epart(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import mix64
+
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (
+            mix64(a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.view(np.uint64))
+            % np.uint64(cfg.join_partitions)
+        ).astype(np.int64)
+        return t.append_column("__epart", pa.array(p, pa.int64()))
+
+    edges = (
+        combined.map_batches(add_epart, batch_format="pyarrow")
+        .groupby("__epart")
+        .map_groups(
+            lambda g: dedup_edge_part(g.drop_columns(["__epart"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    # ---- 6. persist combined state as the new checkpoint --------------------
+    new_fp = config_fingerprint(cfg, input_fingerprint + ":delta")
+    feats_ck = ckpt.save("feats", feats, new_fp)
+    edges_ck = ckpt.save("edges", edges, new_fp)
+
+    assignments = attach_clusters(
+        docs, edges_ck, cfg, id_col="rep_id", docs_schema=docs_schema
+    )
+    assignments = ckpt.save("assignments", assignments, new_fp)
+    ckpt.write_metrics()
+    return DedupResult(
+        assignments=assignments, duplicate_edges=edges_ck, candidate_metrics=None
+    )

@@ -300,6 +300,61 @@ def q_corpus_dedup(sf_dir: str):
     )
 
 
+def q_corpus_dedup_incremental(sf_dir: str):
+    """Incremental maintenance surface (the reference's dynamic-dataset
+    headline): the SAME corpus is deduped as a base run (6 of 8 shards,
+    checkpointed) plus a delta fold-in (2 shards) — and must match the
+    full-recompute oracle exactly (shared SQL with corpus_dedup)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from lsh_apg_ray.corpus import write_corpus
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+    from lsh_apg_ray.pipelines.incremental import dedup_delta
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    n_files = max(1000, int(float(sf) * 100_000))
+    d = write_corpus(f"/tmp/lsh_apg_query_corpus_{sf}", n_files=n_files, seed=77,
+                     shards=8)
+    shards = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    base_paths, delta_paths = shards[:6], shards[6:]
+    corpus = rd.read_parquet(d)
+
+    def with_id(t):
+        import pyarrow as pa
+
+        from lsh_apg_ray.hashing import doc_id_of
+
+        ids = [
+            doc_id_of(r, p, c)
+            for r, p, c in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                               t["commit"].to_pylist())
+        ]
+        return t.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    _dump_ds(
+        corpus.map_batches(with_id, batch_format="pyarrow").select_columns(
+            ["doc_id", "repo", "path", "content"]
+        ),
+        sf_dir,
+        "corpus_ids",
+    )
+    ck = f"/tmp/lsh_apg_inc_ck_{sf}"
+    shutil.rmtree(ck, ignore_errors=True)  # fresh state each gate run
+    cfg = _cfg()
+    dedup_pipeline(rd.read_parquet(base_paths), cfg, checkpoint_dir=ck,
+                   input_fingerprint="base")
+    res = dedup_delta(rd.read_parquet(base_paths), rd.read_parquet(delta_paths),
+                      cfg, checkpoint_dir=ck, input_fingerprint="base")
+    return res.assignments.select_columns(
+        ["doc_id", "repo", "path", "sha", "rep_id", "cluster_id"]
+    )
+
+
 SQL_CORPUS_DEDUP = f"""
 WITH RECURSIVE
 corpus AS (SELECT * FROM read_parquet('{_dump_path(_SQL_SF, "corpus_ids")}/*.parquet')),
@@ -1061,6 +1116,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "containment_pairs": q_containment_pairs,
     "corpus_dedup": q_corpus_dedup,
+    "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "e2lsh_knn": q_e2lsh_knn,
@@ -1103,6 +1159,9 @@ ORACLE_SQL = {
     # it matches the exact-Jaccard clustering computed in SQL (same contract
     # as minhash_lsh_dedup above).
     "corpus_dedup": SQL_CORPUS_DEDUP,
+    # incremental maintenance must reproduce the full-recompute clustering
+    # exactly (same SQL oracle as corpus_dedup)
+    "corpus_dedup_incremental": SQL_CORPUS_DEDUP,
     # e2lsh_knn / zorder_knn emit the reference's recall/ratio benchmark
     # protocol rows; the oracle recomputes the golden top-k and the scoring
     # independently (the dumped LSH result is the shared input, like the

@@ -1,0 +1,89 @@
+"""Incremental (delta) dedup maintenance — exactness vs full recompute.
+
+The reference's dynamic-dataset maintenance (oneByOneInsert,
+divGraph.h:764-810) re-expressed as micro-batch delta runs: folding a delta
+into the checkpointed state must produce the SAME assignments and edge set
+as recomputing over base ∪ delta from scratch (at configs where no bucket
+overflows; under caps the incremental edge set is a superset — old verified
+edges are kept — which can only improve connectivity of true duplicates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.corpus import generate_corpus
+from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+from lsh_apg_ray.pipelines.incremental import dedup_delta
+
+
+def _cfg():
+    return DedupConfig(threshold=0.7, join_partitions=4, signer_concurrency=2,
+                       batch_size=256)
+
+
+def test_delta_equals_full_recompute(ray_session, tmp_path):
+    full_table = generate_corpus(1500, seed=33)
+    base_t = full_table.slice(0, 1000)
+    delta_t = full_table.slice(1000, 500)
+    base_p, delta_p = str(tmp_path / "base.parquet"), str(tmp_path / "delta.parquet")
+    pq.write_table(base_t, base_p)
+    pq.write_table(delta_t, delta_p)
+    cfg = _cfg()
+    ck = str(tmp_path / "ck")
+
+    # base run with checkpointing, then fold the delta in
+    dedup_pipeline(rd.read_parquet(base_p), cfg, checkpoint_dir=ck,
+                   input_fingerprint="base")
+    inc = dedup_delta(rd.read_parquet(base_p), rd.read_parquet(delta_p), cfg,
+                      checkpoint_dir=ck, input_fingerprint="base")
+
+    # full recompute over base ∪ delta
+    full = dedup_pipeline(rd.read_parquet([base_p, delta_p]), cfg)
+
+    a_inc = inc.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    a_full = full.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "sha", "rep_id", "cluster_id"]
+    assert a_inc[cols].equals(a_full[cols])
+
+    e_inc = (
+        inc.duplicate_edges.to_pandas()[["id_a", "id_b", "jaccard"]]
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    e_full = (
+        full.duplicate_edges.to_pandas()[["id_a", "id_b", "jaccard"]]
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert e_inc.equals(e_full)
+
+
+def test_delta_chains(ray_session, tmp_path):
+    """Two successive deltas fold correctly (state round-trips through the
+    checkpoint between them)."""
+    full_table = generate_corpus(900, seed=51)
+    parts = [full_table.slice(0, 500), full_table.slice(500, 200),
+             full_table.slice(700, 200)]
+    paths = []
+    for i, t in enumerate(parts):
+        p = str(tmp_path / f"p{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    cfg = _cfg()
+    ck = str(tmp_path / "ck")
+
+    dedup_pipeline(rd.read_parquet(paths[0]), cfg, checkpoint_dir=ck)
+    dedup_delta(rd.read_parquet(paths[0]), rd.read_parquet(paths[1]), cfg,
+                checkpoint_dir=ck)
+    inc = dedup_delta(rd.read_parquet(paths[:2]), rd.read_parquet(paths[2]), cfg,
+                      checkpoint_dir=ck)
+    full = dedup_pipeline(rd.read_parquet(paths), cfg)
+
+    a_inc = inc.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    a_full = full.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a_inc[["doc_id", "rep_id", "cluster_id"]].equals(
+        a_full[["doc_id", "rep_id", "cluster_id"]]
+    )
+    assert len(a_inc) == 900

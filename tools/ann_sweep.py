@@ -1,0 +1,92 @@
+"""ANN recall/latency sweep in the reference's result-CSV protocol.
+
+Reproduces the `graphSearch` benchmark loop (`alg.h:98-134`: for each ef,
+run 100 queries, append one CSV row `Dataset,k,L,K,T,RATIO,RECALL,AVG_TIME,
+COST,DATE` — reference header written at alg.h:122; ef sweep main.cpp:182-186)
+over this engine's ANN tiers. COST is the verified-candidate fraction of N
+per query, RATIO the summed-distance ratio vs the exact golden top-k.
+
+    python tools/ann_sweep.py [sf_dir] [out_csv]
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_csv = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_sweep_result.csv"
+
+    import numpy as np
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from lsh_apg_ray.sources import read_embeddings
+    from lsh_apg_ray.stages.ann import knn_l2, load_queries
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    k = 10
+    n_queries = 20
+    T, L, K, W = 24, 4, 4, 16.0
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).materialize()
+    n = emb.count()
+    qids, qmat = load_queries(emb, n_queries)
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+    g_sets = golden.groupby("query_id")["neighbor_id"].apply(set)
+    g_by_rank = {
+        qid: grp.sort_values("rank")["dist"].to_numpy()
+        for qid, grp in golden.groupby("query_id")
+    }
+
+    ix = build_graph(emb, T=T, L=L, K=K, W=W)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    rows = []
+    for ef in [k, 20, 40, 80, 160]:
+        t0 = time.time()
+        res = graph_knn(ix, qids, qmat, k=k, ef=ef, prob_q=0.9).to_pandas()
+        avg_ms = (time.time() - t0) * 1000.0 / max(1, len(qids))
+        recalls, ratios, costs = [], [], []
+        for qid in qids:
+            a = res[res.query_id == qid].sort_values("rank")
+            recalls.append(len(set(a.neighbor_id) & g_sets.get(qid, set())) / k)
+            # rank-wise mean distance ratio with zero-guard (Query.cpp:37-56)
+            gd = g_by_rank.get(qid, np.empty(0))
+            ad = a["dist"].to_numpy()
+            m = min(len(gd), len(ad))
+            ok = gd[:m] > 0
+            ratios.append(float(np.mean(ad[:m][ok] / gd[:m][ok])) if ok.any() else 1.0)
+            costs.append(float(a["cost"].iloc[0]) / n if len(a) else 0.0)
+        rows.append(
+            {
+                "Dataset": name, "k": k, "L": L, "K": K, "T": T, "ef": ef,
+                "RATIO": round(float(np.mean(ratios)), 5),
+                "RECALL": round(float(np.mean(recalls)), 4),
+                "AVG_TIME_MS": round(avg_ms, 3),
+                "COST": round(float(np.mean(costs)), 5),
+            }
+        )
+        print(rows[-1])
+
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out_csv}")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
