@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Ray-side plumbing — schema, actor-pool signatures, batch sizing, output
-layout — is real and tested; the DECODE KERNELS ARE STUBS: this container
-ships no image/audio codecs, so each decoder tries the real library at actor
-init and otherwise falls back to a DETERMINISTIC FAKE decode (features
-derived from the payload bytes via blake2). Swap `_fake_*` for the real
-kernel when PIL/torchaudio/pyav are available; nothing else changes.
+layout — is real and tested. Decode kernels are tiered:
+  - RAW formats decode FOR REAL with numpy only (no codec library):
+    binary PPM (P6) images (`_decode_ppm`) and RIFF/WAVE PCM16 audio
+    (`_decode_wav_pcm16`) — header parse + zero-copy frombuffer + stats;
+  - COMPRESSED formats try the real library at actor init (PIL / pyav; not
+    shipped in this container) and otherwise fall back to a DETERMINISTIC
+    FAKE decode (features derived from the payload bytes via blake2), so
+    the distributed plumbing exercises identically either way.
 
 Design notes for binary payloads at scale (task brief "Memory-aware"):
   - batches stay SMALL (default 64 rows) because one batch x concurrency of
@@ -51,6 +54,112 @@ def _stable_floats(payload: bytes, n: int, salt: bytes) -> np.ndarray:
     return out
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL raw-image decode: binary PPM (P6) parsed with numpy only —
+    header `P6\\n<w> <h>\\n<maxval>\\n` then w*h*3 raw bytes. No codec
+    library required; the format every image toolchain can emit."""
+    # parse the three whitespace-separated header tokens after the magic,
+    # skipping '#' comment lines
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, arr.reshape(h, w, 3).astype(np.float64)
+
+
+def _decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL raw-audio decode: RIFF/WAVE PCM16 parsed with numpy only —
+    walks the chunk list, reads `fmt ` (rate, channels) and `data`
+    (int16 samples, channel-averaged to mono float64 in [-1, 1])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError(f"non-PCM wav format {fmt}")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = np.frombuffer(body[: size - (size % 2)], dtype="<i2")
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    mono = data.astype(np.float64)
+    if channels > 1:
+        n = (len(mono) // channels) * channels
+        mono = mono[:n].reshape(-1, channels).mean(axis=1)
+    return rate, mono / 32768.0
+
+
+class AudioDecode:
+    """payload -> (sample_rate, n_samples, duration_s, rms, spectral
+    embedding[dim]).
+
+    REAL path for RIFF/WAVE PCM16 (numpy chunk walk — no codec library);
+    compressed formats fall back to the deterministic fake (no codecs in
+    this container; swap in torchaudio/pyav when available). Same actor
+    contract either way."""
+
+    def __init__(self, embed_dim: int = 16, fft_window: int = 2048) -> None:
+        self.embed_dim = embed_dim
+        self.fft_window = fft_window
+
+    def _decode(self, payload: bytes) -> tuple[int, int, float, float, np.ndarray]:
+        try:
+            rate, mono = _decode_wav_pcm16(payload)
+            rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+            wnd = mono[: self.fft_window]
+            spec = np.abs(np.fft.rfft(wnd, n=self.fft_window))
+            bins = np.array_split(spec, self.embed_dim)
+            emb = np.array([b.mean() if len(b) else 0.0 for b in bins])
+            dur = len(mono) / rate if rate else 0.0
+            return rate, len(mono), dur, rms, emb
+        except ValueError:
+            f = _stable_floats(payload, 4 + self.embed_dim, b"audio")
+            rate = 8000 + int(f[0] * 40000)
+            n = int(f[1] * 1_000_000)
+            return rate, n, n / rate, float(f[2]), f[4:]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        rate = np.empty(n, np.int64)
+        nsamp = np.empty(n, np.int64)
+        dur = np.empty(n, np.float64)
+        rms = np.empty(n, np.float64)
+        embs = np.empty((n, self.embed_dim), np.float64)
+        for i, p in enumerate(payloads):
+            rate[i], nsamp[i], dur[i], rms[i], embs[i] = self._decode(p or b"")
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "sample_rate": pa.array(rate, pa.int64()),
+                "n_samples": pa.array(nsamp, pa.int64()),
+                "duration_s": pa.array(dur, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "embedding": pa.array(list(embs), pa.list_(pa.float64())),
+            }
+        )
+
+
 class ImageDecode:
     """payload -> (width, height, mean_luma, embedding[dim]).
 
@@ -70,6 +179,14 @@ class ImageDecode:
             self._pil = None  # stub fallback, see module docstring
 
     def _decode(self, payload: bytes) -> tuple[int, int, float, np.ndarray]:
+        # REAL decode for raw PPM (P6): pure numpy, no codec library needed
+        if payload[:2] == b"P6":
+            w, h, arr = _decode_ppm(payload)
+            luma = (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            )
+            emb = np.resize(luma.mean(axis=0), self.embed_dim) / 255.0
+            return w, h, float(luma.mean() / 255.0), emb
         if self._pil is not None:
             import io
 
@@ -140,6 +257,17 @@ def decode_images(ds, embed_dim: int = 16, batch_size: int = 64, concurrency=(1,
         fn_constructor_kwargs=dict(embed_dim=embed_dim),
         batch_format="pyarrow",
         batch_size=batch_size,   # small: payload x concurrency must fit heap
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def decode_audio(ds, embed_dim: int = 16, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(
+        AudioDecode,
+        fn_constructor_kwargs=dict(embed_dim=embed_dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )

@@ -49,3 +49,79 @@ def test_frame_sample_flatmap_shape():
     assert len(out) == 30
     assert set(out["frame_idx"]) == {0, 1, 2}
     assert out.groupby("item_id").size().eq(3).all()
+
+
+def _ppm_bytes(w, h, rgb):
+    import numpy as np
+
+    header = f"P6\n{w} {h}\n255\n".encode()
+    arr = np.full((h, w, 3), rgb, dtype=np.uint8)
+    return header + arr.tobytes()
+
+
+def _wav_bytes(rate, samples_i16):
+    import numpy as np
+
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def test_real_ppm_decode(ray_session):
+    """Raw PPM decodes for real (numpy header parse), exact stats."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.multimodal import decode_images
+
+    t = pa.table(
+        {
+            "item_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["image"] * 2),
+            "payload": pa.array(
+                [_ppm_bytes(8, 4, (255, 255, 255)), _ppm_bytes(3, 5, (0, 0, 0))],
+                pa.large_binary(),
+            ),
+            "media_meta": pa.array(["{}"] * 2),
+        }
+    )
+    out = decode_images(rd.from_arrow(t)).to_pandas().sort_values("item_id")
+    assert out["width"].tolist() == [8, 3]
+    assert out["height"].tolist() == [4, 5]
+    assert abs(out["mean_luma"].iloc[0] - 1.0) < 1e-9  # white
+    assert abs(out["mean_luma"].iloc[1] - 0.0) < 1e-9  # black
+    emb = np.array(out["embedding"].iloc[0])
+    assert np.allclose(emb[:8], 1.0)
+
+
+def test_real_wav_decode(ray_session):
+    """RIFF/WAVE PCM16 decodes for real: rate, duration, exact RMS."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.multimodal import decode_audio
+
+    rate = 16000
+    # constant half-scale signal -> rms = 0.5 exactly (16384/32768)
+    samples = np.full(rate, 16384, dtype=np.int16)
+    t = pa.table(
+        {
+            "item_id": pa.array([7], pa.int64()),
+            "kind": pa.array(["audio"]),
+            "payload": pa.array([_wav_bytes(rate, samples)], pa.large_binary()),
+            "media_meta": pa.array(["{}"]),
+        }
+    )
+    out = decode_audio(rd.from_arrow(t)).to_pandas()
+    assert out["sample_rate"].iloc[0] == rate
+    assert out["n_samples"].iloc[0] == rate
+    assert abs(out["duration_s"].iloc[0] - 1.0) < 1e-9
+    assert abs(out["rms"].iloc[0] - 0.5) < 1e-9
