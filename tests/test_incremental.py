@@ -87,3 +87,22 @@ def test_delta_chains(ray_session, tmp_path):
         a_full[["doc_id", "rep_id", "cluster_id"]]
     )
     assert len(a_inc) == 900
+
+
+def test_empty_delta_is_identity(ray_session, tmp_path):
+    import pyarrow as pa
+
+    base_t = generate_corpus(600, seed=9)
+    base_p = str(tmp_path / "base.parquet")
+    pq.write_table(base_t, base_p)
+    empty_p = str(tmp_path / "empty.parquet")
+    pq.write_table(base_t.slice(0, 0), empty_p)
+    cfg = _cfg()
+    ck = str(tmp_path / "ck")
+    baseline = dedup_pipeline(rd.read_parquet(base_p), cfg, checkpoint_dir=ck)
+    a0 = baseline.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    inc = dedup_delta(rd.read_parquet(base_p), rd.read_parquet(empty_p), cfg,
+                      checkpoint_dir=ck)
+    a1 = inc.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "sha", "rep_id", "cluster_id"]
+    assert a0[cols].equals(a1[cols])
