@@ -37,7 +37,7 @@ from ray.data.aggregate import Min
 
 from lsh_apg_ray.arrowutil import rename_ds
 from lsh_apg_ray.config import DedupConfig
-from lsh_apg_ray.joins import hash_join, out_schema
+from lsh_apg_ray.joins import hash_join
 from lsh_apg_ray.hashing import mix64
 
 
