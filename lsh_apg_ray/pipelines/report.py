@@ -1,0 +1,85 @@
+"""Dedup result sink: partitioned Parquet + summary metrics.
+
+The operator-facing end of the flagship (S6 analogue — the reference
+appends run metrics to result.txt / indexInfo.txt, main.cpp:120-127,
+divGraph.h:1208-1218): write the assignment table as hash-partitioned
+Parquet (resumable-output shape — a failed run skips finished partitions on
+retry via the writer's atomic per-file completion) and one small JSON with
+the numbers a dedup operator needs: corpus size, distinct contents, cluster
+census, duplicate ratio, bytes reclaimable by keeping one file per cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def write_dedup_report(result, out_dir: str, partition_cols: int = 16) -> dict:
+    """Write `result.assignments` under out_dir/assignments (partitioned by
+    a doc_id hash bucket) and a summary dict to out_dir/summary.json;
+    returns the summary. Aggregations run distributed; only the tiny
+    cluster census is reduced on the driver."""
+    os.makedirs(out_dir, exist_ok=True)
+    assignments = result.assignments
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import mix64
+
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(d.view(np.uint64)) % np.uint64(partition_cols)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    bucketed = assignments.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    bucketed.write_parquet(
+        os.path.join(out_dir, "assignments"), partition_cols=["bucket"]
+    )
+
+    # distributed rollups; each result is tiny (one row / one row per cluster)
+    totals = bucketed.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("nbytes", alias_name="total_bytes"),
+        Min("doc_id", alias_name="min_doc_id"),
+        Max("doc_id", alias_name="max_doc_id"),
+    )
+    per_cluster = (
+        bucketed.groupby("cluster_id")
+        .aggregate(
+            Count(alias_name="size"),
+            Sum("nbytes", alias_name="bytes"),
+            Min("nbytes", alias_name="keep_bytes_proxy"),
+        )
+        .to_pandas()
+    )
+    n_docs = int(totals["n_docs"])
+    n_clusters = len(per_cluster)
+    dup_docs = int((per_cluster["size"] - 1).sum())
+    # reclaimable = all bytes minus one kept representative per cluster
+    reclaimable = int((per_cluster["bytes"] - per_cluster["keep_bytes_proxy"]).sum())
+    n_unique_contents = int(
+        bucketed.map_batches(
+            lambda t: {"sha_key": t["sha_key"]}, batch_format="numpy"
+        )
+        .groupby("sha_key")
+        .count()
+        .count()
+    )
+    summary = {
+        "n_docs": n_docs,
+        "n_unique_contents": n_unique_contents,
+        "n_clusters": n_clusters,
+        "n_duplicate_docs": dup_docs,
+        "duplicate_ratio": round(dup_docs / n_docs, 6) if n_docs else 0.0,
+        "total_bytes": int(totals["total_bytes"]),
+        "reclaimable_bytes": reclaimable,
+        "largest_cluster": int(per_cluster["size"].max()) if n_clusters else 0,
+        "partitions": partition_cols,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary

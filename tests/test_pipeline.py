@@ -112,3 +112,36 @@ def test_metrics_present(run):
     m = res.candidate_metrics
     assert m is not None and int(m["n_buckets"].iloc[0]) > 0
     assert int(m["skipped_pairs"].iloc[0]) == 0  # no overflow at this scale
+
+
+def test_dedup_report_sink(ray_session, small_corpus, tmp_path):
+    """Operator-facing sink: partitioned assignments + summary metrics."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+    from lsh_apg_ray.pipelines.report import write_dedup_report
+
+    cfg = DedupConfig(threshold=0.7, join_partitions=4, signer_concurrency=2,
+                      batch_size=256)
+    res = dedup_pipeline(rd.from_arrow(small_corpus), cfg)
+    out = str(tmp_path / "report")
+    summary = write_dedup_report(res, out, partition_cols=4)
+
+    n = small_corpus.num_rows
+    assert summary["n_docs"] == n
+    assert 0 < summary["n_clusters"] <= n
+    assert summary["n_duplicate_docs"] == n - summary["n_clusters"]
+    assert summary["n_unique_contents"] >= summary["n_clusters"]
+    assert summary["reclaimable_bytes"] >= 0
+    disk = json.load(open(os.path.join(out, "summary.json")))
+    assert disk == summary
+    back = rd.read_parquet(os.path.join(out, "assignments"))
+    assert back.count() == n
+    # partitioned layout: one directory per bucket
+    parts = [d for d in os.listdir(os.path.join(out, "assignments"))
+             if d.startswith("bucket=")]
+    assert len(parts) >= 2
