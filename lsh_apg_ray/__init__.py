@@ -10,7 +10,7 @@ Reference correspondence (see SURVEY.md for the full operator inventory):
   - hash-family setup  -> stable seed-derived params per actor (e2lsh.cpp:40-60)
   - batched hashing    -> MinHashSigner map_batches actor  (e2lsh.cpp:62-91)
   - Z-order band keys  -> band hash explode                (e2lsh.cpp:340-352)
-  - bucketed multimap  -> groupby(band_id, band_hash)      (e2lsh.h:162)
+  - bucketed multimap  -> groupby(band_hash)             (e2lsh.h:162)
   - candidate probe    -> bucket -> pair emission          (e2lsh.cpp:131-200)
   - exact verification -> exact Jaccard on candidate pairs (basis.h:186-202)
   - connected comps    -> hash-min label propagation       (divGraph.h:1276-1333)

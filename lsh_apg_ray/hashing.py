@@ -303,16 +303,26 @@ def _mix64_inplace(x: np.ndarray, tmp: np.ndarray) -> None:
 
 def band_keys(signatures: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """(n_docs x bands) int64 band hashes — fold each band's `rows` signature
-    slots into one 64-bit key (the Z-key analogue, e2lsh.cpp:340-352; the
-    band_id is carried as a separate column so cross-band collisions are
-    impossible by keying the groupby on (band_id, band_hash))."""
+    slots into one 64-bit key (the Z-key analogue, e2lsh.cpp:340-352).
+
+    The band INDEX is folded into the key (a per-band salt) so one int64
+    column is table-unique on its own — the band shuffle ships (band_hash,
+    doc_id) = 16 B/row instead of a separate band_id column (20 B/row).
+    Cross-band collisions are possible only at the 2^-64 mixer-collision rate,
+    and a collision merely merges two buckets — extra candidate pairs that
+    exact verification then discards, never a lost pair."""
     n, num_perm = signatures.shape
     assert bands * rows == num_perm
     s = signatures.reshape(n, bands, rows)
-    h = s[:, :, 0].copy()
-    for j in range(1, rows):
+    h = band_salts(bands)[None, :].copy().repeat(n, axis=0)
+    for j in range(rows):
         h = (h * _GOLDEN) ^ s[:, :, j]
     return mix64(h).view(np.int64)
+
+
+def band_salts(bands: int) -> np.ndarray:
+    """Per-band u64 salts folded into band keys (see band_keys)."""
+    return mix64(np.arange(1, bands + 1, dtype=_U64) * _GOLDEN)
 
 
 def zorder_interleave(h: np.ndarray, k: int) -> np.ndarray:

@@ -23,9 +23,14 @@ band buckets it lands in. So the delta run
   6. writes the combined state back as the new checkpoint (feats/edges),
      so deltas chain.
 
-Exactness contract (tested): the result equals a full recompute over
-base ∪ delta — bucket-untouched pairs cannot change (same bucket contents
-=> same candidates => same verified edges).
+Exactness contract (tested): when no band bucket exceeds cfg.max_bucket,
+the result equals a full recompute over base ∪ delta — bucket-untouched
+pairs cannot change (same bucket contents => same candidates => same
+verified edges). When a bucket DOES overflow the cap, the delta run keeps
+the old star+chain edges AND emits the recomputed ones, so its edge set is
+a connectivity-improving SUPERSET of the full recompute's (never fewer
+clusters merged; see tests/test_incremental.py for the conditional
+contract).
 """
 
 from __future__ import annotations
@@ -217,20 +222,16 @@ def dedup_delta(
 
     @ray.remote
     def _bucket_keys(*blocks):
-        parts = []
-        for b in blocks:
-            if b.num_rows == 0:
-                continue
-            bi = b["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-            parts.append(
-                (bi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ bh.view(np.uint64)
-            )
+        # band_hash is table-unique on its own (band index folded in by
+        # hashing.band_keys), so the touched-bucket key IS the band_hash
+        parts = [
+            b["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in blocks
+            if b.num_rows
+        ]
         if not parts:
             return np.empty(0, np.int64)
-        # sort in INT64 order (the filter's searchsorted runs on int64 keys;
-        # a u64-ordered array viewed as int64 is not sorted)
-        return np.sort(np.unique(np.concatenate(parts)).view(np.int64))
+        return np.unique(np.concatenate(parts))
 
     delta_bands = delta_bands.materialize()
     touched_ref = _bucket_keys.remote(*delta_bands.to_arrow_refs())
@@ -244,13 +245,9 @@ def dedup_delta(
 
     def touched_filter(t: pa.Table) -> pa.Table:
         touched = ray.get(touched_ref)
-        bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = (
-            (bi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ bh.view(np.uint64)
-        ).view(np.int64)
+        key = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(touched):
-            return t.filter(pa.array(np.zeros(len(bi), bool)))
+            return t.filter(pa.array(np.zeros(len(key), bool)))
         pos = np.clip(np.searchsorted(touched, key), 0, len(touched) - 1)
         return t.filter(pa.array(touched[pos] == key))
 

@@ -256,8 +256,9 @@ def q_corpus_dedup(sf_dir: str):
     """Flagship over the BASELINE.json input_hint corpus shape
     (repo, path, commit, lang, content): a deterministic synthetic code
     corpus (size keyed to the scale factor) is materialized once under /tmp
-    and deduped end-to-end. Rows-only driver check; the full oracle gate for
-    this path lives in tests/test_pipeline.py."""
+    and deduped end-to-end. Full value-hash SQL oracle (SQL_CORPUS_DEDUP):
+    the id-mapped corpus is dumped and DuckDB re-derives sha256, reps,
+    exact-Jaccard pairs and recursive CC from it."""
     import os
 
     import ray.data as rd

@@ -27,8 +27,9 @@ from lsh_apg_ray.stages.pairs import candidate_pairs
 
 
 def shingle_explode(feats):
-    """(doc_id, shingles) -> (band_id=0, band_hash=shingle, doc_id) rows —
-    reuses the band-bucket pair machinery with the shingle itself as the key."""
+    """(doc_id, shingles) -> (band_hash=shingle, doc_id) rows — reuses the
+    band-bucket pair machinery with the shingle itself as the key (a single
+    logical table, so no band salt is needed)."""
 
     def explode(t: pa.Table) -> pa.Table:
         sets = binary_to_u64_list(t["shingles"])
@@ -39,7 +40,6 @@ def shingle_explode(feats):
         )
         return pa.table(
             {
-                "band_id": pa.array(np.zeros(len(flat), np.int32)),
                 "band_hash": pa.array(flat, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, lens), pa.int64()),
             }

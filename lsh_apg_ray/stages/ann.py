@@ -115,10 +115,20 @@ def knn_cosine(
         # otherwise >=k+2 rows tying on rounded sim within one batch could
         # evict the tied neighbor with the smallest id before the final
         # deterministic merge runs (exact ties are realistic: duplicate
-        # embedding vectors exist in real corpora).
+        # embedding vectors exist in real corpora). O(n) argpartition finds
+        # the kk-th value; ALL rows tying it are included before the (small)
+        # candidate lexsort, so the result equals a full lexsort's top-kk
+        # (the round-2 full-lexsort fix was O(Q*n log n) per batch).
         idx = np.empty((nq, kk), dtype=np.int64)
         for qi in range(nq):
-            idx[qi] = np.lexsort((ids, -sims[qi]))[:kk]
+            s = sims[qi]
+            if kk < n:
+                thresh = np.partition(s, n - kk)[n - kk]  # kk-th largest
+                cand = np.flatnonzero(s >= thresh)
+            else:
+                cand = np.arange(n)
+            sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+            idx[qi] = sel
         rows_q = np.repeat(qids, kk)
         rows_n = ids[idx.reshape(-1)]
         rows_s = np.take_along_axis(sims, idx, axis=1).reshape(-1)
@@ -295,11 +305,12 @@ def embedding_near_dup(
     ref = collect_matrix_ref(embeddings, id_col, vec_col, normalize=True)
 
     def band_rows_fn(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import band_salts, mix64
+
         x = _to_matrix(t[vec_col])
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         empty = pa.table(
             {
-                "band_id": pa.array([], pa.int32()),
                 "band_hash": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
             }
@@ -308,16 +319,14 @@ def embedding_near_dup(
             return empty
         r = _hyperplanes(x.shape[1], nbits, seed)
         bits = (x @ r) > 0  # (n, nbits)
-        packed = np.zeros((len(ids), bands), dtype=np.int64)
+        packed = np.zeros((len(ids), bands), dtype=np.uint64)
         for j in range(band_rows):
-            packed |= bits[:, j::band_rows][:, :bands].astype(np.int64) << j
-        n = len(ids)
+            packed |= bits[:, j::band_rows][:, :bands].astype(np.uint64) << np.uint64(j)
+        # fold the band index into the key (per-band salt) — one int64 column
+        keys = mix64(packed ^ band_salts(bands)[None, :]).view(np.int64)
         return pa.table(
             {
-                "band_id": pa.array(
-                    np.repeat(np.arange(bands, dtype=np.int32), n), pa.int32()
-                ),
-                "band_hash": pa.array(packed.T.reshape(-1), pa.int64()),
+                "band_hash": pa.array(keys.T.reshape(-1), pa.int64()),
                 "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
             }
         )
@@ -399,6 +408,24 @@ class E2LSHTables:
         return mix64(key).view(np.int64)
 
 
+_E2LSH_CACHE: dict = {}
+
+
+def get_e2lsh_tables(dim: int, L: int = 8, K: int = 8, W: float = 4.0,
+                     seed: int = 42, key_mode: str = "fold") -> E2LSHTables:
+    """Worker-process-global E2LSHTables cache keyed on the full parameter
+    tuple — the family is a pure function of the seed, so every worker
+    rebuilds the identical (L*K x dim) Gaussian draw ONCE and every
+    subsequent batch/chunk on that worker reuses it (ST1 pattern; the
+    round-2 review flagged per-batch construction as the anti-pattern)."""
+    key = (dim, L, K, W, seed, key_mode)
+    t = _E2LSH_CACHE.get(key)
+    if t is None:
+        t = E2LSHTables(dim, L=L, K=K, W=W, seed=seed, key_mode=key_mode)
+        _E2LSH_CACHE[key] = t
+    return t
+
+
 def e2lsh_knn(
     embeddings,
     query_ids: np.ndarray,
@@ -410,17 +437,26 @@ def e2lsh_knn(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_expand: bool = True,
 ):
     """LSH-bucketed approximate kNN (squared-L2, USE_SQRDIST parity with
     def.h:3): probe the L tables with each query's keys, exact-rerank only
     co-hashed candidates (e2lsh::knn, e2lsh.cpp:131-200: equal_range +
     visited-set + exact distance + top-k).
 
+    Bucket-miss expansion (probe_expand, default on): the reference never
+    returns an empty probe — `zlsh::knnBestFirst` (e2lsh.cpp:573-699) widens
+    around the seed position in the SORTED table until its budget is spent.
+    Here each batch sorts its keys per table once and a query whose
+    equal-range holds fewer than ~4*ln(n) rows widens symmetrically around
+    its insertion point, so an out-of-distribution query hashing into empty
+    buckets in all L tables still returns k exact-reranked results.
+
     Query keys are broadcast; each batch emits (query_id, candidate distance)
     partial top-k for its co-hashed rows; a final groupby(query_id) merge
     yields global top-k. Returns (query_id, neighbor_id, rank, dist)."""
     q = np.asarray(query_matrix, dtype=np.float64)
-    tables = E2LSHTables(q.shape[1], L=L, K=K, W=W, seed=seed)
+    tables = get_e2lsh_tables(q.shape[1], L=L, K=K, W=W, seed=seed)
     qkeys = tables.keys(q)  # (Q, L)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, qkeys))
     params = dict(L=L, K=K, W=W, seed=seed)
@@ -438,15 +474,32 @@ def e2lsh_knn(
         )
         if len(ids) == 0:
             return empty
-        tb = E2LSHTables(x.shape[1], **params)
+        tb = get_e2lsh_tables(x.shape[1], **params)  # worker-global cache
         xkeys = tb.keys(x)  # (n, L)
+        n = len(ids)
+        # per-table sorted key arrays, built once per batch (the flattened
+        # fastGraph layout, fastGraph.h:86-95: lower_bound over sorted pairs)
+        orders = [np.argsort(xkeys[:, l], kind="stable") for l in range(tb.L)]
+        skeys = [xkeys[orders[l], l] for l in range(tb.L)]
+        # per-(query, table) minimum probe width ~ budget/L with the
+        # reference's 4*L*ln N total budget shape (divGraph.h:935)
+        want = max(1, int(np.ceil(4 * np.log(n + 1)))) if probe_expand else 0
         out_q, out_n, out_d = [], [], []
         for qi in range(len(qids)):
-            cand = np.zeros(len(ids), dtype=bool)
+            parts = []
             for l in range(tb.L):
-                cand |= xkeys[:, l] == qk[qi, l]
-            cand &= ids != qids[qi]
-            ci = np.flatnonzero(cand)
+                sk = skeys[l]
+                lo = int(np.searchsorted(sk, qk[qi, l], "left"))
+                hi = int(np.searchsorted(sk, qk[qi, l], "right"))
+                if hi - lo < want:
+                    pad = (want - (hi - lo) + 1) // 2
+                    lo, hi = max(0, lo - pad), min(n, hi + pad)
+                if hi > lo:
+                    parts.append(orders[l][lo:hi])
+            if not parts:
+                continue
+            ci = np.unique(np.concatenate(parts))
+            ci = ci[ids[ci] != qids[qi]]
             if not len(ci):
                 continue
             d = ((x[ci] - qmat[qi]) ** 2).sum(axis=1)  # squared L2

@@ -1,11 +1,15 @@
-"""Band-key explode — signature -> L (band_id, band_hash, doc_id) rows.
+"""Band-key explode — signature -> L (band_hash, doc_id) rows.
 
 Analogue of the reference's Z-key construction + hash-table insert
 (`zlsh::getZ`, e2lsh.cpp:340-352; insert divGraph.h:522-525): each point gets
 one 64-bit key per table. Here the "insert into L multimaps under locks"
-becomes emitting L rows and letting `groupby(band_id, band_hash)` shuffle
-them — the shuffle IS the index (SURVEY.md §2.3 ST2: locks eliminated by
-design).
+becomes emitting L rows and letting `groupby(band_hash)` shuffle them — the
+shuffle IS the index (SURVEY.md §2.3 ST2: locks eliminated by design).
+
+The band index is folded into the key itself (hashing.band_keys salts each
+band), so the shuffle ships two int64 columns (16 B/row) instead of carrying
+a separate band_id column — 20% less through the widest shuffle of the
+flagship pipeline.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ from lsh_apg_ray.hashing import band_keys
 
 
 def make_band_explode(cfg: DedupConfig):
-    """(doc_id, sig) -> bands x (band_id:int32, band_hash:int64, doc_id).
+    """(doc_id, sig) -> bands x (band_hash:int64, doc_id) rows.
     Stateless — a plain function so Ray schedules it as elastic tasks."""
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -27,11 +31,9 @@ def make_band_explode(cfg: DedupConfig):
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # fixed-width binary -> (n, num_perm) u64 matrix, zero-copy
         sigs = binary_to_u64_matrix(batch["sig"], cfg.num_perm)
-        keys = band_keys(sigs, cfg.bands, cfg.rows)  # (n, bands) int64
-        band_id = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+        keys = band_keys(sigs, cfg.bands, cfg.rows)  # (n, bands) int64, salted
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
                 "band_hash": pa.array(keys.reshape(-1), pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, cfg.bands), pa.int64()),
             }
@@ -49,18 +51,16 @@ def band_explode(ds, cfg: DedupConfig):
 
 
 def band_explode_precomputed(ds, cfg: DedupConfig):
-    """Explode a precomputed `bands` binary column (bands x u64 per row) into
-    (band_id, band_hash, doc_id) rows — the RepFeatures fast path where band
-    keys were derived at signing time and the signature never materialized."""
+    """Explode a precomputed `bands` binary column (bands x u64 per row,
+    already band-salted by hashing.band_keys) into (band_hash, doc_id) rows —
+    the fused-prep fast path where band keys were derived at signing time and
+    the signature never materialized."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keys = binary_to_u64_matrix(batch["bands"], cfg.bands).view(np.int64)
-        band_id = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
                 "band_hash": pa.array(keys.reshape(-1), pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, cfg.bands), pa.int64()),
             }

@@ -129,7 +129,11 @@ def _cc_emit(t: pa.Table) -> pa.Table:
     if len(en) and not len(ln):
         raise RuntimeError("cc: edge rows without any label row in partition")
     pos = np.clip(np.searchsorted(ln, en), 0, max(0, len(ln) - 1))
-    # every edge endpoint has a label row by construction
+    # every edge endpoint has a label row by construction — verify it (a
+    # silent miss would hand an edge a NEIGHBORING node's label; fail loudly
+    # instead, upholding the never-silently-wrong contract)
+    if len(ln) and len(en) and not (ln[pos] == en).all():
+        raise RuntimeError("cc: edge endpoint without a label row in partition")
     e_lab = lv[pos] if len(ln) else np.empty(0, np.int64)
     return pa.table(
         {

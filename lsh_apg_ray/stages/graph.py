@@ -38,10 +38,10 @@ import ray
 
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.stages.ann import (
-    E2LSHTables,
     ROUND_DECIMALS,
     _to_matrix,
     collect_matrix_ref,
+    get_e2lsh_tables,
 )
 from lsh_apg_ray.stages.pairs import candidate_pairs
 
@@ -165,19 +165,16 @@ def build_graph(
         if len(ids) == 0:
             return pa.table(
                 {
-                    "band_id": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
                 }
             )
-        tb = E2LSHTables(x.shape[1], **params)
+        tb = get_e2lsh_tables(x.shape[1], **params)
+        # per-table keys are independent family draws, already table-distinct;
+        # no extra salt needed for the single-key-column contract
         keys = tb.keys(x)  # (n, L)
-        n = len(ids)
         return pa.table(
             {
-                "band_id": pa.array(
-                    np.repeat(np.arange(L, dtype=np.int32), n), pa.int32()
-                ),
                 "band_hash": pa.array(keys.T.reshape(-1), pa.int64()),
                 "doc_id": pa.array(np.tile(ids, L), pa.int64()),
             }
@@ -270,19 +267,7 @@ def build_graph(
         counts = np.bincount(rs, minlength=n)
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
-        tb = E2LSHTables(mat.shape[1], **params)
-        keys = tb.keys(mat)  # (n, L)
-        ks = np.empty((L, n), dtype=np.int64)
-        rws = np.empty((L, n), dtype=np.int64)
-        for l in range(L):
-            o = np.argsort(keys[:, l], kind="stable")
-            ks[l] = keys[o, l]
-            rws[l] = o
-        # raw projection values over ALL S = L*K dims for the chi-squared
-        # prune (the reference prunes on its per-table K=18 dims,
-        # divGraph.h:528-566; our bucket keys use a narrower K, so the prune
-        # pools every table's projections to keep the bound tight)
-        h0 = (mat @ tb.A.T + tb.B) / tb.W
+        ks, rws, h0 = _derived_tables(mat, **params)
         return GraphIndex(
             ids=ids, mat=mat, indptr=indptr, nbr=rd_,
             keys_sorted=ks, rows_sorted=rws, hashes=h0,
@@ -292,33 +277,172 @@ def build_graph(
     return assemble_index.remote(mat_ref, *adj.to_arrow_refs())
 
 
+def _derived_tables(mat: np.ndarray, L: int, K: int, W: float, seed: int):
+    """Per-table sorted key arrays + raw projection values — pure functions
+    of (mat, params) via the seed-derived hash family, shared by the builder
+    and the loader so a loaded index is bit-identical to a built one.
+
+    The raw projections cover ALL S = L*K dims for the chi-squared prune
+    (the reference prunes on its per-table K=18 dims, divGraph.h:528-566;
+    our bucket keys use a narrower K, so the prune pools every table's
+    projections to keep the bound tight)."""
+    tb = get_e2lsh_tables(mat.shape[1], L=L, K=K, W=W, seed=seed)
+    keys = tb.keys(mat)  # (n, L)
+    n = len(mat)
+    ks = np.empty((L, n), dtype=np.int64)
+    rws = np.empty((L, n), dtype=np.int64)
+    for l in range(L):
+        o = np.argsort(keys[:, l], kind="stable")
+        ks[l] = keys[o, l]
+        rws[l] = o
+    h0 = (mat @ tb.A.T + tb.B) / tb.W
+    return ks, rws, h0
+
+
+def save_graph_index(index_ref, out_dir: str) -> str:
+    """Persist a built GraphIndex as Parquet + a params sidecar — the
+    reference's divGraph::save (divGraph.h:1336-1389: LSH section + N
+    serialized nodes). Layout:
+
+      nodes.parquet  (doc_id, vec:list<float64>, deg)   — row i = CSR row i
+      nbr.parquet    (nbr:int64)                        — flat CSR targets
+      params.json    {L, K, W, seed, dim, n, n_edges, ids_checksum}
+
+    Only the content-bearing arrays are stored; the per-table sorted key
+    arrays and prune projections are seed-deterministic functions of
+    (vectors, params) and are rebuilt on load through the SAME code path the
+    builder uses (_derived_tables), so load(save(ix)) == ix bit-exactly.
+    Atomic: written to a tmp dir then os.replace'd."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lsh_apg_ray.hashing import mix64
+
+    ix: GraphIndex = ray.get(index_ref)
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    deg = np.diff(ix.indptr)
+    nodes = pa.table(
+        {
+            "doc_id": pa.array(ix.ids, pa.int64()),
+            "vec": pa.array(list(ix.mat), pa.list_(pa.float64())),
+            "deg": pa.array(deg, pa.int64()),
+        }
+    )
+    pq.write_table(nodes, os.path.join(tmp, "nodes.parquet"))
+    pq.write_table(
+        pa.table({"nbr": pa.array(ix.nbr, pa.int64())}),
+        os.path.join(tmp, "nbr.parquet"),
+    )
+    params = {
+        "L": ix.L, "K": ix.K, "W": ix.W, "seed": ix.seed,
+        "dim": int(ix.mat.shape[1]), "n": int(len(ix.ids)),
+        "n_edges": int(len(ix.nbr)),
+        "ids_checksum": int(mix64(ix.ids.view(np.uint64)).sum(dtype=np.uint64)),
+    }
+    with open(os.path.join(tmp, "params.json"), "w") as f:
+        json.dump(params, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def load_graph_index(in_dir: str):
+    """Load a persisted index; returns an ObjectRef[GraphIndex] (the load
+    runs in a worker task and the index lands in plasma, never the driver —
+    the divGraph load-ctor analogue, divGraph.h:249-357)."""
+
+    @ray.remote
+    def _load(d: str) -> GraphIndex:
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(d, "params.json")) as f:
+            p = json.load(f)
+        nodes = pq.read_table(os.path.join(d, "nodes.parquet"))
+        nbr = (
+            pq.read_table(os.path.join(d, "nbr.parquet"))["nbr"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = nodes["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(nodes["vec"])
+        deg = nodes["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(deg, out=indptr[1:])
+        if int(indptr[-1]) != p["n_edges"] or len(ids) != p["n"]:
+            raise RuntimeError("graph index checkpoint is corrupt (size mismatch)")
+        params = dict(L=p["L"], K=p["K"], W=p["W"], seed=p["seed"])
+        ks, rws, h0 = _derived_tables(mat, **params)
+        return GraphIndex(
+            ids=ids, mat=mat, indptr=indptr, nbr=nbr,
+            keys_sorted=ks, rows_sorted=rws, hashes=h0, **params,
+        )
+
+    return _load.remote(in_dir)
+
+
+def build_or_load_graph(embeddings, checkpoint_dir: str | None = None, **kw):
+    """Cache-or-compute wrapper (the ben_create pattern, Preprocess.cpp:
+    227-254): load the persisted index when the checkpoint exists, else
+    build and persist it. Returns an ObjectRef[GraphIndex]."""
+    import os
+
+    if checkpoint_dir and os.path.exists(
+        os.path.join(checkpoint_dir, "params.json")
+    ):
+        return load_graph_index(checkpoint_dir)
+    ref = build_graph(embeddings, **kw)
+    if checkpoint_dir:
+        save_graph_index(ref, checkpoint_dir)
+    return ref
+
+
 def _search_one(ix: GraphIndex, q: np.ndarray, qkeys: np.ndarray, k: int,
                 ef: int, budget: int, exclude_id: int | None,
-                coeffq: float | None = None, qh: np.ndarray | None = None):
+                coeffq: float | None = None, qh: np.ndarray | None = None,
+                lsh_seeds: bool = True):
     """Best-first beam search from LSH seeds; returns
     (rows, dists, cost, pruned).
 
     coeffq/qh enable the chi-squared LSH prune (divGraph.h:1118, coeff
     divGraph.h:216-232): a neighbor's exact distance is skipped when its
     K-dim hash-space distance scaled by W^2/chi2_K(pQ) already exceeds the
-    worst kept result — with probability pQ the skip is correct."""
+    worst kept result — with probability pQ the skip is correct.
+
+    lsh_seeds=False is the knnHNSW ablation (divGraph.h:1061-1091): beam
+    from the fixed entry point row 0, no LSH probe — the reference's
+    baseline for quantifying what LSH seeding buys."""
     n = len(ix.ids)
     visited = np.zeros(n, dtype=bool)
-    # --- LSH seeding (divGraph.h:934-1029, budget 4*L*ln N) ---
-    seed_rows = []
-    for l in range(ix.L):
-        ks, rw = ix.keys_sorted[l], ix.rows_sorted[l]
-        lo = np.searchsorted(ks, qkeys[l], "left")
-        hi = np.searchsorted(ks, qkeys[l], "right")
-        # widen the probe around the bucket position when the bucket is
-        # empty/small (stands in for the sorted-table LLCP expansion,
-        # e2lsh.cpp:573-699)
-        want = max(1, budget // ix.L)
-        if hi - lo < want:
-            pad = (want - (hi - lo) + 1) // 2
-            lo, hi = max(0, lo - pad), min(n, hi + pad)
-        seed_rows.append(rw[lo:hi])
-    seeds = np.unique(np.concatenate(seed_rows))[:budget] if seed_rows else np.empty(0, np.int64)
+    if lsh_seeds:
+        # --- LSH seeding (divGraph.h:934-1029, budget 4*L*ln N) ---
+        seed_rows = []
+        for l in range(ix.L):
+            ks, rw = ix.keys_sorted[l], ix.rows_sorted[l]
+            lo = np.searchsorted(ks, qkeys[l], "left")
+            hi = np.searchsorted(ks, qkeys[l], "right")
+            # widen the probe around the bucket position when the bucket is
+            # empty/small (stands in for the sorted-table LLCP expansion,
+            # e2lsh.cpp:573-699)
+            want = max(1, budget // ix.L)
+            if hi - lo < want:
+                pad = (want - (hi - lo) + 1) // 2
+                lo, hi = max(0, lo - pad), min(n, hi + pad)
+            seed_rows.append(rw[lo:hi])
+        seeds = (
+            np.unique(np.concatenate(seed_rows))[:budget]
+            if seed_rows
+            else np.empty(0, np.int64)
+        )
+    else:
+        seeds = np.empty(0, np.int64)
     if len(seeds) == 0:
         seeds = np.array([0], dtype=np.int64)
     d = ((ix.mat[seeds] - q) ** 2).sum(axis=1)
@@ -380,6 +504,7 @@ def graph_knn(
     exclude_self: bool = True,
     chunk: int = 32,
     prob_q: float | None = None,
+    lsh_seeds: bool = True,
 ):
     """Parallel query benchmark over a built graph: remote tasks over query
     chunks, each reading the broadcast index zero-copy. Returns a pyarrow
@@ -389,7 +514,11 @@ def graph_knn(
 
     prob_q enables the chi-squared LSH prune at confidence prob_q (the
     reference's pQ, default 0.9 at main.cpp:41). None = exact beam (no
-    prune) — the mode the deterministic oracle query uses."""
+    prune) — the mode the deterministic oracle query uses.
+
+    lsh_seeds=False runs the knnHNSW ablation (beam from fixed entry 0,
+    divGraph.h:1061-1091) through the same protocol, so the LSH-seeding
+    advantage is directly measurable in the cost/recall columns."""
     qids = np.asarray(query_ids, dtype=np.int64)
     qmat = np.asarray(query_matrix, dtype=np.float64)
 
@@ -397,7 +526,7 @@ def graph_knn(
     def search_chunk(ix: GraphIndex, qi: np.ndarray, qm: np.ndarray):
         n = len(ix.ids)
         budget = lsh_budget or max(1, int(4 * ix.L * np.log(max(n, 2))))
-        tb = E2LSHTables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W, seed=ix.seed)
+        tb = get_e2lsh_tables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W, seed=ix.seed)
         qkeys = tb.keys(qm)
         coeffq = None
         qh_all = None
@@ -412,6 +541,7 @@ def graph_knn(
                 int(qi[i]) if exclude_self else None,
                 coeffq=coeffq,
                 qh=qh_all[i] if qh_all is not None else None,
+                lsh_seeds=lsh_seeds,
             )
             out_q.append(np.full(len(rows), qi[i], np.int64))
             out_n.append(ix.ids[rows])

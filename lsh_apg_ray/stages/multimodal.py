@@ -179,14 +179,19 @@ class ImageDecode:
             self._pil = None  # stub fallback, see module docstring
 
     def _decode(self, payload: bytes) -> tuple[int, int, float, np.ndarray]:
-        # REAL decode for raw PPM (P6): pure numpy, no codec library needed
+        # REAL decode for raw PPM (P6): pure numpy, no codec library needed.
+        # A truncated/malformed P6 payload falls through to the PIL/fake path
+        # instead of killing the batch (mirrors AudioDecode._decode).
         if payload[:2] == b"P6":
-            w, h, arr = _decode_ppm(payload)
-            luma = (
-                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-            )
-            emb = np.resize(luma.mean(axis=0), self.embed_dim) / 255.0
-            return w, h, float(luma.mean() / 255.0), emb
+            try:
+                w, h, arr = _decode_ppm(payload)
+                luma = (
+                    0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+                )
+                emb = np.resize(luma.mean(axis=0), self.embed_dim) / 255.0
+                return w, h, float(luma.mean() / 255.0), emb
+            except (ValueError, IndexError):
+                pass
         if self._pil is not None:
             import io
 

@@ -11,7 +11,10 @@ Physical layout note: buckets are NOT one group each (hundreds of thousands of
 per-group Python calls would dominate). Bucket rows are hashed to
 `num_partitions` coarse partitions (all rows of one bucket land in the same
 partition), and pair emission inside each partition is a single vectorized
-pass over its lexsorted (band_id, band_hash) runs.
+pass over its lexsorted band_hash runs. Band rows carry only
+(band_hash:int64, doc_id:int64): the band index is folded INTO the key by the
+producers (hashing.band_keys salts; the E2LSH key families are per-table
+draws), so the widest shuffle of the pipeline ships 16 B/row.
 
 Skew: buckets larger than cfg.max_bucket (license headers, empty files...)
 would emit C(n,2) pairs; instead they emit a connectivity-preserving
@@ -39,23 +42,22 @@ _QPART = "__qpart"   # coarse pair partition (pair dedup/count)
 def _emit_partition_pairs(group: pa.Table, max_bucket: int, num_partitions: int = 8) -> pa.Table:
     """Vectorized pair emission for every bucket in one coarse partition.
 
-    Rows are lexsorted by (band_id, band_hash, doc_id); bucket boundaries are
-    found with one diff; per-bucket C(n,2) (or capped star+chain) index pairs
-    are emitted with numpy only — no per-bucket Python beyond the loop over
-    run boundaries.
+    Rows are lexsorted by (band_hash, doc_id); bucket boundaries are found
+    with one diff; per-bucket C(n,2) (or capped star+chain) index pairs are
+    emitted with numpy only — no per-bucket Python beyond the loop over run
+    boundaries.
     """
     n = group.num_rows
     if n == 0:
         return _empty_pairs()
-    band_id = group["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     band_hash = group["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
     doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((doc_id, band_hash, band_id))
-    band_id, band_hash, doc_id = band_id[order], band_hash[order], doc_id[order]
-    # bucket boundaries: change in (band_id, band_hash)
+    order = np.lexsort((doc_id, band_hash))
+    band_hash, doc_id = band_hash[order], doc_id[order]
+    # bucket boundaries: change in band_hash
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (band_id[1:] != band_id[:-1]) | (band_hash[1:] != band_hash[:-1])
+    change[1:] = band_hash[1:] != band_hash[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
 
@@ -139,8 +141,7 @@ def _dedup_count_pairs(group: pa.Table) -> pa.Table:
 def _with_ppart(band_ds, num_partitions: int):
     def add(t: pa.Table) -> pa.Table:
         bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = mix64(bh.view(np.uint64) ^ (bi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        key = mix64(bh.view(np.uint64))
         return t.append_column(
             _PPART, pa.array((key % np.uint64(num_partitions)).astype(np.int64))
         )
@@ -177,7 +178,7 @@ def bucket_stats(band_ds, cfg: DedupConfig):
     """Skew metrics over band buckets (cheap vectorized count aggregate):
     returns a small pandas frame {n_buckets, max_bucket, overflow_buckets,
     skipped_pairs}. Never-silent-truncation contract of the bucket cap."""
-    counts = band_ds.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
+    counts = band_ds.groupby("band_hash").aggregate(Count(alias_name="n"))
 
     def summarize(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["n"].to_numpy(dtype=np.int64)

@@ -5,7 +5,7 @@ The pigeonhole banding scheme (Manku et al., WWW 2007): split the 64-bit
 simhash into `chunks` equal pieces; two hashes within Hamming distance
 `max_hamming` <= chunks-1 agree on at least one chunk, so exact-matching any
 chunk is a complete candidate generator for that radius. Same skeleton as the
-MinHash tier — explode to (band_id=chunk_id, band_hash=chunk value) rows,
+MinHash tier — explode to (band_hash=salted chunk value, doc_id) rows,
 groupby buckets, emit pairs, verify exactly (vectorized popcount) — reusing
 stages.pairs wholesale.
 """
@@ -14,28 +14,32 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.stages.pairs import candidate_pairs
 
 
 def chunk_explode(ds, chunks: int = 4, id_col: str = "doc_id", sim_col: str = "simhash"):
-    """(doc_id, simhash) -> chunks x (band_id, band_hash, doc_id) rows."""
+    """(doc_id, simhash) -> chunks x (band_hash, doc_id) rows; the chunk index
+    is folded into the key via a per-chunk salt (equal chunk values still
+    collide — the fold is a bijection per chunk — preserving pigeonhole
+    completeness)."""
+    from lsh_apg_ray.hashing import band_salts, mix64
+
     width = 64 // chunks
     mask = np.uint64((1 << width) - 1)
+    salts = band_salts(chunks)
 
     def explode(t: pa.Table) -> pa.Table:
-        n = t.num_rows
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sh = t[sim_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         parts = [
-            ((sh >> np.uint64(c * width)) & mask).view(np.int64) for c in range(chunks)
+            mix64(((sh >> np.uint64(c * width)) & mask) ^ salts[c]).view(np.int64)
+            for c in range(chunks)
         ]
         return pa.table(
             {
-                "band_id": pa.array(
-                    np.repeat(np.arange(chunks, dtype=np.int32), n), pa.int32()
-                ),
                 "band_hash": pa.array(np.concatenate(parts), pa.int64()),
                 "doc_id": pa.array(np.tile(ids, chunks), pa.int64()),
             }
@@ -44,8 +48,50 @@ def chunk_explode(ds, chunks: int = 4, id_col: str = "doc_id", sim_col: str = "s
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+@ray.remote
+def _pack_id_simhash(max_bucket: int, id_col: str, sim_col: str, *blocks):
+    """Sorted (ids, simhashes) arrays for the broadcast verify — assembled and
+    plasma-stored in a worker task from the dataset's block refs; the rows
+    never stream through the driver (the round-2 review flagged the
+    driver-side iter_batches collection as the scale-killer here).
+
+    Also ENFORCES the tier's exact-bucket precondition while it has every
+    simhash in hand: the pigeonhole candidate generator runs uncapped, so a
+    hot 16-bit chunk value with document frequency f emits C(f,2) pairs. The
+    flagship collapses identical contents (hence identical simhashes) in the
+    exact tier BEFORE this stage; if a caller feeds a corpus that violates
+    that (max chunk bucket > max_bucket), this raises with remediation
+    instead of silently going quadratic."""
+    ids_parts, sh_parts = [], []
+    for b in blocks:
+        if b.num_rows == 0:
+            continue
+        ids_parts.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        sh_parts.append(b[sim_col].to_numpy(zero_copy_only=False).astype(np.int64))
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    shs = np.concatenate(sh_parts) if sh_parts else np.empty(0, np.int64)
+    order = np.argsort(ids)
+    ids, shs = ids[order], shs[order]
+    u = shs.view(np.uint64)
+    chunks, width = 4, 16
+    mask = np.uint64((1 << width) - 1)
+    for c in range(chunks):
+        _, counts = np.unique((u >> np.uint64(c * width)) & mask, return_counts=True)
+        worst = int(counts.max()) if len(counts) else 0
+        if worst > max_bucket:
+            raise RuntimeError(
+                f"simhash tier precondition violated: chunk {c} has a bucket of "
+                f"{worst} docs (> {max_bucket}); the uncapped pigeonhole "
+                "generator would emit C(f,2) pairs. Run the exact-dedup tier "
+                "first (identical contents share a simhash), or raise "
+                "max_bucket_check explicitly if the quadratic cost is intended."
+            )
+    return ids, u
+
+
 def simhash_dup_pairs(ds, cfg: DedupConfig, max_hamming: int = 3,
-                      id_col: str = "doc_id", sim_col: str = "simhash"):
+                      id_col: str = "doc_id", sim_col: str = "simhash",
+                      max_bucket_check: int = 1 << 17):
     """(doc_id, simhash) -> verified near-dup pairs
     (id_a, id_b, hamming) with hamming <= max_hamming.
 
@@ -56,28 +102,19 @@ def simhash_dup_pairs(ds, cfg: DedupConfig, max_hamming: int = 3,
     """
     import dataclasses
 
-    import ray
-
     chunks = 4
     assert max_hamming <= chunks - 1, "pigeonhole completeness needs max_hamming < chunks"
     # Completeness contract: the generic star+chain bucket cap would silently
     # drop candidate pairs from hot 16-bit-chunk buckets, breaking the
-    # pigeonhole guarantee — so this tier runs uncapped. The quadratic risk is
-    # bounded in practice: identical simhashes are overwhelmingly exact dups,
-    # which the exact tier collapses before this stage in the flagship.
+    # pigeonhole guarantee — so this tier runs uncapped, and the precondition
+    # that makes uncapped safe (exact tier ran first, so no hot identical-
+    # simhash bucket) is ENFORCED in _pack_id_simhash, not just documented.
     cfg = dataclasses.replace(cfg, max_bucket=2**31)
     sim_small = ds.select_columns([id_col, sim_col]).materialize()
     pairs = candidate_pairs(chunk_explode(sim_small, chunks, id_col, sim_col), cfg)
-
-    ids_parts, sh_parts = [], []
-    for b in sim_small.iter_batches(batch_size=1 << 16, batch_format="numpy"):
-        ids_parts.append(b[id_col].astype(np.int64))
-        sh_parts.append(b[sim_col].astype(np.int64))
-    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
-    shs = np.concatenate(sh_parts) if sh_parts else np.empty(0, np.int64)
-    order = np.argsort(ids)
-    ids, shs = ids[order], shs[order]
-    ref = ray.put((ids, shs.view(np.uint64)))
+    ref = _pack_id_simhash.remote(
+        max_bucket_check, id_col, sim_col, *sim_small.to_arrow_refs()
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         k, v = ray.get(ref)

@@ -307,7 +307,6 @@ def containment_pairs(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
         fps_cat = np.concatenate(fps_out) if fps_out else np.empty(0, np.int64)
         return pa.table(
             {
-                "band_id": pa.array(np.zeros(len(ids_cat), np.int32)),
                 "band_hash": pa.array(fps_cat, pa.int64()),
                 "doc_id": pa.array(ids_cat, pa.int64()),
             }

@@ -98,17 +98,30 @@ def _attach_payloads(pairs, pairs_schema, payload, cfg: DedupConfig):
     )
 
 
-def segmented_intersections(sizes_a: np.ndarray, sizes_b: np.ndarray,
-                            flat: np.ndarray) -> np.ndarray:
-    """|A_i ∩ B_i| for every pair i in ONE vectorized pass.
+def intersections_by_pair(pair_ids: np.ndarray, flat: np.ndarray,
+                          n: int) -> np.ndarray:
+    """|A_i ∩ B_i| for every pair i < n in ONE vectorized pass, from a flat
+    value array tagged with pair ids in ANY order.
 
-    `flat` is the concatenation [A_0..A_{n-1}, B_0..B_{n-1}] of the (unique-
-    per-set) u64 values; `sizes_*` are the per-pair set sizes. One lexsort of
-    (pair_id, value) over the whole batch; within a pair each side is
-    duplicate-free, so an adjacent equal value means one element from each
-    side — i.e. one intersection hit. Replaces the per-pair
+    One lexsort of (pair_id, value) over the whole batch; within a pair each
+    side is duplicate-free, so an adjacent equal value means one element from
+    each side — i.e. one intersection hit. Replaces the per-pair
     np.intersect1d loop (a C sort per pair was ~10us, but the Python loop
     overhead alone dominates at 1e9 candidate pairs)."""
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((flat, pair_ids))
+    v = flat[order]
+    p = pair_ids[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    return np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+
+
+def segmented_intersections(sizes_a: np.ndarray, sizes_b: np.ndarray,
+                            flat: np.ndarray) -> np.ndarray:
+    """|A_i ∩ B_i| where `flat` is the concatenation
+    [A_0..A_{n-1}, B_0..B_{n-1}] of the (unique-per-set) u64 values and
+    `sizes_*` are the per-pair set sizes (see intersections_by_pair)."""
     n = len(sizes_a)
     if n == 0:
         return np.empty(0, np.int64)
@@ -116,11 +129,21 @@ def segmented_intersections(sizes_a: np.ndarray, sizes_b: np.ndarray,
         [np.repeat(np.arange(n, dtype=np.int64), sizes_a),
          np.repeat(np.arange(n, dtype=np.int64), sizes_b)]
     )
-    order = np.lexsort((flat, pair_ids))
-    v = flat[order]
-    p = pair_ids[order]
-    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
-    return np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+    return intersections_by_pair(pair_ids, flat, n)
+
+
+def _gather_ranges(vals: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate vals[starts[i] : starts[i]+lens[i]] for all i — pure
+    offsets arithmetic, no per-range Python (repeat the range starts, then
+    add a within-range ramp)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return vals[:0]
+    cum = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    idx = np.repeat(starts - cum, lens) + np.arange(tot, dtype=np.int64)
+    return vals[idx]
 
 
 def exact_jaccard_fn(batch: pa.Table) -> pa.Table:
@@ -196,20 +219,26 @@ def _verify_with_broadcast(pairs, index_refs: list):
         if (blk_a < 0).any() or (blk_b < 0).any():
             raise RuntimeError("verify: pair doc_id missing from payload index")
         n = len(a)
-        # gather both sides' set slices, then ONE segmented merge-intersect
-        # for the whole batch (no per-pair Python)
+        # Gather both sides' set slices grouped BY BLOCK (offsets arithmetic,
+        # no per-pair Python — the round-2 review flagged the per-pair slice
+        # loop), then ONE merge-intersect for the whole batch. Segment order
+        # in `flat` is arbitrary; intersections_by_pair keys on pair id.
         sizes = np.empty(2 * n, dtype=np.int64)
-        parts: list[np.ndarray] = [np.empty(0, np.uint64)] * (2 * n)
-        for i in range(n):
-            ids_x, off_x, val_x = indexes[blk_a[i]]
-            parts[i] = val_x[off_x[row_a[i]]: off_x[row_a[i] + 1]]
-            sizes[i] = len(parts[i])
-        for i in range(n):
-            ids_y, off_y, val_y = indexes[blk_b[i]]
-            parts[n + i] = val_y[off_y[row_b[i]]: off_y[row_b[i] + 1]]
-            sizes[n + i] = len(parts[n + i])
-        flat = np.concatenate(parts) if n else np.empty(0, np.uint64)
-        n_inter = segmented_intersections(sizes[:n], sizes[n:], flat)
+        val_parts: list[np.ndarray] = []
+        pid_parts: list[np.ndarray] = []
+        for kb, (ids_x, off_x, val_x) in enumerate(indexes):
+            for blk, row, base in ((blk_a, row_a, 0), (blk_b, row_b, n)):
+                m = np.flatnonzero(blk == kb)
+                if not len(m):
+                    continue
+                starts = off_x[row[m]]
+                lens = off_x[row[m] + 1] - starts
+                sizes[base + m] = lens
+                val_parts.append(_gather_ranges(val_x, starts, lens))
+                pid_parts.append(np.repeat(m, lens))
+        flat = np.concatenate(val_parts) if val_parts else np.empty(0, np.uint64)
+        pids = np.concatenate(pid_parts) if pid_parts else np.empty(0, np.int64)
+        n_inter = intersections_by_pair(pids, flat, n)
         n_union = sizes[:n] + sizes[n:] - n_inter
         jac = np.where(n_union > 0, n_inter / np.maximum(n_union, 1), 0.0)
         out = batch

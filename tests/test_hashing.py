@@ -96,6 +96,10 @@ def test_band_keys_shape_and_collision():
     assert keys.shape == (3, 32)
     assert (keys[0] == keys[1]).all()          # identical docs collide everywhere
     assert (keys[0] != keys[2]).any()          # different docs don't
+    # band-index salt: identical slot values in different bands must map to
+    # different keys (the single-key-column contract of stages.pairs)
+    const_sig = np.full((1, 128), 5, dtype=np.uint64)
+    assert len(np.unique(band_keys(const_sig, 32, 4))) == 32
 
 
 def test_simhash_similarity():

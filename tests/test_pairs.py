@@ -1,5 +1,8 @@
 """Candidate-pair stage tests: bucket pair emission, cross-band dedup and
-the never-silent bucket cap (divGraph.h:369-370 budget analogue)."""
+the never-silent bucket cap (divGraph.h:369-370 budget analogue).
+
+Band rows carry (band_hash, doc_id) only — the band index is folded into the
+key by the producers (hashing.band_keys salts each band)."""
 
 import numpy as np
 import pandas as pd
@@ -10,11 +13,10 @@ from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.stages.pairs import _emit_partition_pairs, bucket_stats, candidate_pairs
 
 
-def _bucket_table(doc_ids, band_id=0, band_hash=7):
+def _bucket_table(doc_ids, band_hash=7):
     n = len(doc_ids)
     return pa.table(
         {
-            "band_id": pa.array(np.full(n, band_id, np.int64)),
             "band_hash": pa.array(np.full(n, band_hash, np.int64)),
             "doc_id": pa.array(np.asarray(doc_ids, np.int64)),
         }
@@ -49,13 +51,14 @@ def test_emit_overflow_bucket_star_chain():
 
 
 def test_candidate_pairs_dedup_across_bands():
-    # same doc pair appears in 3 bands -> exactly one output row, n_bands=3
+    # same doc pair collides in 3 (salted, hence distinct) band buckets
+    # -> exactly one output row, n_bands=3
     rows = []
-    for band in range(3):
-        rows += [{"band_id": band, "band_hash": 7, "doc_id": 100},
-                 {"band_id": band, "band_hash": 7, "doc_id": 200}]
-    rows += [{"band_id": 0, "band_hash": 9, "doc_id": 300},
-             {"band_id": 0, "band_hash": 9, "doc_id": 400}]
+    for band_hash in (7, 8, 9):
+        rows += [{"band_hash": band_hash, "doc_id": 100},
+                 {"band_hash": band_hash, "doc_id": 200}]
+    rows += [{"band_hash": 1000, "doc_id": 300},
+             {"band_hash": 1000, "doc_id": 400}]
     ds = rd.from_pandas(pd.DataFrame(rows))
     cfg = DedupConfig(join_partitions=2)
     out = candidate_pairs(ds, cfg).to_pandas().sort_values("id_a")
@@ -64,8 +67,8 @@ def test_candidate_pairs_dedup_across_bands():
 
 
 def test_bucket_stats_records_overflow():
-    rows = [{"band_id": 0, "band_hash": 1, "doc_id": i} for i in range(30)]
-    rows += [{"band_id": 0, "band_hash": 2, "doc_id": i} for i in range(3)]
+    rows = [{"band_hash": 1, "doc_id": i} for i in range(30)]
+    rows += [{"band_hash": 2, "doc_id": i} for i in range(3)]
     ds = rd.from_pandas(pd.DataFrame(rows))
     cfg = DedupConfig(join_partitions=2, max_bucket=10)
     stats = bucket_stats(ds, cfg)
