@@ -81,14 +81,23 @@ def run_bench() -> dict:
     )
     # one untimed warm-up run (faults worker/object-store pages once — this
     # sandbox's memory balloon makes FIRST-touch allocation ~100 MB/s; steady
-    # state is what a long-running cluster job sees), then the timed run
+    # state is what a long-running cluster job sees), then `reps` timed runs
+    # scored best-of: this host's wall-clock drifts 2-5x with memory-pressure
+    # episodes (BASELINE.md), so a single timed run measures the host state,
+    # not the engine — repeated runs with best-of make the artifact
+    # decision-grade (the same protocol --scaling uses across levels).
     res = dedup_pipeline(rd.read_parquet(out_dir), cfg, collect_metrics=False)
     assert res.assignments.count() == n_files
-    t0 = time.time()
-    res = dedup_pipeline(rd.read_parquet(out_dir), cfg, collect_metrics=False)
-    n_assign = res.assignments.count()
-    headline_sec = time.time() - t0
-    assert n_assign == n_files, (n_assign, n_files)
+    reps = int(os.environ.get("GRAFT_HEADLINE_REPS",
+                              "1" if os.environ.get("GRAFT_SCALING_CHILD") else "3"))
+    rep_secs = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = dedup_pipeline(rd.read_parquet(out_dir), cfg, collect_metrics=False)
+        n_assign = res.assignments.count()
+        rep_secs.append(round(time.time() - t0, 3))
+        assert n_assign == n_files, (n_assign, n_files)
+    headline_sec = min(rep_secs)
 
     q_times: dict[str, float] = {}
     from lsh_apg_ray import queries as qmod
@@ -111,6 +120,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_files": n_files,
         "files_per_sec": round(n_files / headline_sec, 1),
+        "headline_reps_sec": rep_secs,
     }
     ray.shutdown()
     return result

@@ -151,7 +151,7 @@ def dedup_pipeline(
     ).materialize()
     n_unique = rep_by_key.count()
     meta_schema = pa.schema(
-        [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
+        [("doc_id", pa.int64()), ("sha", pa.binary(32)), ("sha_key", pa.int64()),
          ("nbytes", pa.int64())]
         + [(c, pa.string()) for c in keep_cols]
     )
@@ -206,8 +206,9 @@ def dedup_pipeline(
         docs = meta.map_batches(attach_rep, batch_format="pyarrow")
         docs_schema = meta_schema.append(pa.field("rep_id", pa.int64()))
     elif n_unique <= cfg.broadcast_max_ids:
-        # exact full-sha mode: dict broadcast (exact at any scale per key)
-        rep_map: dict[str, int] = {}
+        # exact full-sha mode: dict broadcast (exact at any scale per key);
+        # keys are the raw 32-byte digests
+        rep_map: dict[bytes, int] = {}
         for b in rep_by_key.iter_batches(batch_size=1 << 16, batch_format="pandas"):
             rep_map.update(zip(b["sha"], b["rep_id"]))
         rep_map_ref = ray.put(rep_map)
@@ -226,7 +227,7 @@ def dedup_pipeline(
         # semantics, rep rows shuffle instead of broadcasting
         from lsh_apg_ray.joins import hash_join, out_schema
 
-        key_type = pa.string() if cfg.exact_sha_grouping else pa.int64()
+        key_type = pa.binary(32) if cfg.exact_sha_grouping else pa.int64()
         rep_schema = pa.schema([(group_key, key_type), ("rep_id", pa.int64())])
         docs = hash_join(
             meta, rep_by_key, group_key,
@@ -271,7 +272,12 @@ def dedup_pipeline(
         payload_ids_ref = pair_ids_ref
     else:
         payload_ids_ref = rep_ids_ref
-    payload = ds.map_batches(
+    # column-pruned rescan: pass C needs only the id columns + content; the
+    # projection pushes down to the Parquet read so the other corpus columns
+    # (commit/lang/... — whatever the caller carries) never leave storage
+    payload_cols = ([id_col] if id_col is not None else
+                    ["repo", "path", "commit"]) + [content_col]
+    payload = ds.select_columns(payload_cols).map_batches(
         make_shingle_payload_fn(cfg, payload_ids_ref, content_col=content_col,
                                 id_col=id_col),
         batch_format="pyarrow",
@@ -294,7 +300,7 @@ def dedup_pipeline(
     # ---- clusters: CC over rep-level edges, applied to every doc via rep_id --
     assignments_plan = attach_clusters(
         docs, edges, cfg, id_col="rep_id", docs_schema=docs_schema
-    )
+    ).map_batches(sha_hex_df, batch_format="pandas")
     _mark("cc")
     assignments = assignments_plan
     if ckpt:
@@ -304,6 +310,16 @@ def dedup_pipeline(
     return DedupResult(
         assignments=assignments, duplicate_edges=edges, candidate_metrics=metrics
     )
+
+
+def sha_hex_df(df):
+    """Assignment output surface: hex-encode the raw 32-byte sha digests the
+    pipeline carries internally (32 B/doc through shuffles/materializations
+    vs 68 B of hex; encoded exactly once, here). No-op when already hex."""
+    col = df["sha"]
+    if len(col) and isinstance(col.iloc[0], (bytes, bytearray)):
+        df["sha"] = [x.hex() for x in col]
+    return df
 
 
 def cluster_sizes(assignments: Dataset) -> Dataset:

@@ -135,7 +135,7 @@ def dedup_delta(
         attach_rep, batch_format="pyarrow"
     )
     docs_schema = pa.schema(
-        [("doc_id", pa.int64()), ("sha", pa.string()), ("sha_key", pa.int64()),
+        [("doc_id", pa.int64()), ("sha", pa.binary(32)), ("sha_key", pa.int64()),
          ("nbytes", pa.int64())]
         + [(c, pa.string()) for c in keep_cols]
         + [("rep_id", pa.int64())]
@@ -258,8 +258,13 @@ def dedup_delta(
         *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
     )
 
-    # ---- payload: pair-involved docs from base ∪ delta sources ---------------
-    payload = base_ds.union(delta_ds).map_batches(
+    # ---- payload: pair-involved docs from base ∪ delta sources (column-
+    # pruned: only the id columns + content leave storage) --------------------
+    payload_cols = ([id_col] if id_col is not None else
+                    ["repo", "path", "commit"]) + [content_col]
+    payload = base_ds.select_columns(payload_cols).union(
+        delta_ds.select_columns(payload_cols)
+    ).map_batches(
         make_shingle_payload_fn(cfg, pair_ids_ref, content_col=content_col,
                                 id_col=id_col),
         batch_format="pyarrow",
@@ -317,9 +322,11 @@ def dedup_delta(
     feats_ck = ckpt.save("feats", feats, new_fp)
     edges_ck = ckpt.save("edges", edges, new_fp)
 
+    from lsh_apg_ray.pipelines.dedup import sha_hex_df
+
     assignments = attach_clusters(
         docs, edges_ck, cfg, id_col="rep_id", docs_schema=docs_schema
-    )
+    ).map_batches(sha_hex_df, batch_format="pandas")
     assignments = ckpt.save("assignments", assignments, new_fp)
     ckpt.write_metrics()
     return DedupResult(

@@ -737,9 +737,15 @@ WITH q AS (
   FROM embeddings WHERE vec_id < {KNN_QUERIES}
 ),
 d AS (
+  -- squared L2 computed WITHOUT the sqrt-then-square round trip
+  -- (power(list_distance(..), 2) loses a ulp at the sqrt boundary, which
+  -- can flip the 1e-12 rounding at a golden top-k tie): sum of squared
+  -- component differences, matching the engine's direct accumulation
   SELECT q.qid, e.vec_id AS nid,
-         round(power(list_distance(q.qe, CAST(e.embedding AS DOUBLE[])), 2), 12) AS dist
-  FROM q, embeddings e WHERE e.vec_id <> q.qid
+         round(list_sum(list_transform(generate_series(1, len(q.qe)),
+               i -> (q.qe[i] - ee[i]) * (q.qe[i] - ee[i]))), 12) AS dist
+  FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings) e
+  WHERE e.vec_id <> q.qid
 ),
 g AS (
   SELECT qid, nid, dist FROM (
@@ -789,6 +795,34 @@ def q_e2lsh_knn(sf_dir: str):
 SQL_E2LSH_KNN = _sql_knn_protocol("e2lsh_knn")
 
 
+_GRAPH_IX_CACHE: dict = {}
+
+
+def _graph_index(sf_dir: str):
+    """Build the proximity-graph index once per process per sf_dir, THROUGH
+    the persistence round-trip (divGraph::save/load parity, divGraph.h:
+    1336-1389 / 249-357): build -> save to Parquet+params -> load back; the
+    loaded index is bit-identical (tests/test_graph.py proves it) and is
+    what both graph queries consume. Cached in-process so graph_knn and its
+    no-seed ablation share one build."""
+    got = _GRAPH_IX_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    from lsh_apg_ray.stages.graph import (
+        build_graph,
+        load_graph_index,
+        save_graph_index,
+    )
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    ix = build_graph(emb, T=24, L=4, K=4, W=16.0, cfg=_cfg(threshold=0.5))
+    d = _dump_path(sf_dir, "graph_index")
+    save_graph_index(ix, d)
+    got = (emb, load_graph_index(d))
+    _GRAPH_IX_CACHE[sf_dir] = got
+    return got
+
+
 def q_graph_knn(sf_dir: str):
     """The reference's headline operator: LSH-seeded proximity-graph kNN
     (divGraph::knn) — build the graph from LSH candidate pairs, then
@@ -797,11 +831,10 @@ def q_graph_knn(sf_dir: str):
     import ray.data as rd
 
     from lsh_apg_ray.stages.ann import load_queries
-    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+    from lsh_apg_ray.stages.graph import graph_knn
 
-    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    emb, ix = _graph_index(sf_dir)
     qids, qmat = load_queries(emb, KNN_QUERIES)
-    ix = build_graph(emb, T=24, L=4, K=4, W=16.0, cfg=_cfg(threshold=0.5))
     out = graph_knn(ix, qids, qmat, KNN_K, ef=64)
     ann = rd.from_arrow(
         out.select(["query_id", "neighbor_id", "rank", "dist"])
@@ -810,6 +843,29 @@ def q_graph_knn(sf_dir: str):
 
 
 SQL_GRAPH_KNN = _sql_knn_protocol("graph_knn")
+
+
+def q_graph_knn_noseed(sf_dir: str):
+    """knnHNSW ablation (divGraph.h:1061-1091): the SAME graph queried by a
+    beam from the fixed entry point 0 with NO LSH seeding — the reference's
+    headline comparison isolating what LSH seeding buys. Emitted through the
+    identical recall/ratio protocol so the cost/recall delta vs graph_knn is
+    directly readable from the two result tables."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.ann import load_queries
+    from lsh_apg_ray.stages.graph import graph_knn
+
+    emb, ix = _graph_index(sf_dir)
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = graph_knn(ix, qids, qmat, KNN_K, ef=64, lsh_seeds=False)
+    ann = rd.from_arrow(
+        out.select(["query_id", "neighbor_id", "rank", "dist"])
+    )
+    return _knn_protocol(sf_dir, "graph_knn_noseed", ann, KNN_K)
+
+
+SQL_GRAPH_KNN_NOSEED = _sql_knn_protocol("graph_knn_noseed")
 
 
 def q_zorder_knn(sf_dir: str):
@@ -1080,15 +1136,30 @@ GROUP BY 1 ORDER BY 1
 
 
 def q_top_lineitems(sf_dir: str):
+    """Global top-20 WITHOUT a global sort: each block keeps its own
+    deterministic top-20 (vectorized lexsort), then one tiny sort+limit over
+    the <= 20*n_blocks survivors merges — the bounded-heap pattern (K2,
+    divGraph.h:1126-1129) instead of an all-to-all sort of every row."""
     from lsh_apg_ray.sources import read_table
+
+    TOPK = 20
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        if len(price) == 0:
+            return t
+        sel = np.lexsort((ln, ok, -price))[:TOPK]
+        return t.take(pa.array(sel))
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
     )
-    return li.sort(
+    return li.map_batches(block_topk, batch_format="pyarrow").sort(
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
         descending=[True, False, False],
-    ).limit(20)
+    ).limit(TOPK)
 
 
 SQL_TOP_LINEITEMS = """
@@ -1123,6 +1194,7 @@ QUERIES = {
     "e2lsh_knn": q_e2lsh_knn,
     "zorder_knn": q_zorder_knn,
     "graph_knn": q_graph_knn,
+    "graph_knn_noseed": q_graph_knn_noseed,
     "ivf_knn": q_ivf_knn,
 }
 
@@ -1170,5 +1242,6 @@ ORACLE_SQL = {
     "e2lsh_knn": SQL_E2LSH_KNN,
     "zorder_knn": SQL_ZORDER_KNN,
     "graph_knn": SQL_GRAPH_KNN,
+    "graph_knn_noseed": SQL_GRAPH_KNN_NOSEED,
     "ivf_knn": SQL_IVF_KNN,
 }

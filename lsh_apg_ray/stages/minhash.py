@@ -142,6 +142,10 @@ def make_fused_prep_fn(cfg: DedupConfig, content_col="content",
     materialization ~2.4 KB/doc. Verify re-derives shingle sets later for
     only the (small) pair-involved doc set (make_shingle_payload_fn).
     Output: doc_id, sha, sha_key, nbytes, keep_cols..., n_shingles, bands.
+
+    `sha` is the RAW 32-byte digest (fixed_size_binary(32)) — 32 B/doc
+    through every downstream materialization instead of 68 B of hex string;
+    dedup_pipeline hex-encodes it once at the assignment output surface.
     """
     import hashlib
 
@@ -176,13 +180,13 @@ def make_fused_prep_fn(cfg: DedupConfig, content_col="content",
                 count=n,
             )
         texts = batch[content_col].to_pylist()
-        shas: list[str] = []
+        shas: list[bytes] = []
         sha_keys = np.empty(n, dtype=np.int64)
         nbytes = np.empty(n, dtype=np.int64)
         for i, t in enumerate(texts):
             raw = t.encode("utf-8")
             digest = hashlib.sha256(raw).digest()
-            shas.append(digest.hex())
+            shas.append(digest)
             sha_keys[i] = int.from_bytes(digest[:8], "little", signed=True)
             nbytes[i] = len(raw)
         tok = arrow_token_hashes(batch[content_col], hasher, cfg.token_pattern)
@@ -199,7 +203,7 @@ def make_fused_prep_fn(cfg: DedupConfig, content_col="content",
         bands = band_keys(sigs, cfg.bands, cfg.rows).view(np.uint64)
         cols: dict = {
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "sha": pa.array(shas, pa.string()),
+            "sha": pa.array(shas, pa.binary(32)),
             "sha_key": pa.array(sha_keys, pa.int64()),
             "nbytes": pa.array(nbytes, pa.int64()),
         }

@@ -3,6 +3,7 @@ embedding near-dup pairs vs numpy, determinism."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -129,3 +130,35 @@ def test_ivf_knn_recall(emb_ds):
     assert a[["query_id", "neighbor_id", "dist"]].equals(
         b[["query_id", "neighbor_id", "dist"]]
     )
+
+
+def test_e2lsh_knn_bucket_miss_expansion(ray_session):
+    """Out-of-distribution queries hash into empty buckets in every table;
+    the sorted-key expansion (zlsh::knnBestFirst behavior, e2lsh.cpp:573-699)
+    must still return k exact-reranked results instead of nothing."""
+    from lsh_apg_ray.stages.ann import e2lsh_knn
+
+    rng = np.random.default_rng(3)
+    n, dim = 2000, 16
+    x = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    emb = rd.from_arrow(t).materialize()
+    # far-out queries: 50 sigma from the data cloud
+    qmat = rng.standard_normal((5, dim)) + 50.0
+    qids = np.arange(1000000, 1000005, dtype=np.int64)
+    k = 5
+    out = e2lsh_knn(emb, qids, qmat, k, L=4, K=8, W=1.0).to_pandas()
+    assert (out.groupby("query_id").size() == k).all()
+    assert set(out["query_id"]) == set(qids.tolist())
+    # and with expansion off, the same OOD queries find nothing (the round-2
+    # behavior the expansion fixes)
+    out_off = e2lsh_knn(
+        emb, qids, qmat, k, L=4, K=8, W=1.0, probe_expand=False
+    ).to_pandas()
+    assert len(out_off) == 0

@@ -135,3 +135,57 @@ def test_graph_knn_chi2_prune(ray_session, clustered_embeddings):
     assert n_pruned > 0          # the prune actually fires
     assert c_pruned < c_plain    # and saves exact evaluations
     assert r_pruned >= r_plain - 0.03  # with bounded recall impact
+
+
+def test_graph_index_save_load_bitexact(ray_session, clustered_embeddings, tmp_path):
+    """divGraph::save/load parity (divGraph.h:1336-1389 / 249-357):
+    build -> save -> load -> query must equal build -> query bit-exactly."""
+    import ray
+
+    from lsh_apg_ray.stages.graph import (
+        build_graph,
+        build_or_load_graph,
+        graph_knn,
+        load_graph_index,
+        save_graph_index,
+    )
+
+    emb, ids, x = clustered_embeddings
+    qids, qmat = ids[:10], x[:10]
+    ix_ref = build_graph(emb)
+    d = str(tmp_path / "graph_ix")
+    save_graph_index(ix_ref, d)
+    ix2_ref = load_graph_index(d)
+
+    ix, ix2 = ray.get(ix_ref), ray.get(ix2_ref)
+    for f in ("ids", "mat", "indptr", "nbr", "keys_sorted", "rows_sorted", "hashes"):
+        assert np.array_equal(getattr(ix, f), getattr(ix2, f)), f
+    a = graph_knn(ix_ref, qids, qmat, k=10, ef=64).to_pandas()
+    b = graph_knn(ix2_ref, qids, qmat, k=10, ef=64).to_pandas()
+    assert a.equals(b)
+
+    # cache-or-compute wrapper loads the existing checkpoint
+    ix3 = ray.get(build_or_load_graph(emb, checkpoint_dir=d))
+    assert np.array_equal(ix3.nbr, ix.nbr)
+
+
+def test_graph_knn_noseed_ablation(ray_session, clustered_embeddings):
+    """knnHNSW ablation (divGraph.h:1061-1091): beam from fixed entry 0 with
+    no LSH seeding still returns k results through the same protocol; LSH
+    seeding must not be WORSE on recall at equal ef (the reference's
+    headline comparison)."""
+    from lsh_apg_ray.stages.ann import knn_l2
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    emb, ids, x = clustered_embeddings
+    qids, qmat = ids[:20], x[:20]
+    k = 20
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+    ix = build_graph(emb)
+    seeded = graph_knn(ix, qids, qmat, k=k, ef=64).to_pandas()
+    noseed = graph_knn(ix, qids, qmat, k=k, ef=64, lsh_seeds=False).to_pandas()
+
+    assert (noseed.groupby("query_id").size() == k).all()
+    r_seeded = _recall(golden, seeded, qids, k)
+    r_noseed = _recall(golden, noseed, qids, k)
+    assert r_seeded >= r_noseed - 1e-9
