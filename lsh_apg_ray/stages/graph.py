@@ -114,6 +114,56 @@ def _topT_partition(t: pa.Table, T: int) -> pa.Table:
     )
 
 
+def _div_select_partition(t: pa.Table, T: int, ids: np.ndarray,
+                          mat: np.ndarray, consider_cap: int = 4) -> pa.Table:
+    """RNG*-style diversified neighbor selection — `chooseNN_div`
+    (divGraph.h:576-628, off by default via DIV def.h:69): candidates sorted
+    by distance to p; keep c iff NO already-kept b satisfies
+    dist(b, c) < dist(p, c) (squared L2 both sides, USE_SQRDIST def.h:3);
+    stop at T kept. Needs candidate-candidate distances, so the broadcast
+    vector matrix is read here (zero-copy plasma). Per node at most
+    consider_cap*T nearest candidates are examined (bounds the quadratic
+    check; the reference examines its full beam result, similarly bounded
+    by efC)."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = t["dist"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return t
+    order = np.lexsort((dst, dist, src))
+    src, dst, dist = src[order], dst[order], dist[order]
+    new = np.empty(len(src), dtype=bool)
+    new[0] = True
+    new[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(src))
+    out_s, out_d, out_w = [], [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        e = min(e, s + consider_cap * T)
+        cd = dst[s:e]
+        cdist = dist[s:e]
+        rows = np.searchsorted(ids, cd)
+        cmat = mat[rows]
+        kept: list[int] = [0]
+        for i in range(1, len(cd)):
+            if len(kept) >= T:
+                break
+            dd = ((cmat[kept] - cmat[i]) ** 2).sum(axis=1)
+            if (dd >= cdist[i]).all():
+                kept.append(i)
+        ki = np.asarray(kept, dtype=np.int64)
+        out_s.append(np.full(len(ki), src[s], np.int64))
+        out_d.append(cd[ki])
+        out_w.append(cdist[ki])
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate(out_s), pa.int64()),
+            "dst": pa.array(np.concatenate(out_d), pa.int64()),
+            "dist": pa.array(np.concatenate(out_w), pa.float64()),
+        }
+    )
+
+
 def _dedup_edges(t: pa.Table) -> pa.Table:
     """Distinct (src, dst) within a partition (reverse pass can duplicate)."""
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -145,6 +195,7 @@ def build_graph(
     cfg: DedupConfig | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    div: bool = False,
 ):
     """Build the proximity graph; returns an ObjectRef[GraphIndex].
 
@@ -154,6 +205,12 @@ def build_graph(
     5000-point clustered fixture: recall@50 = 1.0 at 4.8% verified-candidate
     cost with these defaults (the reference's audio CSV row: 0.9942 at 2.6%,
     LSH-G_div_result.csv:2).
+
+    div=True switches forward-edge selection to the RNG*-style
+    diversification (`chooseNN_div`, divGraph.h:576-628) — the paper's
+    degree-bounded-recall knob, off by default in the reference too
+    (def.h:69). The reverse pass keeps the simple maxT cap either way
+    (matching the reference's default incremental path).
     """
     cfg = cfg or DedupConfig(threshold=0.5)
     mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
@@ -218,14 +275,20 @@ def build_graph(
         )
         return t.append_column("__gpart", pa.array(p, pa.int64()))
 
-    # per-node top-T selection (one coarse partition per group, vectorized)
+    # per-node top-T selection (one coarse partition per group, vectorized);
+    # div mode reads the broadcast matrix for candidate-candidate distances
+    if div:
+        def _sel(g: pa.Table) -> pa.Table:
+            ids_m, mat_m = ray.get(mat_ref)
+            return _div_select_partition(g.drop_columns(["__gpart"]), T, ids_m, mat_m)
+    else:
+        def _sel(g: pa.Table) -> pa.Table:
+            return _topT_partition(g.drop_columns(["__gpart"]), T)
+
     fwd = (
         cand_edges.map_batches(part_by_src, batch_format="pyarrow")
         .groupby("__gpart")
-        .map_groups(
-            lambda g: _topT_partition(g.drop_columns(["__gpart"]), T),
-            batch_format="pyarrow",
-        )
+        .map_groups(_sel, batch_format="pyarrow")
     ).materialize()
 
     # reverse pass (G4/G5): every selected forward edge also inserts its

@@ -189,3 +189,55 @@ def test_graph_knn_noseed_ablation(ray_session, clustered_embeddings):
     r_seeded = _recall(golden, seeded, qids, k)
     r_noseed = _recall(golden, noseed, qids, k)
     assert r_seeded >= r_noseed - 1e-9
+
+
+def test_choose_nn_div_semantics():
+    """chooseNN_div (divGraph.h:576-628) unit semantics: candidates in
+    distance order; keep c iff no kept b has dist(b,c) < dist(p,c)."""
+    from lsh_apg_ray.stages.graph import _div_select_partition
+
+    # p at origin; c1=(1,0) d=1; c2=(1.1,0) d=1.21 but dist(c1,c2)=0.01 -> reject;
+    # c3=(0,2) d=4, dist(c1,c3)=5 >= 4 -> keep
+    ids = np.array([0, 1, 2, 3], dtype=np.int64)
+    mat = np.array([[0.0, 0.0], [1.0, 0.0], [1.1, 0.0], [0.0, 2.0]])
+    t = pa.table(
+        {
+            "src": pa.array([0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+            "dist": pa.array([1.0, 1.21, 4.0], pa.float64()),
+        }
+    )
+    out = _div_select_partition(t, T=3, ids=ids, mat=mat)
+    assert out["dst"].to_pylist() == [1, 3]
+
+    # with diversification satisfied (orthogonal directions) everything stays
+    mat2 = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+    t2 = pa.table(
+        {
+            "src": pa.array([0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+            "dist": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    out2 = _div_select_partition(t2, T=3, ids=ids, mat=mat2)
+    assert sorted(out2["dst"].to_pylist()) == [1, 2, 3]
+
+
+def test_graph_build_div_mode(ray_session, clustered_embeddings):
+    """div=True build: degree-bounded diversified graph still answers with
+    high recall (the paper's DIV knob, default-off parity)."""
+    import ray
+
+    from lsh_apg_ray.stages.ann import knn_l2
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    emb, ids, x = clustered_embeddings
+    qids, qmat = ids[:10], x[:10]
+    k = 20
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+    ix_ref = build_graph(emb, div=True)
+    ix = ray.get(ix_ref)
+    deg = np.diff(ix.indptr)
+    assert deg.max() <= 2 * 24  # maxT cap holds in div mode too
+    res = graph_knn(ix_ref, qids, qmat, k=k, ef=120).to_pandas()
+    assert _recall(golden, res, qids, k) >= 0.95
