@@ -61,6 +61,12 @@ class DedupConfig:
     # `changed` aggregate). Both are exact; union-find is just cheaper when
     # the edge set — which is tiny relative to the corpus — fits one machine.
     cc_max_rounds: int = 50
+    cc_backend: str = "actors"
+    # distributed-CC implementation above cc_driver_max_edges: "actors"
+    # (default — P shard actors hold CSR+labels across rounds; rounds are
+    # direct actor message passing, no per-round Ray Data job launches) or
+    # "dataset" (co-grouped hash-min rounds through groupby — no long-lived
+    # actors, e.g. for preemptible worker pools). Both exact.
 
     # --- execution ---
     batch_size: int = 1024      # docs per batch through the hashing stages
@@ -88,6 +94,8 @@ class DedupConfig:
             )
         if not (0.0 < self.threshold <= 1.0):
             raise ValueError("threshold must be in (0, 1]")
+        if self.cc_backend not in ("actors", "dataset"):
+            raise ValueError(f"unknown cc_backend {self.cc_backend!r}")
 
 
 # Configuration used by tests / the driver correctness gate: small signature,

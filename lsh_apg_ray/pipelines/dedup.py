@@ -76,6 +76,7 @@ def dedup_pipeline(
     checkpoint_dir: str | None = None,
     input_fingerprint: str = "",
     stage_times: dict | None = None,
+    payload_files: str | list[str] | None = None,
 ) -> DedupResult:
     """Run the full dedup pipeline over a corpus Dataset.
 
@@ -277,7 +278,42 @@ def dedup_pipeline(
     # (commit/lang/... — whatever the caller carries) never leave storage
     payload_cols = ([id_col] if id_col is not None else
                     ["repo", "path", "commit"]) + [content_col]
-    payload = ds.select_columns(payload_cols).map_batches(
+    payload_src = ds.select_columns(payload_cols)
+    if payload_files is not None and payload_ids_ref is pair_ids_ref:
+        # FILE-pruned rescan (opt-in, caller names the source parquet files):
+        # a narrow prefilter scan (id columns only, one remote task per file)
+        # drops every file with zero pair-involved docs, so pass C's content
+        # read touches only files that contribute to the candidate set. At
+        # low dup density the rescan cost tracks the candidate footprint, not
+        # the corpus size; doc ids are hash-derived (uniform), so parquet
+        # footer min/max stats could never prune — this exact narrow scan is
+        # the cheapest file-level test. Skipped on the rep_ids fallback
+        # (nearly every file holds a representative).
+        from lsh_apg_ray.stages.minhash import file_has_involved_docs
+
+        files = _list_parquet_files(payload_files)
+        hits = ray.get([
+            file_has_involved_docs.remote(f, payload_ids_ref, id_col)
+            for f in files
+        ])
+        kept = [f for f, h in zip(files, hits) if h]
+        if stage_times is not None:
+            stage_times["pass_c_files_kept"] = len(kept)
+            stage_times["pass_c_files_total"] = len(files)
+        if kept:
+            payload_src = ray.data.read_parquet(kept, columns=payload_cols)
+        else:
+            payload_src = ray.data.from_arrow(
+                pa.table(
+                    {
+                        c: pa.array(
+                            [], pa.int64() if c == id_col else pa.string()
+                        )
+                        for c in payload_cols
+                    }
+                )
+            )
+    payload = payload_src.map_batches(
         make_shingle_payload_fn(cfg, payload_ids_ref, content_col=content_col,
                                 id_col=id_col),
         batch_format="pyarrow",
@@ -310,6 +346,19 @@ def dedup_pipeline(
     return DedupResult(
         assignments=assignments, duplicate_edges=edges, candidate_metrics=metrics
     )
+
+
+def _list_parquet_files(spec: str | list[str]) -> list[str]:
+    """Expand a directory (or pass through a list) to sorted parquet paths."""
+    import os
+
+    if isinstance(spec, str):
+        return sorted(
+            os.path.join(spec, f)
+            for f in os.listdir(spec)
+            if f.endswith(".parquet")
+        )
+    return sorted(spec)
 
 
 def sha_hex_df(df):

@@ -4,7 +4,8 @@ Analogue of the reference's `connectivity`/`traverse` flood fill
 (divGraph.h:1233-1333) — but functional: labels are a column, not shared
 memory.
 
-Two exact implementations, selected by edge count (cfg.cc_driver_max_edges):
+Three exact implementations, selected by edge count (cfg.cc_driver_max_edges)
+and cfg.cc_backend:
 
   - driver union-find: the duplicate edge set is tiny relative to the corpus
     (only verified dups), so when it fits the driver we stream edge batches
@@ -14,13 +15,28 @@ Two exact implementations, selected by edge count (cfg.cc_driver_max_edges):
     assignment table inside map_batches (broadcast-small-side join,
     SURVEY.md §4 "skew").
 
-  - distributed hash-min label propagation with POINTER JUMPING: init
-    label(v)=v; each round ships every edge its endpoints' labels (hash join
-    on node), takes groupby(node).min(label), then jumps label <- label(label)
-    — so convergence is O(log diameter) rounds, each edge-scale. Fixpoint is
-    proven by an order-independent label checksum (labels only decrease);
-    cfg.cc_max_rounds bounds the loop and non-convergence raises. Used when
-    the edge list is too big for one machine.
+  - actor-held label state (`cc_actors`, cfg.cc_backend="actors", default):
+    P shard actors each hold their hash partition's CSR adjacency + label
+    array; a round is direct actor message passing (propagate min labels
+    along edges, then pointer-jump label <- label(label)), with per-shard
+    min pre-aggregation before anything ships. No Ray Data job launches per
+    round — the round-2 `cc_distributed` paid groupby+repartition+
+    materialize startup twice per round (NOTES.md #3); here the edge set is
+    partitioned ONCE and only (node, label) int64 messages move. Fixpoint
+    detection is exact (each shard reports whether any label decreased).
+    This is one of the few stages where raw actors beat the Dataset API:
+    the state is mutated every round, and re-sharding it through the object
+    store each round is pure overhead.
+
+  - distributed hash-min label propagation with POINTER JUMPING
+    (`cc_distributed`, cfg.cc_backend="dataset"): init label(v)=v; each
+    round ships every edge its endpoints' labels (co-grouped message
+    emission), takes groupby(node).min(label), then jumps
+    label <- label(label) — so convergence is O(log diameter) rounds, each
+    edge-scale. Fixpoint is proven by an order-independent label checksum
+    (labels only decrease); cfg.cc_max_rounds bounds the loop and
+    non-convergence raises. Kept as the fallback that needs no long-lived
+    actors (e.g. on preemptible pools).
 
 Cluster ids are deterministic: the minimum doc_id of the component — no
 dependence on arrival order (SURVEY.md §7.4 determinism).
@@ -140,6 +156,195 @@ def _cc_emit(t: pa.Table) -> pa.Table:
             "doc_id": pa.array(np.concatenate([ed, ln]), pa.int64()),
             "cluster_id": pa.array(np.concatenate([e_lab, lv]), pa.int64()),
         }
+    )
+
+
+@ray.remote
+class _CCShard:
+    """One hash partition of the CC state: CSR adjacency (symmetric, by
+    owning node) + label array, held across rounds.
+
+    The reference holds the whole visited/flag array in shared memory and
+    flood-fills (divGraph.h:1233-1333); the distributed analogue shards that
+    state by mix64(node) % P and runs hash-min rounds as direct actor
+    messages. Labels only ever decrease; fixpoint reporting is exact."""
+
+    def __init__(self, part: int, nparts: int) -> None:
+        self.part = part
+        self.nparts = nparts
+        self._bn: list[np.ndarray] = []
+        self._bd: list[np.ndarray] = []
+        self.nodes = np.empty(0, np.int64)
+        self.labels = np.empty(0, np.int64)
+        self.indptr = np.empty(1, np.int64)
+        self.adj = np.empty(0, np.int64)
+
+    def add_edges(self, node: np.ndarray, dst: np.ndarray) -> int:
+        """Buffer symmetric edge rows owned by this shard (node side).
+        Duplicate deliveries (task retries) are harmless: CC is idempotent
+        under edge multiplicity."""
+        self._bn.append(np.asarray(node, np.int64))
+        self._bd.append(np.asarray(dst, np.int64))
+        return len(node)
+
+    def build(self) -> int:
+        n = np.concatenate(self._bn) if self._bn else np.empty(0, np.int64)
+        d = np.concatenate(self._bd) if self._bd else np.empty(0, np.int64)
+        self._bn, self._bd = [], []
+        order = np.argsort(n, kind="stable")
+        n, d = n[order], d[order]
+        self.nodes, starts = np.unique(n, return_index=True)
+        self.indptr = np.append(starts, len(n)).astype(np.int64)
+        self.adj = d
+        self.labels = self.nodes.copy()
+        return len(self.nodes)
+
+    def _owner(self, ids: np.ndarray) -> np.ndarray:
+        return (mix64(ids.astype(np.uint64)) % np.uint64(self.nparts)).astype(
+            np.int64
+        )
+
+    def _route_min(self, node: np.ndarray, lab: np.ndarray):
+        """(node <- lab) messages split by owner shard, with per-node MIN
+        pre-aggregation (the combiner-before-shuffle pattern) so at most one
+        row per distinct target node leaves this shard."""
+        if len(node) == 0:
+            z = np.empty(0, np.int64)
+            return [(z, z)] * self.nparts
+        order = np.argsort(node, kind="stable")
+        node, lab = node[order], lab[order]
+        uniq, starts = np.unique(node, return_index=True)
+        mins = np.minimum.reduceat(lab, starts)
+        part = self._owner(uniq)
+        return [(uniq[part == p], mins[part == p]) for p in range(self.nparts)]
+
+    def propagate_emit(self):
+        """One message per edge (dst <- label(node)), pre-aggregated; returns
+        nparts (nodes, labels) pairs — fetched per-destination via
+        num_returns so shard j only ever reads its own slice."""
+        lab = np.repeat(self.labels, np.diff(self.indptr))
+        return self._route_min(self.adj, lab)
+
+    def combine(self, *msgs) -> bool:
+        """Apply incoming (node <- lab) min-messages; True iff any label
+        decreased (exact fixpoint signal, no checksum needed)."""
+        changed = False
+        for mn, ml in msgs:
+            if len(mn) == 0:
+                continue
+            pos = np.searchsorted(self.nodes, mn)
+            if not (self.nodes[pos] == mn).all():
+                raise RuntimeError("cc_actors: message for a non-local node")
+            if (ml < self.labels[pos]).any():
+                changed = True
+                np.minimum.at(self.labels, pos, ml)
+        return changed
+
+    def jump_emit(self):
+        """Pointer-jump requests: for each node v with label l != v, ask
+        owner(l) to send label(l) back to v — routed (l, v) pairs, NOT
+        min-aggregated (distinct requesters must all be served)."""
+        m = self.labels != self.nodes
+        ls, vs = self.labels[m], self.nodes[m]
+        if len(ls) == 0:
+            z = np.empty(0, np.int64)
+            return [(z, z)] * self.nparts
+        part = self._owner(ls)
+        return [(ls[part == p], vs[part == p]) for p in range(self.nparts)]
+
+    def jump_serve(self, *reqs):
+        """Serve jump requests (l, v): reply (v <- label(l)), min-routed.
+        l = label(v) is always a node id inside v's component, so it has a
+        label row on its owner shard by construction."""
+        ln = [r[0] for r in reqs if len(r[0])]
+        vn = [r[1] for r in reqs if len(r[0])]
+        if not ln:
+            z = np.empty(0, np.int64)
+            return [(z, z)] * self.nparts
+        l = np.concatenate(ln)
+        v = np.concatenate(vn)
+        pos = np.searchsorted(self.nodes, l)
+        if not (self.nodes[pos] == l).all():
+            raise RuntimeError("cc_actors: jump target label not a known node")
+        return self._route_min(v, self.labels[pos])
+
+    def labels_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(self.nodes, pa.int64()),
+                "cluster_id": pa.array(self.labels, pa.int64()),
+            }
+        )
+
+
+def cc_actors(edges, cfg: DedupConfig):
+    """Actor-held hash-min CC + pointer jumping; returns a Dataset
+    (doc_id, cluster_id = min doc_id of component) for nodes in >=1 edge.
+
+    vs `cc_distributed`: the edge set is partitioned ONCE into P shard
+    actors (ingested by a distributed map_batches that routes rows to their
+    owner — content never touches the driver), then every round is pure
+    actor-to-actor message passing with per-shard min pre-aggregation and
+    `num_returns=P` slicing (each destination fetches only its slice from
+    plasma). Cuts the two Ray Data job launches (groupby + repartition +
+    materialize) per round that dominate `cc_distributed`'s fixed cost."""
+    P = max(2, cfg.join_partitions)  # num_returns slicing needs >=2 shards
+    actors = [_CCShard.remote(i, P) for i in range(P)]
+
+    def ingest(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        part = (mix64(node.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        refs = [
+            actors[p].add_edges.remote(node[part == p], dst[part == p])
+            for p in np.unique(part)
+        ]
+        ray.get(refs)  # confirm delivery before the block is marked done
+        return pa.table({"n": pa.array([len(a)], pa.int64())})
+
+    ingested = edges.select_columns(["id_a", "id_b"]).map_batches(
+        ingest, batch_format="pyarrow"
+    )
+    n_edges = ingested.sum("n") or 0
+    n_nodes = sum(ray.get([a.build.remote() for a in actors]))
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
+
+    for _ in range(cfg.cc_max_rounds):
+        # propagate: per-actor FIFO order + object-ref dependencies make the
+        # emit -> combine -> jump_emit -> jump_serve -> combine chain a DAG
+        # (cross-shard deps always point at earlier stages)
+        emits = [a.propagate_emit.options(num_returns=P).remote() for a in actors]
+        ch1 = [
+            actors[j].combine.remote(*[emits[i][j] for i in range(P)])
+            for j in range(P)
+        ]
+        jreqs = [a.jump_emit.options(num_returns=P).remote() for a in actors]
+        serves = [
+            actors[j].jump_serve.options(num_returns=P).remote(
+                *[jreqs[i][j] for i in range(P)]
+            )
+            for j in range(P)
+        ]
+        ch2 = [
+            actors[j].combine.remote(*[serves[i][j] for i in range(P)])
+            for j in range(P)
+        ]
+        if not any(ray.get(ch1 + ch2)):
+            out = ray.data.from_arrow_refs(
+                [a.labels_table.remote() for a in actors]
+            ).materialize()
+            for a in actors:
+                ray.kill(a)
+            return out
+    raise RuntimeError(
+        f"cc_actors did not converge in {cfg.cc_max_rounds} rounds "
+        f"({n_edges} edges, {n_nodes} nodes)"
     )
 
 
@@ -274,7 +479,8 @@ def attach_clusters(
 
         return docs.map_batches(apply, batch_format="pandas")
 
-    labels = rename_ds(cc_distributed(edges, cfg), {"doc_id": id_col, "cluster_id": "cc_label"})
+    cc_fn = cc_actors if cfg.cc_backend == "actors" else cc_distributed
+    labels = rename_ds(cc_fn(edges, cfg), {"doc_id": id_col, "cluster_id": "cc_label"})
     out = hash_join(
         docs, labels, id_col, num_partitions=cfg.join_partitions, how="left",
         left_schema=docs_schema,

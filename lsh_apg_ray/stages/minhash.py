@@ -11,6 +11,7 @@ in every actor's __init__ — nothing shipped per batch (SURVEY.md §2.3 ST1).
 from __future__ import annotations
 
 import pyarrow as pa
+import ray
 
 from lsh_apg_ray.arrowutil import binary_to_u64_list, u64s_to_binary
 from lsh_apg_ray.config import DedupConfig
@@ -275,6 +276,45 @@ def make_shingle_payload_fn(cfg: DedupConfig, ids_ref, content_col="content",
         )
 
     return fn
+
+
+@ray.remote
+def file_has_involved_docs(path: str, involved, id_col: str | None = None) -> bool:
+    """Pass-C file prefilter: does this parquet file contain >=1 doc from the
+    broadcast sorted involved-id set? Reads ONLY the id columns (a few
+    bytes/row) via the parquet footer's column projection — the content
+    column never leaves storage for files with no candidate docs. doc ids
+    are hash-derived (uniform), so footer min/max statistics cannot prune;
+    this narrow re-derivation is the cheapest exact test. `involved` is the
+    sorted id array — pass the plasma ObjectRef as the task arg (Ray
+    auto-dereferences it zero-copy; nothing is re-shipped per file)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lsh_apg_ray.hashing import doc_id_of
+
+    w = np.asarray(involved)
+    if len(w) == 0:
+        return False
+    cols = [id_col] if id_col is not None else ["repo", "path", "commit"]
+    t = pq.read_table(path, columns=cols)
+    if id_col is not None:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        ids = np.fromiter(
+            (
+                doc_id_of(r, p, c)
+                for r, p, c in zip(
+                    t["repo"].to_pylist(),
+                    t["path"].to_pylist(),
+                    t["commit"].to_pylist(),
+                )
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+    pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
+    return bool((w[pos] == ids).any())
 
 
 def rep_features_dataset(src, cfg: DedupConfig, rep_ids_ref, content_col="content",

@@ -1,12 +1,19 @@
-"""Connected-components stage tests: driver union-find vs distributed
-hash-min propagation must agree exactly (divGraph.h:1276-1333 analogue)."""
+"""Connected-components stage tests: driver union-find vs the two
+distributed hash-min backends must agree exactly (divGraph.h:1276-1333
+analogue)."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from lsh_apg_ray.config import DedupConfig
-from lsh_apg_ray.stages.cc import attach_clusters, cc_distributed, cc_driver
+from lsh_apg_ray.stages.cc import (
+    attach_clusters,
+    cc_actors,
+    cc_distributed,
+    cc_driver,
+)
 
 
 def _edges_ds(pairs):
@@ -59,12 +66,56 @@ def test_cc_distributed_very_long_chain_converges():
     assert len(labels) == 201
 
 
-def test_attach_clusters_singletons_and_both_paths():
+def test_attach_clusters_singletons_and_all_paths():
     docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64)}))
     edges = _edges_ds([(1, 2), (2, 3)])
-    for max_edges in (10**6, 0):  # driver path, then distributed path
-        cfg = DedupConfig(join_partitions=2, cc_driver_max_edges=max_edges)
+    for max_edges, backend in [(10**6, "actors"), (0, "actors"), (0, "dataset")]:
+        cfg = DedupConfig(join_partitions=2, cc_driver_max_edges=max_edges,
+                          cc_backend=backend)
         out = attach_clusters(docs, edges, cfg, id_col="doc_id").to_pandas()
         got = dict(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
         assert got[1] == got[2] == got[3] == 1
         assert all(got[i] == i for i in range(25) if i not in (1, 2, 3))
+
+
+def test_cc_actors_matches_driver():
+    cfg = DedupConfig(join_partitions=2)
+    labels = cc_actors(_edges_ds(EDGES), cfg).to_pandas()
+    got = dict(zip(labels["doc_id"].tolist(), labels["cluster_id"].tolist()))
+    assert got == EXPECT
+
+
+def test_cc_actors_long_chain_converges():
+    # 200-hop path: pointer jumping must converge well inside cc_max_rounds
+    chain = [(i, i + 1) for i in range(200)]
+    cfg = DedupConfig(join_partitions=3, cc_max_rounds=20)
+    labels = cc_actors(_edges_ds(chain), cfg).to_pandas()
+    assert set(labels["cluster_id"]) == {0}
+    assert len(labels) == 201
+
+
+def test_cc_actors_random_graphs_match_driver():
+    # randomized cross-check on graphs with many components + a giant one
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 400
+        m = int(rng.integers(100, 600))
+        pairs = rng.integers(0, n, size=(m, 2)) * 3 + 1  # sparse id space
+        pairs = [(int(a), int(b)) for a, b in pairs if a != b]
+        ids, labels = cc_driver(_edges_ds(pairs))
+        want = dict(zip(ids.tolist(), labels.tolist()))
+        cfg = DedupConfig(join_partitions=4)
+        got_df = cc_actors(_edges_ds(pairs), cfg).to_pandas()
+        got = dict(zip(got_df["doc_id"].tolist(), got_df["cluster_id"].tolist()))
+        assert got == want
+
+
+def test_cc_actors_empty():
+    cfg = DedupConfig(join_partitions=2)
+    out = cc_actors(_edges_ds([]), cfg).to_pandas()
+    assert len(out) == 0
+
+
+def test_cc_backend_validation():
+    with pytest.raises(ValueError):
+        DedupConfig(cc_backend="nope")

@@ -145,3 +145,50 @@ def test_dedup_report_sink(ray_session, small_corpus, tmp_path):
     parts = [d for d in os.listdir(os.path.join(out, "assignments"))
              if d.startswith("bucket=")]
     assert len(parts) >= 2
+
+
+def test_file_pruned_pass_c_exactness(ray_session, test_cfg, tmp_path):
+    """payload_files mode: the narrow per-file prefilter must keep the
+    result bit-identical to the full-rescan path (it only skips files that
+    contain zero pair-involved docs)."""
+    import ray.data as rd
+
+    from lsh_apg_ray.corpus import write_corpus
+
+    src = str(tmp_path / "corpus")
+    write_corpus(src, n_files=400, seed=23, shards=6)
+    times: dict = {}
+    full = dedup_pipeline(
+        rd.read_parquet(src), test_cfg
+    ).assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pruned = dedup_pipeline(
+        rd.read_parquet(src), test_cfg, payload_files=src, stage_times=times
+    ).assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert times["pass_c_files_total"] == 6
+    assert 1 <= times["pass_c_files_kept"] <= 6
+    assert full.equals(pruned)
+
+
+def test_file_prefilter_unit(ray_session, tmp_path):
+    """file_has_involved_docs: true only for files intersecting the set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from lsh_apg_ray.stages.minhash import file_has_involved_docs
+
+    rows = [("r1", "a.py", "c1"), ("r2", "b.py", "c2"), ("r3", "c.py", "c3")]
+    ids = np.array(sorted(doc_id_of(*r) for r in rows), dtype=np.int64)
+    f1, f2 = str(tmp_path / "f1.parquet"), str(tmp_path / "f2.parquet")
+    pq.write_table(
+        pa.table({"repo": [r[0] for r in rows[:2]],
+                  "path": [r[1] for r in rows[:2]],
+                  "commit": [r[2] for r in rows[:2]]}), f1)
+    pq.write_table(
+        pa.table({"repo": [rows[2][0]], "path": [rows[2][1]],
+                  "commit": [rows[2][2]]}), f2)
+    involved = ray.put(ids[:1])  # exactly one doc id
+    hits = ray.get([file_has_involved_docs.remote(f, involved) for f in (f1, f2)])
+    assert sorted(hits) == [False, True]
+    none = ray.put(np.empty(0, np.int64))
+    assert ray.get(file_has_involved_docs.remote(f1, none)) is False
