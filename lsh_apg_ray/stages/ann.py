@@ -257,6 +257,105 @@ def embedding_near_dup_bruteforce(
     return embeddings.map_batches(score, batch_format="pyarrow")
 
 
+def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
+                       vec_col: str, join_partitions: int):
+    """Exact-cosine verify with NO broadcast: attach each endpoint's vector
+    to the candidate pair by partitioned hash join (2 shuffles whose bytes
+    scale with the pair count, never the corpus), then one vectorized
+    normalize+dot per batch. The 100-TB fallback behind
+    embedding_near_dup(verify_mode="join"); output is identical to the
+    broadcast verify (same rounding, same threshold filter)."""
+    from lsh_apg_ray.joins import hash_join, out_schema
+
+    # Acero hash joins reject nested/tensor payload columns, so the vector
+    # rides through the two joins as a variable-length binary column (raw
+    # float64 bytes) — encoded vectorized here, decoded zero-copy from the
+    # Arrow buffers in `score`.
+    def encode_side(id_out: str, vec_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            x = np.ascontiguousarray(_to_matrix(t[vec_col]), dtype=np.float64)
+            n = len(x)
+            width = x.shape[1] * 8 if x.ndim == 2 else 0
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * width)
+            vals = pa.Array.from_buffers(
+                pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(x.tobytes())]
+            )
+            return pa.table(
+                {
+                    id_out: t[id_col].cast(pa.int64()),
+                    vec_out: vals,
+                }
+            )
+
+        return fn
+
+    pair_keys = pairs.select_columns(["id_a", "id_b"])
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    emb = embeddings.select_columns([id_col, vec_col])
+    schema_a = pa.schema([("id_a", pa.int64()), ("_vec_a", pa.binary())])
+    schema_b = pa.schema([("id_b", pa.int64()), ("_vec_b", pa.binary())])
+    j1 = hash_join(
+        pair_keys,
+        emb.map_batches(encode_side("id_a", "_vec_a"), batch_format="pyarrow"),
+        "id_a",
+        num_partitions=join_partitions,
+        left_schema=pair_schema,
+        right_schema=schema_a,
+    )
+    j2 = hash_join(
+        j1,
+        emb.map_batches(encode_side("id_b", "_vec_b"), batch_format="pyarrow"),
+        "id_b",
+        num_partitions=join_partitions,
+        left_schema=out_schema(pair_schema, schema_a, "id_a"),
+        right_schema=schema_b,
+    )
+
+    def bin_to_matrix(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return np.empty((0, 0))
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        widths = np.diff(off)
+        width = int(widths[0])
+        if not (width % 8 == 0 and (widths == width).all()):
+            raise ValueError("ragged vector byte rows in join verify")
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return (
+            data[off[0] : off[-1]].view(np.float64).reshape(n, width // 8)
+        )
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        va = bin_to_matrix(t["_vec_a"])
+        vb = bin_to_matrix(t["_vec_b"])
+        va = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-300)
+        vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-300)
+        sim = np.round(np.einsum("ij,ij->i", va, vb), ROUND_DECIMALS)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "sim": pa.array(sim, pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
 _HYPERPLANE_CACHE: dict = {}
 
 
@@ -281,6 +380,7 @@ def embedding_near_dup(
     seed: int = 42,
     max_bucket: int = 1 << 20,
     join_partitions: int = 8,
+    verify_mode: str = "broadcast",
 ):
     """Near-duplicate pairs (id_a, id_b, sim >= theta) via hyperplane-sign
     LSH banding — the SCALE PATH (the round-1 brute force is kept as the
@@ -294,15 +394,33 @@ def embedding_near_dup(
     Pipeline = the standard skeleton: sign bits in map_batches -> band rows
     -> bucketed candidate_pairs (capped + recorded skew) -> exact-cosine
     verify against the broadcast normalized matrix. Only ids and band keys
-    shuffle; vectors never do."""
+    shuffle; vectors never do.
+
+    verify_mode picks the exact-verify dataflow:
+      - "broadcast" (default): one normalized corpus matrix assembled
+        off-driver and read from plasma by every verify task — fastest, but
+        bounded by one node's object store (~1e8 x 64 f64). The right choice
+        whenever the corpus matrix fits.
+      - "join": no broadcast at all — the candidate pairs hash-join the
+        (id, vec) table on each endpoint (2 partitioned shuffles moving
+        ~2*pairs*dim*8 bytes, each partition handled independently), then a
+        vectorized dot per batch. Bytes scale with the PAIR count, not the
+        corpus, and nothing must fit on one node: this is the 100-TB path
+        above the broadcast bound."""
     from dataclasses import replace
 
     from lsh_apg_ray.config import DedupConfig
     from lsh_apg_ray.stages.pairs import candidate_pairs
 
+    if verify_mode not in ("broadcast", "join"):
+        raise ValueError(f"verify_mode must be 'broadcast' or 'join', got {verify_mode!r}")
     bands = nbits // band_rows
     assert bands * band_rows == nbits
-    ref = collect_matrix_ref(embeddings, id_col, vec_col, normalize=True)
+    ref = (
+        collect_matrix_ref(embeddings, id_col, vec_col, normalize=True)
+        if verify_mode == "broadcast"
+        else None
+    )
 
     def band_rows_fn(t: pa.Table) -> pa.Table:
         from lsh_apg_ray.hashing import band_salts, mix64
@@ -339,6 +457,11 @@ def embedding_near_dup(
     pairs = candidate_pairs(
         embeddings.map_batches(band_rows_fn, batch_format="pyarrow"), cfg
     )
+
+    if verify_mode == "join":
+        return _verify_pairs_join(
+            pairs, embeddings, threshold, id_col, vec_col, join_partitions
+        )
 
     def verify(t: pa.Table) -> pa.Table:
         rids, rmat = ray.get(ref)

@@ -91,6 +91,28 @@ def test_embedding_near_dup_matches_bruteforce(emb_ds):
     assert len(want) > 0  # mixture guarantees some close pairs
 
 
+def test_embedding_near_dup_join_verify_matches_broadcast(emb_ds):
+    """verify_mode="join" (the no-broadcast 100-TB verify: pairs hash-join
+    the vector table on each endpoint) must produce the exact same verified
+    pair set + sims as the default broadcast verify."""
+    ds, X = emb_ds
+    theta = 0.9
+    want = (
+        embedding_near_dup(ds, theta)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        embedding_near_dup(ds, theta, verify_mode="join")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
 def test_e2lsh_weighted_key_mode():
     """M6 parity: the RANDOM_MAP_HASHTABLE weighted key map
     (e2lsh.cpp:202-246) — deterministic, same-point-same-key, and a
