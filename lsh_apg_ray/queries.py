@@ -1168,6 +1168,116 @@ ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal decode through the driver gate (task brief: image/audio as
+# opaque binary + actor-pool decode). The payloads are REAL encoded bytes —
+# solid-color binary PPM / constant-sample RIFF WAV PCM16, synthesized
+# deterministically from doc_id — decoded by the REAL numpy decoders
+# (stages/multimodal.py), while the SQL oracle predicts every stat
+# analytically from doc_id. A decoder bug (header parse, channel averaging,
+# luma weights, sample scaling) breaks the value-hash match.
+# ---------------------------------------------------------------------------
+
+def q_image_decode_stats(sf_dir: str):
+    from lsh_apg_ray.stages.multimodal import decode_images, encode_ppm
+
+    def build_payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [
+            encode_ppm(8 + int(d) % 5, 8 + int(d) % 7,
+                       (int(d) % 256, (int(d) * 7) % 256, (int(d) * 13) % 256))
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    decoded = decode_images(docs.map_batches(build_payloads, batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["item_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "mean_luma": pa.array(
+                    np.round(t["mean_luma"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return decoded.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_IMAGE_DECODE_STATS = """
+SELECT doc_id,
+       8 + doc_id % 5 AS width,
+       8 + doc_id % 7 AS height,
+       round((0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+              + 0.114 * ((doc_id * 13) % 256)) / 255.0, 6) AS mean_luma
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_audio_decode_stats(sf_dir: str):
+    from lsh_apg_ray.stages.multimodal import decode_audio, encode_wav_pcm16
+
+    def build_payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            n = 64 + d % 50
+            payloads.append(
+                encode_wav_pcm16(
+                    rate=8000 + (d % 3) * 4000,
+                    channels=1 + d % 2,
+                    samples=np.full(n, (d % 1000) - 500, dtype=np.int16),
+                )
+            )
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    decoded = decode_audio(docs.map_batches(build_payloads, batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # no rounding: with constant int16 samples every stat is a dyadic
+        # rational computed EXACTLY on both sides — mono mean of identical
+        # values is exact ((n*v)/n with n*v representable), v**2 and
+        # sqrt(v**2) are correctly-rounded exact, and n/rate is one IEEE
+        # division in both engines. Decimal rounding would INTRODUCE
+        # disagreement (numpy half-to-even vs DuckDB half-away at exact
+        # .5 boundaries like 69/16000).
+        return t.rename_columns(
+            ["doc_id", "sample_rate", "n_samples", "duration_s", "rms"]
+        ).select(["doc_id", "sample_rate", "n_samples", "duration_s", "rms"])
+
+    return decoded.select_columns(
+        ["item_id", "sample_rate", "n_samples", "duration_s", "rms"]
+    ).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_AUDIO_DECODE_STATS = """
+SELECT doc_id,
+       8000 + (doc_id % 3) * 4000 AS sample_rate,
+       64 + doc_id % 50 AS n_samples,
+       CAST(64 + doc_id % 50 AS DOUBLE)
+           / (8000 + (doc_id % 3) * 4000) AS duration_s,
+       abs((doc_id % 1000) - 500) / 32768.0 AS rms
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -1196,6 +1306,8 @@ QUERIES = {
     "graph_knn": q_graph_knn,
     "graph_knn_noseed": q_graph_knn_noseed,
     "ivf_knn": q_ivf_knn,
+    "image_decode_stats": q_image_decode_stats,
+    "audio_decode_stats": q_audio_decode_stats,
 }
 
 ORACLE_SQL = {
@@ -1244,4 +1356,9 @@ ORACLE_SQL = {
     "graph_knn": SQL_GRAPH_KNN,
     "graph_knn_noseed": SQL_GRAPH_KNN_NOSEED,
     "ivf_knn": SQL_IVF_KNN,
+    # multimodal decode: the payloads are real encoded PPM/WAV bytes built
+    # deterministically from doc_id; the oracle predicts the decoded stats
+    # analytically, so the value-hash gates the REAL decode kernels.
+    "image_decode_stats": SQL_IMAGE_DECODE_STATS,
+    "audio_decode_stats": SQL_AUDIO_DECODE_STATS,
 }

@@ -54,6 +54,36 @@ def _stable_floats(payload: bytes, n: int, salt: bytes) -> np.ndarray:
     return out
 
 
+def encode_ppm(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """REAL binary-PPM (P6) encoder: solid-color w x h image. Counterpart of
+    `_decode_ppm`; used by tests and the driver-gate queries to synthesize
+    decodable payloads whose stats are analytically predictable."""
+    px = np.tile(np.array(rgb, dtype=np.uint8), w * h)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_wav_pcm16(rate: int, channels: int, samples: np.ndarray) -> bytes:
+    """REAL RIFF/WAVE PCM16 encoder (interleaves `samples` identically on
+    every channel). Counterpart of `_decode_wav_pcm16`."""
+    s = np.asarray(samples, dtype="<i2")
+    data = np.repeat(s, channels).tobytes()
+    block = 2 * channels
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL raw-image decode: binary PPM (P6) parsed with numpy only —
     header `P6\\n<w> <h>\\n<maxval>\\n` then w*h*3 raw bytes. No codec

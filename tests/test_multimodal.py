@@ -101,6 +101,32 @@ def test_real_ppm_decode(ray_session):
     assert np.allclose(emb[:8], 1.0)
 
 
+def test_encoders_roundtrip_through_real_decoders():
+    """encode_ppm / encode_wav_pcm16 (used by the driver-gate multimodal
+    queries) roundtrip bit-exactly through the real decode kernels,
+    including the stereo channel-averaging path."""
+    import numpy as np
+
+    from lsh_apg_ray.stages.multimodal import (
+        _decode_ppm,
+        _decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    w, h, arr = _decode_ppm(encode_ppm(9, 6, (10, 200, 33)))
+    assert (w, h) == (9, 6)
+    assert arr.shape == (6, 9, 3)
+    assert (arr == np.array([10.0, 200.0, 33.0])).all()
+
+    s = np.full(77, -123, dtype=np.int16)
+    for channels in (1, 2):
+        rate, mono = _decode_wav_pcm16(encode_wav_pcm16(22050, channels, s))
+        assert rate == 22050
+        assert len(mono) == 77
+        assert (mono == -123 / 32768.0).all()
+
+
 def test_real_wav_decode(ray_session):
     """RIFF/WAVE PCM16 decodes for real: rate, duration, exact RMS."""
     import numpy as np
