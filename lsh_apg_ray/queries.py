@@ -1278,6 +1278,31 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling plumbing (flat_map shape: 1 payload row ->
+    n_frames descriptor rows) through the driver surface. No SQL oracle on
+    purpose: without a container codec the frame features come from the
+    documented deterministic fake (blake2 over payload bytes), which SQL
+    cannot reproduce — the driver records the weaker rows-only check, and
+    determinism/shape are pytest-gated (tests/test_multimodal.py)."""
+    from lsh_apg_ray.stages.multimodal import sample_frames
+
+    def build_payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [b"FAKEVID0" + int(d).to_bytes(8, "little") for d in ids],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    return sample_frames(docs.map_batches(build_payloads, batch_format="pyarrow"))
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -1308,6 +1333,7 @@ QUERIES = {
     "ivf_knn": q_ivf_knn,
     "image_decode_stats": q_image_decode_stats,
     "audio_decode_stats": q_audio_decode_stats,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLE_SQL = {
