@@ -252,30 +252,33 @@ def q_minhash_lsh_dedup(sf_dir: str):
     return res.assignments.select_columns(["doc_id", "cluster_id"])
 
 
-def q_corpus_dedup(sf_dir: str):
-    """Flagship over the BASELINE.json input_hint corpus shape
-    (repo, path, commit, lang, content): a deterministic synthetic code
-    corpus (size keyed to the scale factor) is materialized once under /tmp
-    and deduped end-to-end. Full value-hash SQL oracle (SQL_CORPUS_DEDUP):
-    the id-mapped corpus is dumped and DuckDB re-derives sha256, reps,
-    exact-Jaccard pairs and recursive CC from it."""
+def _corpus_and_dump(sf_dir: str):
+    """Shared preamble of the two flagship corpus queries: materialize the
+    deterministic synthetic corpus for this scale factor, dump the id-mapped
+    rows that SQL_CORPUS_DEDUP reads, and return (corpus_dataset,
+    sorted shard paths, sf). Both queries gate against the SAME oracle over
+    the SAME dump, so this block exists exactly once — an edit here cannot
+    desynchronize one query's oracle input from the other's.
+
+    Oracle boundary: doc_id is blake2b of the natural key (not
+    SQL-expressible), so the id-mapped corpus is dumped and the oracle
+    re-derives sha256, exact-duplicate reps, exact-Jaccard pairs and the
+    recursive connected components entirely in SQL from it."""
     import os
 
     import ray.data as rd
 
     from lsh_apg_ray.corpus import write_corpus
-    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
     n_files = max(1000, int(float(sf) * 100_000))
     d = write_corpus(f"/tmp/lsh_apg_query_corpus_{sf}", n_files=n_files, seed=77,
                      shards=8)
+    shards = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
     corpus = rd.read_parquet(d)
 
-    # oracle boundary: doc_id is blake2b of the natural key (not
-    # SQL-expressible), so dump the id-mapped corpus; the oracle re-derives
-    # sha256, exact-duplicate reps, exact-Jaccard pairs and the recursive
-    # connected components entirely in SQL from it.
     def with_id(t):
         import pyarrow as pa
 
@@ -295,6 +298,19 @@ def q_corpus_dedup(sf_dir: str):
         sf_dir,
         "corpus_ids",
     )
+    return corpus, shards, sf
+
+
+def q_corpus_dedup(sf_dir: str):
+    """Flagship over the BASELINE.json input_hint corpus shape
+    (repo, path, commit, lang, content): a deterministic synthetic code
+    corpus (size keyed to the scale factor) is materialized once under /tmp
+    and deduped end-to-end. Full value-hash SQL oracle (SQL_CORPUS_DEDUP):
+    the id-mapped corpus is dumped and DuckDB re-derives sha256, reps,
+    exact-Jaccard pairs and recursive CC from it."""
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+    corpus, _, _ = _corpus_and_dump(sf_dir)
     res = dedup_pipeline(corpus, _cfg())
     return res.assignments.select_columns(
         ["doc_id", "repo", "path", "sha", "rep_id", "cluster_id"]
@@ -306,44 +322,15 @@ def q_corpus_dedup_incremental(sf_dir: str):
     headline): the SAME corpus is deduped as a base run (6 of 8 shards,
     checkpointed) plus a delta fold-in (2 shards) — and must match the
     full-recompute oracle exactly (shared SQL with corpus_dedup)."""
-    import os
     import shutil
 
     import ray.data as rd
 
-    from lsh_apg_ray.corpus import write_corpus
     from lsh_apg_ray.pipelines.dedup import dedup_pipeline
     from lsh_apg_ray.pipelines.incremental import dedup_delta
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
-    n_files = max(1000, int(float(sf) * 100_000))
-    d = write_corpus(f"/tmp/lsh_apg_query_corpus_{sf}", n_files=n_files, seed=77,
-                     shards=8)
-    shards = sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-    )
+    _, shards, sf = _corpus_and_dump(sf_dir)
     base_paths, delta_paths = shards[:6], shards[6:]
-    corpus = rd.read_parquet(d)
-
-    def with_id(t):
-        import pyarrow as pa
-
-        from lsh_apg_ray.hashing import doc_id_of
-
-        ids = [
-            doc_id_of(r, p, c)
-            for r, p, c in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
-                               t["commit"].to_pylist())
-        ]
-        return t.append_column("doc_id", pa.array(ids, pa.int64()))
-
-    _dump_ds(
-        corpus.map_batches(with_id, batch_format="pyarrow").select_columns(
-            ["doc_id", "repo", "path", "content"]
-        ),
-        sf_dir,
-        "corpus_ids",
-    )
     ck = f"/tmp/lsh_apg_inc_ck_{sf}"
     shutil.rmtree(ck, ignore_errors=True)  # fresh state each gate run
     cfg = _cfg()
@@ -805,7 +792,14 @@ def _graph_index(sf_dir: str):
     loaded index is bit-identical (tests/test_graph.py proves it) and is
     what both graph queries consume. Cached in-process so graph_knn and its
     no-seed ablation share one build."""
-    got = _GRAPH_IX_CACHE.get(sf_dir)
+    import ray
+
+    # key on the Ray job too: a cached ObjectRef/Dataset from a previous
+    # ray.init() session is owned by a dead cluster — reusing it after a
+    # shutdown/init cycle in the same process fails with owner-died errors
+    # instead of rebuilding.
+    key = (sf_dir, ray.get_runtime_context().get_job_id())
+    got = _GRAPH_IX_CACHE.get(key)
     if got is not None:
         return got
     from lsh_apg_ray.stages.graph import (
@@ -819,7 +813,9 @@ def _graph_index(sf_dir: str):
     d = _dump_path(sf_dir, "graph_index")
     save_graph_index(ix, d)
     got = (emb, load_graph_index(d))
-    _GRAPH_IX_CACHE[sf_dir] = got
+    for stale in [k for k in _GRAPH_IX_CACHE if k[1] != key[1]]:
+        del _GRAPH_IX_CACHE[stale]  # refs owned by a previous session
+    _GRAPH_IX_CACHE[key] = got
     return got
 
 

@@ -233,7 +233,12 @@ class _CCShard:
             if len(mn) == 0:
                 continue
             pos = np.searchsorted(self.nodes, mn)
-            if not (self.nodes[pos] == mn).all():
+            # clip before indexing: searchsorted returns len(nodes) for an
+            # id beyond the shard's range, and the diagnostic must win over
+            # an IndexError
+            if (pos >= len(self.nodes)).any() or not (
+                self.nodes[np.minimum(pos, len(self.nodes) - 1)] == mn
+            ).all():
                 raise RuntimeError("cc_actors: message for a non-local node")
             if (ml < self.labels[pos]).any():
                 changed = True
@@ -264,7 +269,9 @@ class _CCShard:
         l = np.concatenate(ln)
         v = np.concatenate(vn)
         pos = np.searchsorted(self.nodes, l)
-        if not (self.nodes[pos] == l).all():
+        if (pos >= len(self.nodes)).any() or not (
+            self.nodes[np.minimum(pos, len(self.nodes) - 1)] == l
+        ).all():
             raise RuntimeError("cc_actors: jump target label not a known node")
         return self._route_min(v, self.labels[pos])
 
@@ -290,7 +297,19 @@ def cc_actors(edges, cfg: DedupConfig):
     materialize) per round that dominate `cc_distributed`'s fixed cost."""
     P = max(2, cfg.join_partitions)  # num_returns slicing needs >=2 shards
     actors = [_CCShard.remote(i, P) for i in range(P)]
+    try:
+        return _cc_actors_run(edges, cfg, actors, P)
+    finally:
+        # every exit path (convergence, non-convergence raise, ingest/build
+        # failure) releases the P shard actors holding adjacency + labels —
+        # a leaked pool would pin memory and actor slots in a long-lived
+        # driver. The returned labels Dataset is materialized before this
+        # runs, so the kill never races a pending read.
+        for a in actors:
+            ray.kill(a)
 
+
+def _cc_actors_run(edges, cfg: DedupConfig, actors, P: int):
     def ingest(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -336,12 +355,9 @@ def cc_actors(edges, cfg: DedupConfig):
             for j in range(P)
         ]
         if not any(ray.get(ch1 + ch2)):
-            out = ray.data.from_arrow_refs(
+            return ray.data.from_arrow_refs(
                 [a.labels_table.remote() for a in actors]
             ).materialize()
-            for a in actors:
-                ray.kill(a)
-            return out
     raise RuntimeError(
         f"cc_actors did not converge in {cfg.cc_max_rounds} rounds "
         f"({n_edges} edges, {n_nodes} nodes)"

@@ -148,7 +148,11 @@ def _div_select_partition(t: pa.Table, T: int, ids: np.ndarray,
         for i in range(1, len(cd)):
             if len(kept) >= T:
                 break
-            dd = ((cmat[kept] - cmat[i]) ** 2).sum(axis=1)
+            # round to the same precision as cdist (pair_dists rounds its
+            # output) so the occlusion predicate compares consistently-
+            # rounded operands — unrounded dd vs rounded cdist could flip
+            # the keep decision at a 5e-13 tie
+            dd = np.round(((cmat[kept] - cmat[i]) ** 2).sum(axis=1), ROUND_DECIMALS)
             if (dd >= cdist[i]).all():
                 kept.append(i)
         ki = np.asarray(kept, dtype=np.int64)
@@ -375,43 +379,53 @@ def save_graph_index(index_ref, out_dir: str) -> str:
     arrays and prune projections are seed-deterministic functions of
     (vectors, params) and are rebuilt on load through the SAME code path the
     builder uses (_derived_tables), so load(save(ix)) == ix bit-exactly.
-    Atomic: written to a tmp dir then os.replace'd."""
-    import json
-    import os
-    import shutil
+    Atomic: written to a tmp dir then os.replace'd. The whole save runs in
+    a WORKER task reading the index zero-copy from plasma — the index never
+    lands on the driver (same never-on-the-driver contract as
+    load_graph_index), and the vector matrix is serialized vectorized as a
+    FixedSizeList over its flat buffer, not a per-row Python list."""
 
-    import pyarrow.parquet as pq
+    @ray.remote
+    def _save(ix: GraphIndex, d: str) -> str:
+        import json
+        import os
+        import shutil
 
-    from lsh_apg_ray.hashing import mix64
+        import pyarrow.parquet as pq
 
-    ix: GraphIndex = ray.get(index_ref)
-    tmp = f"{out_dir}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    deg = np.diff(ix.indptr)
-    nodes = pa.table(
-        {
-            "doc_id": pa.array(ix.ids, pa.int64()),
-            "vec": pa.array(list(ix.mat), pa.list_(pa.float64())),
-            "deg": pa.array(deg, pa.int64()),
+        from lsh_apg_ray.hashing import mix64
+
+        tmp = f"{d}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        deg = np.diff(ix.indptr)
+        dim = int(ix.mat.shape[1])
+        flat = pa.array(np.ascontiguousarray(ix.mat).reshape(-1), pa.float64())
+        nodes = pa.table(
+            {
+                "doc_id": pa.array(ix.ids, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(flat, dim),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+        pq.write_table(nodes, os.path.join(tmp, "nodes.parquet"))
+        pq.write_table(
+            pa.table({"nbr": pa.array(ix.nbr, pa.int64())}),
+            os.path.join(tmp, "nbr.parquet"),
+        )
+        params = {
+            "L": ix.L, "K": ix.K, "W": ix.W, "seed": ix.seed,
+            "dim": dim, "n": int(len(ix.ids)),
+            "n_edges": int(len(ix.nbr)),
+            "ids_checksum": int(mix64(ix.ids.view(np.uint64)).sum(dtype=np.uint64)),
         }
-    )
-    pq.write_table(nodes, os.path.join(tmp, "nodes.parquet"))
-    pq.write_table(
-        pa.table({"nbr": pa.array(ix.nbr, pa.int64())}),
-        os.path.join(tmp, "nbr.parquet"),
-    )
-    params = {
-        "L": ix.L, "K": ix.K, "W": ix.W, "seed": ix.seed,
-        "dim": int(ix.mat.shape[1]), "n": int(len(ix.ids)),
-        "n_edges": int(len(ix.nbr)),
-        "ids_checksum": int(mix64(ix.ids.view(np.uint64)).sum(dtype=np.uint64)),
-    }
-    with open(os.path.join(tmp, "params.json"), "w") as f:
-        json.dump(params, f)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.replace(tmp, out_dir)
-    return out_dir
+        with open(os.path.join(tmp, "params.json"), "w") as f:
+            json.dump(params, f)
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+        return d
+
+    return ray.get(_save.remote(index_ref, out_dir))
 
 
 def load_graph_index(in_dir: str):
@@ -441,6 +455,14 @@ def load_graph_index(in_dir: str):
         np.cumsum(deg, out=indptr[1:])
         if int(indptr[-1]) != p["n_edges"] or len(ids) != p["n"]:
             raise RuntimeError("graph index checkpoint is corrupt (size mismatch)")
+        from lsh_apg_ray.hashing import mix64
+
+        got_ck = int(mix64(ids.view(np.uint64)).sum(dtype=np.uint64))
+        if got_ck != p["ids_checksum"]:
+            raise RuntimeError(
+                "graph index checkpoint is corrupt (ids checksum mismatch — "
+                "nodes.parquet does not belong to this params.json)"
+            )
         params = dict(L=p["L"], K=p["K"], W=p["W"], seed=p["seed"])
         ks, rws, h0 = _derived_tables(mat, **params)
         return GraphIndex(

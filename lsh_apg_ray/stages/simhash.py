@@ -49,7 +49,8 @@ def chunk_explode(ds, chunks: int = 4, id_col: str = "doc_id", sim_col: str = "s
 
 
 @ray.remote
-def _pack_id_simhash(max_bucket: int, id_col: str, sim_col: str, *blocks):
+def _pack_id_simhash(max_bucket: int, chunks: int, id_col: str, sim_col: str,
+                     *blocks):
     """Sorted (ids, simhashes) arrays for the broadcast verify — assembled and
     plasma-stored in a worker task from the dataset's block refs; the rows
     never stream through the driver (the round-2 review flagged the
@@ -73,7 +74,7 @@ def _pack_id_simhash(max_bucket: int, id_col: str, sim_col: str, *blocks):
     order = np.argsort(ids)
     ids, shs = ids[order], shs[order]
     u = shs.view(np.uint64)
-    chunks, width = 4, 16
+    width = 64 // chunks
     mask = np.uint64((1 << width) - 1)
     for c in range(chunks):
         _, counts = np.unique((u >> np.uint64(c * width)) & mask, return_counts=True)
@@ -111,10 +112,22 @@ def simhash_dup_pairs(ds, cfg: DedupConfig, max_hamming: int = 3,
     # simhash bucket) is ENFORCED in _pack_id_simhash, not just documented.
     cfg = dataclasses.replace(cfg, max_bucket=2**31)
     sim_small = ds.select_columns([id_col, sim_col]).materialize()
-    pairs = candidate_pairs(chunk_explode(sim_small, chunks, id_col, sim_col), cfg)
     ref = _pack_id_simhash.remote(
-        max_bucket_check, id_col, sim_col, *sim_small.to_arrow_refs()
+        max_bucket_check, chunks, id_col, sim_col, *sim_small.to_arrow_refs()
     )
+    # Enforce the precondition EAGERLY, before the lazy pair plan exists to
+    # be executed: the C(f,2) blow-up happens inside the uncapped pair
+    # emission groupby, upstream of any verify task that would ray.get(ref)
+    # — so block here until the remote check has passed (the probe task
+    # reads the packed arrays zero-copy from plasma; nothing comes to the
+    # driver). A violating corpus fails loudly with remediation instead of
+    # OOMing a pair-emission worker.
+    @ray.remote
+    def _probe(packed):
+        return True
+
+    ray.get(_probe.remote(ref))
+    pairs = candidate_pairs(chunk_explode(sim_small, chunks, id_col, sim_col), cfg)
 
     def verify(t: pa.Table) -> pa.Table:
         k, v = ray.get(ref)

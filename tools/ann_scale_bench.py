@@ -1,0 +1,121 @@
+"""Reference-scale ANN benchmark: clustered vectors at the size/dimension
+of the reference's published audio result (LSH-G_div_result.csv: N=53,387,
+dim=192, k=50, recall@50=0.9942 at 2.64% verified cost, 0.61 ms/query,
+single-node C++). This tool synthesizes a deterministic corpus of the same
+shape (no external data), builds the LSH-APG graph, sweeps ef, and emits
+the reference CSV row protocol (alg.h:98-134) plus aggregate queries/sec —
+the honest cross-language comparison axes are RECALL and COST (fraction of
+N exactly verified per query); AVG_TIME is reported for completeness with
+the CPU count alongside.
+
+    python tools/ann_scale_bench.py [N] [dim] [out_csv]
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    out_csv = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ann_scale_result.csv"
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn
+
+    # deterministic clustered corpus, audio-benchmark shape
+    rng = np.random.default_rng(7)
+    n_centers = max(8, n_total // 100)
+    centers = rng.standard_normal((n_centers, dim)) * 3.0
+    assign = rng.integers(0, n_centers, n_total)
+    X = centers[assign] + rng.standard_normal((n_total, dim))
+
+    flat = pa.array(X.reshape(-1), pa.float64())
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_total, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(flat, dim),
+        }
+    )
+    emb = rd.from_arrow(tbl)
+
+    k, n_queries = 50, 200
+    qids = np.arange(n_queries, dtype=np.int64)
+    qmat = X[:n_queries]
+
+    # exact golden top-k (squared L2, excluding self), chunked numpy
+    golden_sets = []
+    for i in range(n_queries):
+        d = ((X - qmat[i]) ** 2).sum(axis=1)
+        d[i] = np.inf
+        golden_sets.append(set(np.argpartition(d, k)[:k].tolist()))
+
+    T = int(os.environ.get("ANN_T", "24"))
+    L = int(os.environ.get("ANN_L", "4"))
+    K = int(os.environ.get("ANN_K", "4"))
+    # E2LSH bucket width: W ~= E[|a.x|] = mean vector norm works across
+    # dims (measured: recall 1.0 at ~5% cost for dim 32 (W=16) and dim 64
+    # (W=25)); too-coarse W overflows band buckets into the skew caps and
+    # the dropped pairs degrade the graph (recall saturates).
+    default_w = float(np.sqrt((X[:1000] ** 2).sum(axis=1)).mean())
+    W = float(os.environ.get("ANN_W", default_w))
+    t0 = time.time()
+    ix_ref = build_graph(emb, T=T, L=L, K=K, W=W, seed=42)
+    # force the build before timing queries
+    ray.get(ix_ref)
+    build_sec = time.time() - t0
+
+    name = f"synthetic_{n_total}x{dim}"
+    rows = []
+    for ef, pq in [(50, None), (100, None), (200, None), (100, 0.9)]:
+        t0 = time.time()
+        res = graph_knn(ix_ref, qids, qmat, k=k, ef=ef, prob_q=pq).to_pandas()
+        wall = time.time() - t0
+        avg_ms = wall * 1000.0 / n_queries
+        recalls, costs = [], []
+        for qid, grp in res.groupby("query_id"):
+            got = set(grp["neighbor_id"].tolist())
+            recalls.append(len(got & golden_sets[qid]) / k)
+            costs.append(grp["cost"].iloc[0] / n_total)
+        row = {
+            "Dataset": name, "k": k, "L": L, "K": K, "T": T, "ef": ef,
+            "pQ": pq if pq is not None else "",
+            "RECALL": round(float(np.mean(recalls)), 4),
+            "COST": round(float(np.mean(costs)), 4),
+            "AVG_TIME_MS": round(avg_ms, 3),
+            "QPS": round(n_queries / wall, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(json.dumps({"build_sec": round(build_sec, 2), "n": n_total,
+                      "dim": dim, "num_cpus": num_cpus, "out": out_csv}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
