@@ -78,8 +78,9 @@ def main() -> int:
     # the dropped pairs degrade the graph (recall saturates).
     default_w = float(np.sqrt((X[:1000] ** 2).sum(axis=1)).mean())
     W = float(os.environ.get("ANN_W", default_w))
+    div = os.environ.get("ANN_DIV", "") == "1"  # chooseNN_div build mode
     t0 = time.time()
-    ix_ref = build_graph(emb, T=T, L=L, K=K, W=W, seed=42)
+    ix_ref = build_graph(emb, T=T, L=L, K=K, W=W, seed=42, div=div)
     # force the build before timing queries
     ray.get(ix_ref)
     build_sec = time.time() - t0
