@@ -168,6 +168,20 @@ def test_graph_index_save_load_bitexact(ray_session, clustered_embeddings, tmp_p
     ix3 = ray.get(build_or_load_graph(emb, checkpoint_dir=d))
     assert np.array_equal(ix3.nbr, ix.nbr)
 
+    # corruption detection: a nodes.parquet that does not belong to this
+    # params.json (same n/n_edges, different ids) must fail the checksum
+    import json
+
+    import pytest
+
+    with open(f"{d}/params.json") as f:
+        p = json.load(f)
+    p["ids_checksum"] = (p["ids_checksum"] + 1) % 2**64
+    with open(f"{d}/params.json", "w") as f:
+        json.dump(p, f)
+    with pytest.raises(ray.exceptions.RayTaskError, match="checksum"):
+        ray.get(load_graph_index(d))
+
 
 def test_graph_knn_noseed_ablation(ray_session, clustered_embeddings):
     """knnHNSW ablation (divGraph.h:1061-1091): beam from fixed entry 0 with

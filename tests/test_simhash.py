@@ -33,6 +33,27 @@ def test_simhash_pairs_match_bruteforce(small_corpus, test_cfg):
         assert hm == hamming64(np.array([by_id[a]]), np.array([by_id[b]]))[0]
 
 
+def test_simhash_precondition_raises_eagerly():
+    """A corpus violating the exact-tier precondition (a hot identical-
+    simhash bucket) must fail AT simhash_dup_pairs CALL TIME with the
+    remediation message — before the uncapped pigeonhole pair emission can
+    run — not OOM a worker later."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    n = 64
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "simhash": pa.array(np.full(n, 12345, dtype=np.int64)),
+        }
+    )
+    cfg = DedupConfig(join_partitions=2, signer_concurrency=2)
+    with pytest.raises(ray.exceptions.RayTaskError, match="precondition violated"):
+        simhash_dup_pairs(rd.from_arrow(t), cfg, max_bucket_check=16)
+
+
 def test_simhash_exact_dups_distance_zero():
     t = generate_corpus(120, seed=5)
     cfg = DedupConfig(join_partitions=2, signer_concurrency=2)
