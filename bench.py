@@ -88,8 +88,12 @@ def run_bench() -> dict:
     # decision-grade (the same protocol --scaling uses across levels).
     res = dedup_pipeline(rd.read_parquet(out_dir), cfg, collect_metrics=False)
     assert res.assignments.count() == n_files
+    # 5 reps (not 3): measured rep sequences keep improving past rep 3 when
+    # the host starts in a degraded state (e.g. 44/27/16/14/13 s for the
+    # same job) — two extra reps cost ~30 s and move best-of from the
+    # still-warming tail onto the steady-state plateau.
     reps = int(os.environ.get("GRAFT_HEADLINE_REPS",
-                              "1" if os.environ.get("GRAFT_SCALING_CHILD") else "3"))
+                              "1" if os.environ.get("GRAFT_SCALING_CHILD") else "5"))
     rep_secs = []
     for _ in range(reps):
         t0 = time.time()
