@@ -202,6 +202,62 @@ SELECT id_a, id_b, n_inter, n_union, jaccard FROM pairs ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# suffix-array substring verify pass (north-star verify chain: exact Jaccard
+# + SimHash + suffix-array substring; token-level LCS per verified pair)
+# ---------------------------------------------------------------------------
+
+def q_substring_pairs(sf_dir: str):
+    from lsh_apg_ray.stages.suffixarray import substring_pairs
+
+    cfg = _cfg(max_bucket=1_000_000)
+    pairs, _ = _exact_pairs(sf_dir)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return substring_pairs(
+        pairs.select_columns(["id_a", "id_b"]), docs, cfg,
+        content_col="text", id_col="doc_id",
+    )
+
+
+# Oracle: token-level longest common substring by iterative match extension —
+# a recursive CTE over matching token positions ((i, j) survives to level L
+# iff a[i..i+L-1] == b[j..j+L-1]); LCS = max surviving level. Independent of
+# the engine's suffix-array kernel (which is itself pytest-gated against an
+# O(n*m) DP in tests/test_suffixarray.py).
+SQL_SUBSTRING_PAIRS = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTE},
+tokpos AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS i, ws[i] AS t
+  FROM tok, LATERAL unnest(generate_series(1, len(ws))) g(i)
+),
+m(id_a, id_b, i, j, l) AS (
+  SELECT p.id_a, p.id_b, a.i, b.i, CAST(1 AS BIGINT)
+  FROM pairs p
+  JOIN tokpos a ON a.doc_id = p.id_a
+  JOIN tokpos b ON b.doc_id = p.id_b AND b.t = a.t
+  UNION ALL
+  SELECT m.id_a, m.id_b, m.i, m.j, m.l + 1
+  FROM m
+  JOIN tokpos a ON a.doc_id = m.id_a AND a.i = m.i + m.l
+  JOIN tokpos b ON b.doc_id = m.id_b AND b.i = m.j + m.l AND b.t = a.t
+),
+lcs AS (SELECT id_a, id_b, max(l) AS lcs_tokens FROM m GROUP BY 1, 2),
+lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM tok)
+SELECT p.id_a, p.id_b,
+       COALESCE(l.lcs_tokens, 0) AS lcs_tokens,
+       la.n AS n_tokens_a,
+       lb.n AS n_tokens_b,
+       CASE WHEN least(la.n, lb.n) > 0
+            THEN CAST(COALESCE(l.lcs_tokens, 0) AS DOUBLE) / least(la.n, lb.n)
+            ELSE 0.0 END AS containment
+FROM pairs p
+LEFT JOIN lcs l ON l.id_a = p.id_a AND l.id_b = p.id_b
+JOIN lens la ON la.doc_id = p.id_a
+JOIN lens lb ON lb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters: connected components over the exact duplicate graph
 # (traverse analogue, SURVEY.md §2.6 A5)
 # ---------------------------------------------------------------------------
@@ -1304,6 +1360,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_counts": q_token_counts,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "substring_pairs": q_substring_pairs,
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "knn_cosine": q_knn_cosine,
@@ -1337,6 +1394,7 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "substring_pairs": SQL_SUBSTRING_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     # minhash_lsh_dedup is approximate in general, but at this
     # (num_perm=128, bands=32, rows=4, theta=0.7) config its recall on the

@@ -1,0 +1,318 @@
+"""Suffix-array substring verification pass (token-level LCS per pair).
+
+The north-star verify chain is "exact Jaccard plus a SimHash / suffix-array
+substring pass": after the set-based Jaccard verify, measure how much of each
+candidate pair is shared as one CONTIGUOUS token run. Shingle sets can agree
+while the documents interleave them; the longest-common-substring score
+separates true block copies from re-ordered near-misses. Reference analogue:
+the exact re-verification of every candidate (basis.h:186-202) — re-expressed
+as a batched generalized-suffix-array kernel instead of per-pair scanning.
+
+Kernel (all numpy, no per-token Python in the hot path):
+  - ONE generalized suffix array per batch over the concatenation
+    [A_0, $0, B_0, $1, A_1, $2, B_1, $3, ...] with a unique sentinel after
+    every segment, built by prefix doubling (np.lexsort per level, O(N log N)
+    total). Unique sentinels guarantee no common prefix ever crosses a
+    segment end, so per-pair answers are exact even in a shared buffer.
+  - adjacent-suffix LCPs from the retained per-level rank tables (a
+    vectorized binary walk over all adjacent pairs at once — Kasai's O(N)
+    scan has a sequential data dependency and cannot vectorize).
+  - sparse-table range-min over the LCP array (O(N log N) build, O(1) query,
+    queries answered for the whole batch in one shot).
+  - per pair: sort that pair's suffix positions by global rank; for every
+    consecutive (side-A, side-B) run boundary, candidate = range-min LCP
+    between their ranks; LCS = max candidate (the classic multi-string LCS
+    reduction — the optimum is always attained at a pair-consecutive
+    boundary because LCP(u, w) >= LCP(u, v) when rank(u)<rank(w)<rank(v)).
+
+Physical plan: pairs x docs via two partitioned hash joins (text rides as
+payload once per side; bytes scale with PAIR count, nothing is broadcast,
+nothing must fit on one node — the same plan as embedding near-dup's
+verify_mode="join"). Tokenization runs inside the stage actor with the
+vectorized Arrow path; the per-batch dictionary indices double as the
+suffix-array alphabet, so token equality is EXACT (no hash collisions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.arrowutil import rename_ds
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import TokenHasher, arrow_token_index
+from lsh_apg_ray.joins import hash_join, out_schema
+
+PAIR_IDS_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+# ---------------------------------------------------------------------------
+# suffix-array primitives
+# ---------------------------------------------------------------------------
+
+def suffix_array_levels(codes: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Suffix array of an int sequence by prefix doubling.
+
+    Returns (sa, levels) where levels[k] ranks every position by its first
+    2**k elements (int32; equal rank <=> first 2**k elements equal — with a
+    terminal unique sentinel no two distinct suffixes are prefixes of each
+    other, so equal rank also implies both suffixes have >= 2**k elements).
+    """
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, np.int64), [np.empty(0, np.int32)]
+    order = np.argsort(codes, kind="stable")
+    rank = np.empty(n, np.int32)
+    c = codes[order]
+    diff = np.empty(n, np.int32)
+    diff[0] = 0
+    diff[1:] = (c[1:] != c[:-1]).astype(np.int32)
+    rank[order] = np.cumsum(diff, dtype=np.int32)
+    levels = [rank.copy()]
+    k = 1
+    while int(rank[order[-1]]) != n - 1:
+        second = np.full(n, -1, np.int32)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        kr = rank[order]
+        ks = second[order]
+        diff[0] = 0
+        diff[1:] = ((kr[1:] != kr[:-1]) | (ks[1:] != ks[:-1])).astype(np.int32)
+        new = np.empty(n, np.int32)
+        new[order] = np.cumsum(diff, dtype=np.int32)
+        rank = new
+        levels.append(rank.copy())
+        k *= 2
+    return order.astype(np.int64), levels
+
+
+def lcp_of_position_pairs(
+    I: np.ndarray, J: np.ndarray, levels: list[np.ndarray], n: int
+) -> np.ndarray:
+    """LCP(suffix_I[t], suffix_J[t]) for all t, via the rank tables: walk the
+    doubling levels high-to-low; where the 2**k-prefix ranks agree, consume
+    2**k and advance both positions. O(|I| log n), fully vectorized."""
+    m = len(I)
+    lcp = np.zeros(m, np.int64)
+    i = I.astype(np.int64).copy()
+    j = J.astype(np.int64).copy()
+    for k in range(len(levels) - 1, -1, -1):
+        step = 1 << k
+        r = levels[k]
+        valid = (i < n) & (j < n)
+        ii = np.where(valid, i, 0)
+        jj = np.where(valid, j, 0)
+        eq = valid & (r[ii] == r[jj]) & (i != j)
+        lcp[eq] += step
+        i[eq] += step
+        j[eq] += step
+    return lcp
+
+
+def sparse_table(h: np.ndarray) -> list[np.ndarray]:
+    """Range-min sparse table over h: table[k][i] = min(h[i : i + 2**k])."""
+    table = [h]
+    k = 1
+    while (1 << k) <= len(h):
+        prev = table[-1]
+        half = 1 << (k - 1)
+        table.append(np.minimum(prev[: len(prev) - half], prev[half:]))
+        k += 1
+    return table
+
+
+def range_min(table: list[np.ndarray], lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """min(h[lo:hi]) per query (hi > lo), vectorized over all queries."""
+    width = hi - lo
+    k = (np.log2(np.maximum(width, 1)).astype(np.int64))
+    out = np.empty(len(lo), np.int64)
+    for kk in np.unique(k):
+        m = k == kk
+        t = table[int(kk)]
+        step = 1 << int(kk)
+        out[m] = np.minimum(t[lo[m]], t[hi[m] - step])
+    return out
+
+
+def batch_pair_lcs(
+    codes_a: list[np.ndarray], codes_b: list[np.ndarray]
+) -> np.ndarray:
+    """Longest common (contiguous) subsequence length, in tokens, for every
+    pair (codes_a[p], codes_b[p]) — one shared generalized suffix array for
+    the whole batch. Codes must be non-negative ints from a SHARED alphabet
+    (token equality across all segments must be code equality)."""
+    n_pairs = len(codes_a)
+    if n_pairs == 0:
+        return np.empty(0, np.int64)
+    lens_a = np.fromiter((len(x) for x in codes_a), np.int64, count=n_pairs)
+    lens_b = np.fromiter((len(x) for x in codes_b), np.int64, count=n_pairs)
+    n_sent = 2 * n_pairs
+    seg_lens = np.empty(n_sent, np.int64)
+    seg_lens[0::2] = lens_a
+    seg_lens[1::2] = lens_b
+    total = int(seg_lens.sum()) + n_sent
+    buf = np.empty(total, np.int64)
+    pair_of = np.empty(total, np.int64)
+    side_of = np.empty(total, np.int8)
+    # segment start offsets including the per-segment trailing sentinel
+    ends = np.cumsum(seg_lens + 1)
+    starts = ends - (seg_lens + 1)
+    # sentinels: unique codes 0..n_sent-1 at each segment end
+    buf[ends - 1] = np.arange(n_sent, dtype=np.int64)
+    pair_of[:] = -1
+    tok_pos = np.ones(total, bool)
+    tok_pos[ends - 1] = False
+    flat_parts: list[np.ndarray] = []
+    for p in range(n_pairs):
+        flat_parts.append(codes_a[p])
+        flat_parts.append(codes_b[p])
+    flat = (
+        np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int64)
+    ).astype(np.int64)
+    buf[tok_pos] = flat + n_sent
+    seg_pair = np.repeat(np.arange(n_pairs, dtype=np.int64), 2)
+    seg_side = np.tile(np.array([0, 1], np.int8), n_pairs)
+    pair_of[tok_pos] = np.repeat(seg_pair, seg_lens)
+    side_of[:] = -1
+    side_of[tok_pos] = np.repeat(seg_side, seg_lens)
+
+    sa, levels = suffix_array_levels(buf)
+    inv = np.empty(total, np.int64)
+    inv[sa] = np.arange(total, dtype=np.int64)
+    if total > 1:
+        h = lcp_of_position_pairs(sa[:-1], sa[1:], levels, total)
+    else:
+        h = np.empty(0, np.int64)
+    table = sparse_table(h) if len(h) else [h]
+
+    pos = np.flatnonzero(tok_pos)
+    if not len(pos):
+        return np.zeros(n_pairs, np.int64)
+    g = inv[pos]
+    pr = pair_of[pos]
+    sd = side_of[pos]
+    order = np.lexsort((g, pr))
+    g = g[order]
+    pr = pr[order]
+    sd = sd[order]
+    adj = (pr[1:] == pr[:-1]) & (sd[1:] != sd[:-1])
+    lcs = np.zeros(n_pairs, np.int64)
+    if adj.any():
+        lo = g[:-1][adj]
+        hi = g[1:][adj]
+        cand = range_min(table, lo, hi)
+        # candidates are grouped by pair (pr is the lexsort major key)
+        cp = pr[:-1][adj]
+        bounds = np.flatnonzero(np.concatenate(([True], cp[1:] != cp[:-1])))
+        maxes = np.maximum.reduceat(cand, bounds)
+        lcs[cp[bounds]] = maxes
+    return lcs
+
+
+def lcs_reference(a: np.ndarray, b: np.ndarray) -> int:
+    """O(|a|*|b|) dynamic-programming longest-common-substring — the test
+    oracle for batch_pair_lcs (never used in a pipeline)."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    best = 0
+    prev = np.zeros(len(b) + 1, np.int64)
+    for x in a:
+        cur = np.zeros(len(b) + 1, np.int64)
+        cur[1:][b == x] = prev[:-1][b == x] + 1
+        best = max(best, int(cur.max()))
+        prev = cur
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Ray Data stage
+# ---------------------------------------------------------------------------
+
+class SubstringVerify:
+    """Per-batch: tokenize both endpoint texts with ONE shared dictionary
+    (Arrow split + dictionary_encode — the dictionary indices ARE the
+    suffix-array alphabet), run the batched LCS kernel, emit
+    (lcs_tokens, n_tokens_a, n_tokens_b, containment)."""
+
+    def __init__(self, cfg: DedupConfig, text_a: str = "text_a",
+                 text_b: str = "text_b") -> None:
+        self.cfg = cfg
+        self.text_a = text_a
+        self.text_b = text_b
+        self.hasher = TokenHasher(cfg.token_pattern)
+
+    def _tokenize_both(self, ta, tb):
+        n = len(ta)
+        both = pa.chunked_array([ta, tb]).combine_chunks()
+        ti = arrow_token_index(both, self.cfg.token_pattern)
+        if ti is not None:
+            indices, offsets, _ = ti
+            segs = [indices[offsets[i]: offsets[i + 1]] for i in range(2 * n)]
+            return segs[:n], segs[n:]
+        # non-char-class token pattern: per-doc findall + exact factorize
+        toks = [self.hasher.tokenize(t) for t in both.to_pylist()]
+        vocab: dict[str, int] = {}
+        segs = []
+        for tl in toks:
+            segs.append(np.fromiter(
+                (vocab.setdefault(t, len(vocab)) for t in tl),
+                np.int64, count=len(tl)))
+        return segs[:n], segs[n:]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        codes_a, codes_b = self._tokenize_both(
+            batch[self.text_a], batch[self.text_b])
+        lcs = batch_pair_lcs(codes_a, codes_b)
+        na = np.fromiter((len(x) for x in codes_a), np.int64, count=n)
+        nb = np.fromiter((len(x) for x in codes_b), np.int64, count=n)
+        shorter = np.minimum(na, nb)
+        containment = np.where(shorter > 0, lcs / np.maximum(shorter, 1), 0.0)
+        out = batch.drop_columns([self.text_a, self.text_b])
+        out = out.append_column("lcs_tokens", pa.array(lcs, pa.int64()))
+        out = out.append_column("n_tokens_a", pa.array(na, pa.int64()))
+        out = out.append_column("n_tokens_b", pa.array(nb, pa.int64()))
+        return out.append_column(
+            "containment", pa.array(containment, pa.float64()))
+
+
+def substring_pairs(
+    pairs,
+    docs,
+    cfg: DedupConfig,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    pairs_schema: pa.Schema = PAIR_IDS_SCHEMA,
+):
+    """pairs(id_a, id_b) + docs(id_col, content_col) -> per-pair token-LCS
+    substring scores (id_a, id_b, lcs_tokens, n_tokens_a, n_tokens_b,
+    containment).
+
+    Join-mode only: text ships through two partitioned hash joins keyed on
+    the pair endpoints, so bytes moved scale with the (post-banding,
+    post-Jaccard) pair count — the small side of the whole pipeline — and
+    nothing is broadcast or driver-materialized.
+    """
+    payload = docs.select_columns([id_col, content_col])
+    left = rename_ds(payload, {id_col: "id_a", content_col: "text_a"})
+    right = rename_ds(payload, {id_col: "id_b", content_col: "text_b"})
+    ls = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    rs = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    s1 = out_schema(pairs_schema, ls, "id_a")
+    j = hash_join(
+        pairs, left, "id_a", num_partitions=cfg.join_partitions,
+        left_schema=pairs_schema, right_schema=ls,
+    )
+    j = hash_join(
+        j, right, "id_b", num_partitions=cfg.join_partitions,
+        left_schema=s1, right_schema=rs,
+    )
+    return j.map_batches(
+        SubstringVerify,
+        fn_constructor_kwargs=dict(cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.signer_concurrency),
+        num_cpus=1,
+    )

@@ -1,0 +1,176 @@
+"""Suffix-array substring pass: the batched generalized-SA LCS kernel against
+an O(n*m) DP oracle, edge cases, batch-composition invariance, and the Ray
+join-mode stage end-to-end on a tiny corpus."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lsh_apg_ray.stages.suffixarray import (
+    batch_pair_lcs,
+    lcp_of_position_pairs,
+    lcs_reference,
+    range_min,
+    sparse_table,
+    substring_pairs,
+    suffix_array_levels,
+)
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    rng = np.random.default_rng(7)
+    codes = np.concatenate([rng.integers(2, 6, 40), [0], rng.integers(2, 6, 17), [1]])
+    sa, _ = suffix_array_levels(codes.astype(np.int64))
+    suf = sorted(range(len(codes)), key=lambda i: codes[i:].tolist())
+    assert sa.tolist() == suf
+
+
+def test_lcp_walk_matches_direct_scan():
+    rng = np.random.default_rng(11)
+    codes = np.concatenate([rng.integers(2, 5, 60), [0]]).astype(np.int64)
+    n = len(codes)
+    sa, levels = suffix_array_levels(codes)
+    h = lcp_of_position_pairs(sa[:-1], sa[1:], levels, n)
+
+    def lcp_direct(i, j):
+        k = 0
+        while i + k < n and j + k < n and codes[i + k] == codes[j + k]:
+            k += 1
+        return k
+
+    want = [lcp_direct(int(sa[t]), int(sa[t + 1])) for t in range(n - 1)]
+    assert h.tolist() == want
+
+
+def test_sparse_table_range_min():
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 50, 97).astype(np.int64)
+    table = sparse_table(h)
+    lo = rng.integers(0, 96, 200).astype(np.int64)
+    width = rng.integers(1, 97 - lo, 200).astype(np.int64)
+    hi = lo + width
+    got = range_min(table, lo, hi)
+    want = np.array([h[a:b].min() for a, b in zip(lo, hi)])
+    assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# batched LCS kernel vs DP oracle
+# ---------------------------------------------------------------------------
+
+
+def test_batch_lcs_edge_cases():
+    e = np.empty(0, np.int64)
+    assert batch_pair_lcs([], []).tolist() == []
+    assert batch_pair_lcs([e], [e]).tolist() == [0]
+    assert batch_pair_lcs([np.array([5])], [e]).tolist() == [0]
+    assert batch_pair_lcs([np.array([5])], [np.array([5])]).tolist() == [1]
+    assert batch_pair_lcs([np.array([1, 2, 3])], [np.array([4, 5, 6])]).tolist() == [0]
+    a = np.arange(100, dtype=np.int64)
+    assert batch_pair_lcs([a], [a.copy()]).tolist() == [100]
+
+
+def test_batch_lcs_random_vs_dp():
+    rng = np.random.default_rng(0)
+    As, Bs = [], []
+    for _ in range(64):
+        vocab = int(rng.integers(1, 10))
+        a = rng.integers(0, vocab, int(rng.integers(0, 50))).astype(np.int64)
+        mode = int(rng.integers(0, 3))
+        if mode == 0:
+            b = rng.integers(0, vocab, int(rng.integers(0, 50))).astype(np.int64)
+        elif mode == 1:
+            b = a.copy()
+        else:  # embedded block copy
+            b = np.concatenate(
+                [rng.integers(0, vocab, 4), a, rng.integers(0, vocab, 4)]
+            ).astype(np.int64)
+        As.append(a)
+        Bs.append(b)
+    got = batch_pair_lcs(As, Bs)
+    want = np.array([lcs_reference(a, b) for a, b in zip(As, Bs)])
+    assert (got == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 4), max_size=30),
+    b=st.lists(st.integers(0, 4), max_size=30),
+    c=st.lists(st.integers(0, 4), max_size=30),
+)
+def test_batch_lcs_property(a, b, c):
+    """Arbitrary small-alphabet sequences; a shared buffer with another pair
+    present must not change any pair's answer (sentinel isolation)."""
+    a = np.array(a, np.int64)
+    b = np.array(b, np.int64)
+    c = np.array(c, np.int64)
+    alone = batch_pair_lcs([a], [b])[0]
+    together = batch_pair_lcs([a, c], [b, a])
+    assert alone == lcs_reference(a, b)
+    assert together[0] == alone
+    assert together[1] == lcs_reference(c, a)
+
+
+def test_batch_composition_invariance():
+    """Splitting the same pairs across calls (batches) changes nothing."""
+    rng = np.random.default_rng(5)
+    As = [rng.integers(0, 6, int(rng.integers(1, 40))).astype(np.int64) for _ in range(20)]
+    Bs = [rng.integers(0, 6, int(rng.integers(1, 40))).astype(np.int64) for _ in range(20)]
+    whole = batch_pair_lcs(As, Bs)
+    split = np.concatenate(
+        [batch_pair_lcs(As[:7], Bs[:7]), batch_pair_lcs(As[7:], Bs[7:])]
+    )
+    assert (whole == split).all()
+
+
+# ---------------------------------------------------------------------------
+# Ray stage end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_substring_pairs_stage(test_cfg):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "intro words the quick brown fox jumps over something else"),
+        (3, "completely different content with no overlap at all here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),  # empty doc
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 1, 1, 1], pa.int64()),
+                "id_b": pa.array([2, 3, 4, 5], pa.int64()),
+            }
+        )
+    )
+    out = (
+        substring_pairs(pairs, ds, test_cfg, content_col="text", id_col="doc_id")
+        .to_pandas()
+        .set_index("id_b")
+        .sort_index()
+    )
+    # doc1 has 9 tokens; shared run with doc2 = "the quick brown fox jumps
+    # over" = 6 tokens; doc3 shares the standalone token "with"? -> check DP
+    tok = {d: t.split() for d, t in docs}
+    for other in (2, 3, 4, 5):
+        a = np.array([hash(w) for w in tok[1]], np.int64)
+        b = np.array([hash(w) for w in tok[other]], np.int64)
+        assert out.loc[other, "lcs_tokens"] == lcs_reference(a, b)
+    assert out.loc[4, "containment"] == 1.0
+    assert out.loc[5, "lcs_tokens"] == 0 and out.loc[5, "containment"] == 0.0
+    assert out.loc[2, "n_tokens_a"] == 9
