@@ -45,6 +45,14 @@ class DedupConfig:
     # the verify join to save ~10us/pair of exact sorted-set intersection.
     # On this engine the exact kernel is cheaper than the prefilter payload.
 
+    substring_containment: float | None = None
+    # optional third verify tier (north-star chain: exact Jaccard + SimHash +
+    # suffix-array substring): keep a verified near-dup edge only when the
+    # longest common CONTIGUOUS token run covers at least this fraction of
+    # the shorter document (token-level LCS / min tokens). Separates true
+    # block copies from reordered near-misses that agree on shingle sets.
+    # None (default) disables the tier; the edge then carries no lcs columns.
+
     # --- skew handling ---
     max_bucket: int = 512
     # band buckets larger than this (license headers, empty files) emit a
@@ -96,6 +104,10 @@ class DedupConfig:
             raise ValueError("threshold must be in (0, 1]")
         if self.cc_backend not in ("actors", "dataset"):
             raise ValueError(f"unknown cc_backend {self.cc_backend!r}")
+        if self.substring_containment is not None and not (
+            0.0 < self.substring_containment <= 1.0
+        ):
+            raise ValueError("substring_containment must be in (0, 1]")
 
 
 # Configuration used by tests / the driver correctness gate: small signature,

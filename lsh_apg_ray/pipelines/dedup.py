@@ -322,8 +322,64 @@ def dedup_pipeline(
 
     def make_edges():
         verified = verify_pairs(pairs, payload, cfg, pair_ids_ref=pair_ids_ref)
-        return verified.map_batches(
+        edges_ds = verified.map_batches(
             lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
+            batch_format="pyarrow",
+        )
+        if cfg.substring_containment is None:
+            return edges_ds
+        # optional third verify tier (north-star chain: Jaccard + SimHash +
+        # suffix-array substring): token-LCS containment over the surviving
+        # edges. Text ships only for edge endpoints (the smallest id set in
+        # the pipeline) through the substring stage's partitioned joins; the
+        # pruned payload_src scan is reused, so content still never
+        # materializes corpus-wide.
+        from lsh_apg_ray.stages.suffixarray import substring_pairs
+
+        def text_payload_fn(batch: pa.Table) -> pa.Table:
+            from lsh_apg_ray.hashing import doc_id_of
+
+            if id_col is not None:
+                dids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                dids = np.fromiter(
+                    (
+                        doc_id_of(r, p, c)
+                        for r, p, c in zip(
+                            batch["repo"].to_pylist(),
+                            batch["path"].to_pylist(),
+                            batch["commit"].to_pylist(),
+                        )
+                    ),
+                    dtype=np.int64,
+                    count=batch.num_rows,
+                )
+            w = ray.get(pair_ids_ref)
+            pos = np.clip(np.searchsorted(w, dids), 0, max(0, len(w) - 1))
+            mask = (w[pos] == dids) if len(w) else np.zeros(len(dids), bool)
+            return pa.table(
+                {
+                    "doc_id": pa.array(dids[mask], pa.int64()),
+                    content_col: batch[content_col].filter(pa.array(mask)),
+                }
+            )
+
+        text_payload = payload_src.map_batches(
+            text_payload_fn, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+        edge_schema = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("n_bands", pa.int64()),
+             ("n_inter", pa.int64()), ("n_union", pa.int64()),
+             ("jaccard", pa.float64())]
+        )
+        scored = substring_pairs(
+            edges_ds, text_payload, cfg,
+            content_col=content_col, id_col="doc_id", pairs_schema=edge_schema,
+        )
+        return scored.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["containment"], cfg.substring_containment)
+            ),
             batch_format="pyarrow",
         )
 

@@ -174,3 +174,55 @@ def test_substring_pairs_stage(test_cfg):
     assert out.loc[4, "containment"] == 1.0
     assert out.loc[5, "lcs_tokens"] == 0 and out.loc[5, "containment"] == 0.0
     assert out.loc[2, "n_tokens_a"] == 9
+
+
+def test_flagship_substring_tier(test_cfg):
+    """cfg.substring_containment separates a true block copy from a
+    block-SWAPPED document: both pass the shingle-Jaccard tier (swapping two
+    halves only perturbs the k-1 boundary shingles), but only the copy shares
+    a long contiguous run."""
+    from dataclasses import replace
+
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+
+    rng = np.random.default_rng(19)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    half1 = " ".join(vocab[i] for i in rng.integers(0, 400, 60))
+    half2 = " ".join(vocab[i] for i in rng.integers(0, 400, 60))
+    base = f"{half1} {half2}"
+    swapped = f"{half2} {half1}"
+    edited = base.rsplit(" ", 3)[0] + " zz1 zz2 zz3"  # tail-edited copy
+    other = " ".join(vocab[i] for i in rng.integers(0, 400, 80))
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([base, swapped, edited, other], pa.string()),
+        }
+    )
+
+    def run(cfg):
+        res = dedup_pipeline(
+            rd.from_arrow(table), cfg, content_col="text", id_col="doc_id",
+            keep_cols=(),
+        )
+        edges = res.assignments  # force plan; edges consumed below
+        pairs = set(
+            zip(*[res.duplicate_edges.to_pandas()[c] for c in ("id_a", "id_b")])
+        )
+        clusters = dict(
+            zip(*[edges.to_pandas()[c] for c in ("doc_id", "cluster_id")])
+        )
+        return pairs, clusters
+
+    plain = replace(test_cfg, threshold=0.7)
+    pairs0, clusters0 = run(plain)
+    assert (1, 2) in pairs0 and (1, 3) in pairs0  # both survive Jaccard
+    assert clusters0[1] == clusters0[2] == clusters0[3]
+
+    strict = replace(plain, substring_containment=0.8)
+    pairs1, clusters1 = run(strict)
+    kept = {(a, b) for a, b in pairs1}
+    assert (1, 3) in kept          # contiguous copy survives
+    assert (1, 2) not in kept      # block swap is rejected by the LCS tier
+    assert clusters1[1] == clusters1[3] != clusters1[2]
+    assert clusters1[4] not in (clusters1[1], clusters1[2])
