@@ -1062,6 +1062,121 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_hopping(sf_dir: str):
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import hopping_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = hopping_aggregate(ev, "user_id", "ts", width_s=3600, hop_s=900,
+                            scaled_sum=True)
+    return out.select_columns(
+        ["user_id", "window_id", "n_events", "min_value", "max_value",
+         "sum_value_e4"]
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT user_id,
+       CAST(floor(epoch(ts)/900) AS BIGINT) - g.j AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+FROM events CROSS JOIN range(0, 4) AS g(j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _split_events(sf_dir: str, event_type: str, renames: dict):
+    """One event_type's rows with (event_id, ts) renamed per `renames`."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.sources import read_table
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    side = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], event_type)).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return rename_ds(side, renames)
+
+
+def q_asof_clicks(sf_dir: str):
+    """Temporal as-of join: attach to every purchase the user's latest click
+    at-or-before it (stages/asof.py — hash-partitioned merge, no per-key
+    Python, no broadcast)."""
+    from lsh_apg_ray.stages.asof import asof_join
+
+    purchases = _split_events(
+        sf_dir, "purchase",
+        {"event_id": "purchase_id", "ts": "purchase_ts"},
+    )
+    clicks = _split_events(
+        sf_dir, "click", {"event_id": "click_id", "ts": "click_ts"}
+    )
+    return asof_join(
+        purchases, clicks,
+        key="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_tie="click_id",
+    )
+
+
+SQL_ASOF_CLICKS = """
+WITH l AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.purchase_id, l.user_id, l.purchase_ts, r.click_id, r.click_ts
+FROM l JOIN r ON l.user_id = r.user_id AND r.click_ts <= l.purchase_ts
+QUALIFY row_number() OVER (
+  PARTITION BY l.purchase_id ORDER BY r.click_ts DESC, r.click_id DESC
+) = 1
+ORDER BY purchase_id
+"""
+
+
+def q_range_join_views(sf_dir: str):
+    """Temporal range join: every (error, view) pair of the same user where
+    the view happens within 24h at-or-after the error (stages/rangejoin.py
+    — probe-merge, the unfiltered key cross product is never materialized)."""
+    from lsh_apg_ray.stages.rangejoin import range_join
+
+    errors = _split_events(
+        sf_dir, "error", {"event_id": "error_id", "ts": "error_ts"}
+    )
+    views = _split_events(
+        sf_dir, "view", {"event_id": "view_id", "ts": "view_ts"}
+    )
+    return range_join(
+        errors, views,
+        key="user_id", left_id="error_id", left_ts="error_ts",
+        right_ts="view_ts", lower_s=0, upper_s=86400,
+    )
+
+
+SQL_RANGE_JOIN_VIEWS = """
+WITH l AS (
+  SELECT event_id AS error_id, user_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT l.error_id, l.user_id, l.error_ts, r.view_id, r.view_ts
+FROM l JOIN r ON l.user_id = r.user_id
+  AND epoch_us(r.view_ts) >= epoch_us(l.error_ts)
+  AND epoch_us(r.view_ts) <= epoch_us(l.error_ts) + CAST(86400 AS BIGINT) * 1000000
+ORDER BY error_id, view_id
+"""
+
+
 def q_top_error_users(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1365,7 +1480,10 @@ QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "knn_cosine": q_knn_cosine,
     "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
+    "asof_clicks": q_asof_clicks,
+    "range_join_views": q_range_join_views,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -1406,7 +1524,10 @@ ORACLE_SQL = {
     "minhash_lsh_dedup": SQL_DUP_CLUSTERS,
     "knn_cosine": SQL_KNN_COSINE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "asof_clicks": SQL_ASOF_CLICKS,
+    "range_join_views": SQL_RANGE_JOIN_VIEWS,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,

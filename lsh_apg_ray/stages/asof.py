@@ -1,0 +1,150 @@
+"""As-of join: attach to each left row the latest right row at or before it.
+
+The reference engine has no temporal joins; this is one of the
+beyond-reference operators a large-scale training-data pipeline needs
+(SURVEY.md §8) and Ray Data lacks natively. Semantics: for every left row
+(key, left_ts), find the right row of the same key with the greatest
+(right_ts, right_tie) such that right_ts <= left_ts, and emit the left row
+with the matched right row's columns appended; left rows with no eligible
+right row are dropped (inner as-of, DuckDB `ASOF JOIN` semantics, made
+deterministic under right-timestamp ties by the explicit `right_tie`
+column).
+
+Physical plan (the sessionize pattern, stages/windows.py): tag each side,
+widen to one superset schema so `union` is legal, hash-partition by key into
+coarse partitions — all rows of one key co-locate, partition count tracks
+data volume, never key cardinality — then ONE vectorized pass per partition:
+lexsort by (key, ts, side, tie) with right rows ordering before left rows at
+equal timestamps (so an equal-timestamp right row is eligible), then a
+cumulative count of right rows per key run resolves every left row's match
+index without any per-key Python. No driver-side state, no broadcast: both
+sides stream through the same shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsh_apg_ray.joins import _schema_of
+
+_PART = "__apart"
+_SIDE = "__aside"
+_TS = "__ats"
+_TIE = "__atie"
+
+
+def _us(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tie: str,
+    num_partitions: int = 16,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Inner as-of join of two Datasets on `key` ordered by time.
+
+    `right_tie` (an int64 column of the right side, e.g. its row id) breaks
+    right-timestamp ties deterministically: among equal right_ts the row
+    with the LARGEST tie wins. Column names must be disjoint between the
+    sides except `key` (rename beforehand — e.g. the right side's ts to
+    `click_ts`). Output: all left columns, then all right columns except
+    `key`. Pass schemas when the inputs are lazy plans (Dataset.schema()
+    would partially execute them).
+    """
+    left_schema = left_schema or _schema_of(left)
+    right_schema = right_schema or _schema_of(right)
+    clash = (set(left_schema.names) & set(right_schema.names)) - {key}
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+    left_names = list(left_schema.names)
+    right_names = [n for n in right_schema.names if n != key]
+    all_fields = [(n, left_schema.field(n).type) for n in left_names]
+    all_fields += [(n, right_schema.field(n).type) for n in right_names]
+    out_fields = all_fields  # left cols then right payload cols
+
+    def _tag(ts_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            part = (
+                pd.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
+            ).astype(np.int64)
+            cols = {
+                name: (t[name] if name in t.column_names else pa.nulls(t.num_rows, typ))
+                for name, typ in all_fields
+            }
+            cols[_TS] = pa.array(_us(t[ts_col]), pa.int64())
+            tie = (
+                t[right_tie].cast(pa.int64())
+                if side == 0
+                else pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            )
+            cols[_TIE] = tie
+            cols[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8))
+            cols[_PART] = pa.array(part, pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(_tag(left_ts, 1), batch_format="pyarrow")
+    rt = right.map_batches(_tag(right_ts, 0), batch_format="pyarrow")
+
+    empty = pa.table(
+        {n: pa.array([], typ) for n, typ in out_fields}
+    )
+
+    def _join_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty
+        keys = group[key].to_numpy(zero_copy_only=False)
+        ts = group[_TS].to_numpy(zero_copy_only=False)
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        tie = group[_TIE].to_numpy(zero_copy_only=False)
+        # right (side 0) before left (side 1) at equal ts; among right rows at
+        # equal ts, ascending tie so the latest-eligible right row is the one
+        # with max tie.
+        order = np.lexsort((tie, side, ts, keys))
+        k_s, s_s = keys[order], side[order]
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = k_s[1:] != k_s[:-1]
+        kr = np.cumsum(key_change) - 1  # key-run index per sorted row
+        rcum = np.cumsum(s_s == 0)  # right rows at-or-before, inclusive
+        first_pos = np.flatnonzero(key_change)
+        # right rows strictly before each key run starts
+        rstart_excl = rcum[first_pos] - (s_s[first_pos] == 0)
+        left_pos = np.flatnonzero(s_s == 1)
+        match = rcum[left_pos] > rstart_excl[kr[left_pos]]
+        lp = left_pos[match]
+        if len(lp) == 0:
+            return empty
+        right_sorted_pos = np.flatnonzero(s_s == 0)
+        rp = right_sorted_pos[rcum[lp] - 1]
+        li = pa.array(order[lp], pa.int64())
+        ri = pa.array(order[rp], pa.int64())
+        cols = {name: group[name].take(li) for name in left_names}
+        cols.update({name: group[name].take(ri) for name in right_names})
+        return pa.table(cols)
+
+    return (
+        lt.union(rt)
+        .groupby(_PART)
+        .map_groups(_join_part, batch_format="pyarrow")
+    )

@@ -1,0 +1,165 @@
+"""Range (interval) join: all (left, right) pairs of the same key whose
+right timestamp falls in [left_ts + lower_s, left_ts + upper_s] (inclusive).
+
+Another beyond-reference temporal operator (SURVEY.md §8) Ray Data lacks
+natively. A naive plan is an equi-join on key followed by a filter — O(per-key
+left x right) intermediate. This implementation never materializes the
+unfiltered cross product: per hash partition it runs ONE vectorized
+merge-count pass and emits only the qualifying pairs.
+
+Physical plan: each left row becomes TWO probe records — a `lo` probe at
+left_ts + lower (payload-carrying) and a `hi` probe at left_ts + upper — and
+right rows keep their payload. Union the tagged streams, hash-partition by
+key (the asof/sessionize pattern: coarse partitions track data volume, never
+key cardinality), then per partition lexsort by (key, ts, side) with lo
+probes ordering BEFORE right rows at equal ts and hi probes AFTER (so both
+interval ends are inclusive). A cumulative count of right rows turns each
+probe position into "number of right rows of this partition at-or-before",
+and the per-left match set is exactly the slice [cnt(lo), cnt(hi)) of the
+(key, ts)-sorted right rows — the probes of one left row can never cross its
+key's segment, so no per-key offsets are needed. The slices are expanded
+with the repeat/arange trick; no per-row or per-key Python anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from lsh_apg_ray.joins import _schema_of
+from lsh_apg_ray.stages.asof import _us
+
+_PART = "__rpart"
+_SIDE = "__rside"  # 0 = lo probe, 1 = right row, 2 = hi probe
+_TS = "__rts"
+_LID = "__rlid"  # left row uid (probes only; -1 on right rows)
+
+_LO, _RIGHT, _HI = 0, 1, 2
+
+
+def range_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    num_partitions: int = 16,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Inner range join of two Datasets on `key` with a time-interval predicate.
+
+    Emits one row per (left, right) pair with right_ts in
+    [left_ts + lower_s, left_ts + upper_s], both ends inclusive. `left_id`
+    must be a unique int64 column of the left side (links the two probe
+    records of one left row back together inside a partition). Column names
+    must be disjoint between the sides except `key`. Output: all left
+    columns, then all right columns except `key`; pair order within the
+    output is unspecified (downstream sorts/aggregates don't care).
+    """
+    if upper_s < lower_s:
+        raise ValueError(f"empty interval: [{lower_s}, {upper_s}]")
+    left_schema = left_schema or _schema_of(left)
+    right_schema = right_schema or _schema_of(right)
+    clash = (set(left_schema.names) & set(right_schema.names)) - {key}
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+    left_names = list(left_schema.names)
+    right_names = [n for n in right_schema.names if n != key]
+    all_fields = [(n, left_schema.field(n).type) for n in left_names]
+    all_fields += [(n, right_schema.field(n).type) for n in right_names]
+    lower_us = int(lower_s) * 1_000_000
+    upper_us = int(upper_s) * 1_000_000
+
+    def _part_of(k) -> np.ndarray:
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return (
+            pd.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
+        ).astype(np.int64)
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = _us(t[left_ts])
+        lid = t[left_id].cast(pa.int64())
+        part = _part_of(t[key])
+        # lo probes carry the left payload; hi probes only the linkage cols
+        pieces = []
+        for side, bound in ((_LO, ts + lower_us), (_HI, ts + upper_us)):
+            cols = {}
+            for name, typ in all_fields:
+                if side == _LO and name in t.column_names:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            cols[key] = t[key]
+            cols[_TS] = pa.array(bound, pa.int64())
+            cols[_LID] = lid
+            cols[_SIDE] = pa.array(np.full(n, side, np.int8))
+            cols[_PART] = pa.array(part, pa.int64())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            name: (t[name] if name in t.column_names else pa.nulls(n, typ))
+            for name, typ in all_fields
+        }
+        cols[key] = t[key]
+        cols[_TS] = pa.array(_us(t[right_ts]), pa.int64())
+        cols[_LID] = pa.array(np.full(n, -1, np.int64))
+        cols[_SIDE] = pa.array(np.full(n, _RIGHT, np.int8))
+        cols[_PART] = pa.array(_part_of(t[key]), pa.int64())
+        return pa.table(cols)
+
+    empty = pa.table({n: pa.array([], typ) for n, typ in all_fields})
+
+    def _join_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty
+        keys = group[key].to_numpy(zero_copy_only=False)
+        ts = group[_TS].to_numpy(zero_copy_only=False)
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        lid = group[_LID].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ts, keys))
+        s_s = side[order]
+        rcum = np.cumsum(s_s == _RIGHT)  # rights at-or-before, inclusive
+        lo_pos = np.flatnonzero(s_s == _LO)
+        hi_pos = np.flatnonzero(s_s == _HI)
+        if len(lo_pos) == 0:
+            return empty
+        # link the two probes of each left row via its uid
+        lo_lid = lid[order[lo_pos]]
+        hi_lid = lid[order[hi_pos]]
+        lo_by_lid = lo_pos[np.argsort(lo_lid, kind="stable")]
+        hi_by_lid = hi_pos[np.argsort(hi_lid, kind="stable")]
+        # rights strictly before the lo probe (lo sorts before equal-ts rights)
+        lo_cnt = rcum[lo_by_lid]
+        hi_cnt = rcum[hi_by_lid]  # hi sorts after equal-ts rights: inclusive
+        counts = hi_cnt - lo_cnt
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        right_sorted_pos = np.flatnonzero(s_s == _RIGHT)
+        csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        expand = np.repeat(lo_cnt - csum, counts) + np.arange(total)
+        li = pa.array(order[np.repeat(lo_by_lid, counts)], pa.int64())
+        ri = pa.array(order[right_sorted_pos[expand]], pa.int64())
+        cols = {name: group[name].take(li) for name in left_names}
+        cols.update({name: group[name].take(ri) for name in right_names})
+        return pa.table(cols)
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.map_batches(_tag_right, batch_format="pyarrow")
+    return (
+        lt.union(rt)
+        .groupby(_PART)
+        .map_groups(_join_part, batch_format="pyarrow")
+    )

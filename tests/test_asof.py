@@ -1,0 +1,150 @@
+"""As-of join tests vs a brute-force reference (tie/boundary cases planted)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.stages.asof import asof_join
+
+
+def _brute_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """O(n*m) reference: latest right row (max ts, then max tie) at-or-before."""
+    rows = []
+    for l in left.itertuples(index=False):
+        cand = right[(right.user_id == l.user_id) & (right.click_ts <= l.purchase_ts)]
+        if cand.empty:
+            continue
+        best = cand.sort_values(["click_ts", "click_id"]).iloc[-1]
+        rows.append(
+            {
+                "purchase_id": l.purchase_id,
+                "user_id": l.user_id,
+                "purchase_ts": l.purchase_ts,
+                "click_id": best.click_id,
+                "click_ts": best.click_ts,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _fixture():
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ts(s):
+        return t0 + pd.Timedelta(seconds=s)
+
+    # user 1: normal flow; user 2: right-ts TIE at 100 (tie break -> max id);
+    # user 3: purchase EQUAL to a click ts (click eligible); user 4: no
+    # clicks at all; user 5: clicks only AFTER the purchase (dropped).
+    left = pd.DataFrame(
+        {
+            "purchase_id": [10, 11, 12, 13, 14, 15],
+            "user_id": [1, 1, 2, 3, 4, 5],
+            "purchase_ts": [ts(50), ts(500), ts(150), ts(100), ts(100), ts(10)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "click_id": [100, 101, 102, 103, 104, 105, 106],
+            "user_id": [1, 1, 2, 2, 3, 5, 1],
+            "click_ts": [ts(0), ts(400), ts(100), ts(100), ts(100), ts(20), ts(50)],
+        }
+    )
+    return left, right
+
+
+def test_asof_join_matches_brute_force():
+    left, right = _fixture()
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_tie="click_id",
+        num_partitions=4,
+    ).to_pandas()
+    ref = _brute_asof(left, right)
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+    out = out[cols].sort_values("purchase_id").reset_index(drop=True)
+    ref = ref[cols].sort_values("purchase_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    # planted expectations: tie at user 2 resolves to click_id 103 (max tie);
+    # user 3's equal-ts click matches; user 4 and user 5 are dropped.
+    by_pid = out.set_index("purchase_id")
+    assert by_pid.loc[12, "click_id"] == 103
+    assert by_pid.loc[13, "click_id"] == 104
+    assert 14 not in by_pid.index and 15 not in by_pid.index
+    # purchase at ts(50) for user 1 matches the EQUAL-ts click 106, not 100
+    assert by_pid.loc[10, "click_id"] == 106
+
+
+def test_asof_join_randomized_vs_brute_force():
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 400
+    t0 = pd.Timestamp("2024-01-01").value // 1000  # us
+    left = pd.DataFrame(
+        {
+            "purchase_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n_l).astype(np.int64),
+            "purchase_ts": pd.to_datetime(
+                t0 + rng.integers(0, 50, n_l) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "click_id": np.arange(n_r, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n_r).astype(np.int64),
+            # coarse ts grid -> plenty of intra-key right-ts ties
+            "click_ts": pd.to_datetime(
+                t0 + rng.integers(0, 50, n_r) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_tie="click_id",
+        num_partitions=5,
+    ).to_pandas()
+    ref = _brute_asof(left, right)
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+    out = out[cols].sort_values("purchase_id").reset_index(drop=True)
+    ref = ref[cols].sort_values("purchase_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_asof_join_empty_right():
+    left, right = _fixture()
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right.iloc[0:0]),
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_tie="click_id",
+        num_partitions=3,
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_asof_join_rejects_column_collision():
+    left, right = _fixture()
+    right = right.rename(columns={"click_ts": "purchase_ts"})
+    try:
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key="user_id",
+            left_ts="purchase_ts",
+            right_ts="purchase_ts",
+            right_tie="click_id",
+        )
+    except ValueError as e:
+        assert "collision" in str(e)
+    else:
+        raise AssertionError("expected ValueError on column collision")

@@ -1,0 +1,161 @@
+"""Range join tests vs a brute-force reference (inclusive-bound cases planted)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.stages.rangejoin import range_join
+
+
+def _brute(left: pd.DataFrame, right: pd.DataFrame, lower_s: int, upper_s: int):
+    rows = []
+    for l in left.itertuples(index=False):
+        lo = l.error_ts + pd.Timedelta(seconds=lower_s)
+        hi = l.error_ts + pd.Timedelta(seconds=upper_s)
+        cand = right[
+            (right.user_id == l.user_id)
+            & (right.view_ts >= lo)
+            & (right.view_ts <= hi)
+        ]
+        for r in cand.itertuples(index=False):
+            rows.append(
+                {
+                    "error_id": l.error_id,
+                    "user_id": l.user_id,
+                    "error_ts": l.error_ts,
+                    "view_id": r.view_id,
+                    "view_ts": r.view_ts,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["error_id", "user_id", "error_ts", "view_id", "view_ts"]
+    )
+
+
+COLS = ["error_id", "user_id", "error_ts", "view_id", "view_ts"]
+
+
+def _run(left, right, lower_s, upper_s, num_partitions=4):
+    out = range_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="user_id",
+        left_id="error_id",
+        left_ts="error_ts",
+        right_ts="view_ts",
+        lower_s=lower_s,
+        upper_s=upper_s,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out = out[COLS].sort_values(COLS).reset_index(drop=True)
+    ref = _brute(left, right, lower_s, upper_s)
+    ref = ref.sort_values(COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict()))
+    return out
+
+
+def test_range_join_planted_bounds():
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ts(s):
+        return t0 + pd.Timedelta(seconds=s)
+
+    left = pd.DataFrame(
+        {
+            "error_id": np.array([10, 11, 12], np.int64),
+            "user_id": np.array([1, 1, 2], np.int64),
+            "error_ts": [ts(100), ts(500), ts(100)],
+        }
+    )
+    # user 1 views: exactly at lo bound (100), inside (300), exactly at hi
+    # bound (700 for error 11 with [0,200] -> 700 is hi of error 500+200),
+    # outside (99). user 2: none in range.
+    right = pd.DataFrame(
+        {
+            "view_id": np.array([0, 1, 2, 3, 4], np.int64),
+            "user_id": np.array([1, 1, 1, 1, 2], np.int64),
+            "view_ts": [ts(99), ts(100), ts(300), ts(700), ts(1000)],
+        }
+    )
+    out = _run(left, right, 0, 200)
+    # error 10 [100,300]: views at 100 and 300 (both inclusive ends)
+    assert out[out.error_id == 10]["view_id"].tolist() == [1, 2]
+    # error 11 [500,700]: view at 700 (inclusive hi)
+    assert out[out.error_id == 11]["view_id"].tolist() == [3]
+    assert (out.error_id != 12).all()
+
+
+def test_range_join_negative_lower():
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "error_id": np.array([1], np.int64),
+            "user_id": np.array([5], np.int64),
+            "error_ts": [t0 + pd.Timedelta(seconds=100)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "view_id": np.arange(3, dtype=np.int64),
+            "user_id": np.array([5, 5, 5], np.int64),
+            "view_ts": [
+                t0 + pd.Timedelta(seconds=s) for s in (40, 90, 160)
+            ],
+        }
+    )
+    out = _run(left, right, -60, 50)  # window [40, 150]
+    assert out["view_id"].tolist() == [0, 1]
+
+
+def test_range_join_randomized_vs_brute_force():
+    rng = np.random.default_rng(13)
+    n_l, n_r = 200, 300
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    left = pd.DataFrame(
+        {
+            "error_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 10, n_l).astype(np.int64),
+            "error_ts": pd.to_datetime(
+                t0 + rng.integers(0, 40, n_l) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "view_id": np.arange(n_r, dtype=np.int64),
+            "user_id": rng.integers(0, 10, n_r).astype(np.int64),
+            "view_ts": pd.to_datetime(
+                t0 + rng.integers(0, 40, n_r) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    _run(left, right, -5, 5, num_partitions=5)
+
+
+def test_range_join_empty_result():
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "error_id": np.array([1], np.int64),
+            "user_id": np.array([5], np.int64),
+            "error_ts": [t0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "view_id": np.array([9], np.int64),
+            "user_id": np.array([5], np.int64),
+            "view_ts": [t0 + pd.Timedelta(seconds=999)],
+        }
+    )
+    out = range_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="user_id",
+        left_id="error_id",
+        left_ts="error_ts",
+        right_ts="view_ts",
+        lower_s=0,
+        upper_s=10,
+    ).to_pandas()
+    assert len(out) == 0

@@ -53,3 +53,43 @@ def test_sessionize_gap_splits():
     u3 = out[out.user_id == 3]
     assert len(u3) == 1 and u3["n_events"].iloc[0] == 1
     assert (u3["session_start"] == u3["session_end"]).all()
+
+
+def test_hopping_aggregate():
+    df = _events()
+    from lsh_apg_ray.stages.windows import hopping_aggregate
+
+    out = hopping_aggregate(
+        rd.from_pandas(df), "user_id", "ts", width_s=3600, hop_s=900
+    ).to_pandas().sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    # brute-force reference: every event joins the 4 windows covering it
+    rows = []
+    for r in df.itertuples(index=False):
+        e = r.ts.value // 10**9
+        base = e // 900
+        for j in range(4):
+            rows.append({"user_id": r.user_id, "window_id": base - j,
+                         "value": r.value})
+    ref = (
+        pd.DataFrame(rows)
+        .groupby(["user_id", "window_id"], as_index=False)
+        .agg(n_events=("value", "size"), min_value=("value", "min"),
+             max_value=("value", "max"), sum_value=("value", "sum"))
+        .sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    )
+    for c in ["user_id", "window_id", "n_events", "min_value", "max_value",
+              "sum_value"]:
+        assert out[c].tolist() == ref[c].tolist(), c
+
+
+def test_hopping_rejects_nonmultiple():
+    df = _events()
+    from lsh_apg_ray.stages.windows import hopping_aggregate
+
+    try:
+        hopping_aggregate(rd.from_pandas(df), "user_id", "ts",
+                          width_s=3600, hop_s=1000)
+    except ValueError as e:
+        assert "multiple" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
