@@ -120,13 +120,26 @@ def run_bench() -> dict:
     from lsh_apg_ray import queries as qmod
 
     bench_queries = [] if os.environ.get("GRAFT_SCALING_CHILD") else BENCH_QUERIES
+    # Per-query timings are best-of adaptive reps for the same reason the
+    # headline is: a single-shot timing records the host state it happens to
+    # land in (the r2 artifact's query numbers moved 3-6x between runs of
+    # identical code). Minimum 2 reps, continue while the newest rep improves
+    # best-of by >10%, cap 4 reps / 60 s per query.
     for name in bench_queries:
         fn = qmod.QUERIES[name]
-        t0 = time.time()
-        out = fn(SF_DIR)
-        if hasattr(out, "count"):
-            out.count()
-        q_times[name] = round(time.time() - t0, 3)
+        secs: list[float] = []
+        q_t0 = time.time()
+        while len(secs) < 4:
+            t0 = time.time()
+            out = fn(SF_DIR)
+            if hasattr(out, "count"):
+                out.count()
+            secs.append(round(time.time() - t0, 3))
+            if len(secs) >= 2 and (
+                secs[-1] >= 0.9 * min(secs[:-1]) or time.time() - q_t0 > 60
+            ):
+                break
+        q_times[name] = min(secs)
 
     result = {
         "metric": "minhash_lsh_dedup_corpus_sec",
