@@ -1062,6 +1062,148 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (top 3 docs per lang by n_chars): per-batch per-group
+    partial top-k before the shuffle, so it moves <= k*groups*blocks rows —
+    never a global sort (stages/grouped.py)."""
+    from lsh_apg_ray.stages.grouped import grouped_topk
+
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    out = grouped_topk(docs, "lang", "n_chars", k=3, tie_cols=["doc_id"])
+    return out.select_columns(["lang", "doc_id", "n_chars", "rank"])
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rn AS rank FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= 3 ORDER BY lang, rn
+"""
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (DuckDB quantile_disc parity): coarse
+    hash-partition by group, one lexsort + run-length index arithmetic per
+    partition (stages/grouped.py)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.grouped import grouped_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+    return grouped_quantiles(ev, "user_id", "value", qs=[0.25, 0.5, 0.9])
+
+
+SQL_VALUE_QUANTILES = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.25) AS q25,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment keyed on row identity
+    (stages/sampling.py): identical across runs, shard layouts, cluster
+    sizes and engines — the SQL oracle evaluates the same integer hash."""
+    from lsh_apg_ray.stages.sampling import assign_splits
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    return assign_splits(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+def _sql_split_assign() -> str:
+    from lsh_apg_ray.stages.sampling import split_thresholds, sql_bucket_expr
+
+    bounds = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    b = sql_bucket_expr("doc_id")
+    t1, t2 = bounds[0][1], bounds[1][1]
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < {t1} THEN 'train'
+            WHEN {b} < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+SQL_SPLIT_ASSIGN = _sql_split_assign()
+
+
+def q_token_doc_freq(sf_dir: str):
+    """Vocabulary census: document frequency per token, top 100 by
+    (df DESC, token). Per-batch pre-aggregation — tokens are deduped per doc
+    AND summed per batch before the shuffle, so only (unique token, partial
+    count) rows move; top-100 via per-block partial top-k + one tiny merge,
+    never a global sort of the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.hashing import arrow_token_index
+
+    pattern = DedupConfig().token_pattern
+    TOPK = 100
+
+    empty_df = pa.table(
+        {"token": pa.array([], pa.string()), "doc_freq": pa.array([], pa.int64())}
+    )
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], pattern)
+        assert ti is not None, "default token_pattern is a char class"
+        indices, offsets, dictionary = ti
+        if len(dictionary) == 0:
+            return empty_df
+        n = t.num_rows
+        doc_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        # dedupe (doc, token) pairs, then count docs per dictionary token
+        pair = doc_row * np.int64(len(dictionary)) + indices
+        uniq = np.unique(pair)
+        tok_idx = (uniq % np.int64(len(dictionary))).astype(np.int64)
+        counts = np.bincount(tok_idx, minlength=len(dictionary))
+        used = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "token": pa.array([dictionary[i] for i in used], pa.string()),
+                "doc_freq": pa.array(counts[used], pa.int64()),
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t["doc_freq"].to_numpy(zero_copy_only=False)
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((toks, -df))[:TOPK]
+        return t.take(pa.array(sel, pa.int64()))
+
+    docs = read_documents(sf_dir, columns=["text"])
+    return (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("doc_freq", alias_name="doc_freq"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["doc_freq", "token"], descending=[True, False])
+        .limit(TOPK)
+    )
+
+
+SQL_TOKEN_DOC_FREQ = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+         ))) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+FROM tok GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 100
+"""
+
+
 def q_events_hopping(sf_dir: str):
     from lsh_apg_ray.sources import read_table
     from lsh_apg_ray.stages.windows import hopping_aggregate
@@ -1484,6 +1626,10 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "asof_clicks": q_asof_clicks,
     "range_join_views": q_range_join_views,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "value_quantiles": q_value_quantiles,
+    "split_assign": q_split_assign,
+    "token_doc_freq": q_token_doc_freq,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -1528,6 +1674,10 @@ ORACLE_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "asof_clicks": SQL_ASOF_CLICKS,
     "range_join_views": SQL_RANGE_JOIN_VIEWS,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "value_quantiles": SQL_VALUE_QUANTILES,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "token_doc_freq": SQL_TOKEN_DOC_FREQ,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,

@@ -1,0 +1,118 @@
+"""Grouped order statistics: per-group top-k and per-group exact quantiles.
+
+Beyond-reference operators (SURVEY.md §8) a training-data pipeline needs for
+per-stratum curation (best documents per language, score cutoffs per
+source). Both avoid the global-sort anti-pattern:
+
+- grouped_topk: every batch keeps its own per-group top-k first (one
+  vectorized lexsort + run-length positions — the bounded-heap pattern K2,
+  applied per group), so the shuffle moves <= k * n_groups * n_blocks rows,
+  never the input; a final per-group pass merges the survivors.
+- grouped_quantiles: exact (not sketched) quantiles via the coarse
+  hash-partition + one-vectorized-pass pattern (stages/windows.py
+  sessionize): all rows of one group co-locate, one lexsort per partition,
+  run-length boundaries give each group's sorted slice, and the DuckDB
+  `quantile_disc` index (ceil(q*n) - 1) is picked per (group, q) with pure
+  arithmetic. Partition count tracks data volume, never group cardinality.
+  For quantiles over a column with few distinct values at 100 TB, a
+  per-partition (group, value) pre-aggregation with counts would shrink the
+  shuffle further; not needed for a double-valued metric column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_topk(ds, group_col: str, order_col: str, k: int,
+                 tie_cols: list[str] | None = None):
+    """Per-group top-k rows by `order_col` DESC, ties broken ascending by
+    `tie_cols` (deterministic total order). Returns the selected rows with
+    all input columns plus an int64 `rank` (1-based within group)."""
+    tie_cols = tie_cols or []
+
+    def _partial(t: pa.Table, final: bool) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            if final and "rank" not in t.column_names:
+                return t.append_column("rank", pa.array([], pa.int64()))
+            return t
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        val = t[order_col].to_numpy(zero_copy_only=False)
+        ties = [t[c].to_numpy(zero_copy_only=False) for c in reversed(tie_cols)]
+        order = np.lexsort(tuple(ties) + (-val, grp))
+        g_s = grp[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = g_s[1:] != g_s[:-1]
+        run_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        pos = np.arange(n) - run_start
+        keep = pos < k
+        sel = order[keep]
+        out = t.take(pa.array(sel, pa.int64()))
+        if final:
+            out = out.append_column("rank", pa.array(pos[keep] + 1, pa.int64()))
+        return out
+
+    survivors = ds.map_batches(
+        lambda t: _partial(t, final=False), batch_format="pyarrow"
+    )
+    return survivors.groupby(group_col).map_groups(
+        lambda t: _partial(t, final=True), batch_format="pyarrow"
+    )
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
+                      num_partitions: int = 16):
+    """Exact per-group quantiles with DuckDB `quantile_disc` semantics: the
+    sorted element at index ceil(q*n) - 1. Output: group_col, n (int64),
+    then one float64 column `q<percent>` per requested quantile
+    (e.g. q50, q90). Quantile fractions must be unique percents."""
+    names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile names collide: {names}")
+
+    def _part(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        part = (
+            pd_.util.hash_array(np.asarray(g)) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column("__qpart", pa.array(part, pa.int64()))
+
+    def _quant(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__qpart"])
+        n = t.num_rows
+        if n == 0:
+            cols = {group_col: pa.array([], t.schema.field(group_col).type),
+                    "n": pa.array([], pa.int64())}
+            for nm in names:
+                cols[nm] = pa.array([], pa.float64())
+            return pa.table(cols)
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((val, grp))
+        g_s, v_s = grp[order], val[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        cols = {group_col: pa.array(g_s[starts]),
+                "n": pa.array(counts, pa.int64())}
+        for q, nm in zip(qs, names):
+            idx = np.ceil(q * counts).astype(np.int64) - 1
+            np.clip(idx, 0, counts - 1, out=idx)
+            cols[nm] = pa.array(v_s[starts + idx], pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("__qpart")
+        .map_groups(_quant, batch_format="pyarrow")
+    )

@@ -1,0 +1,84 @@
+"""Deterministic hash-based sampling / split assignment.
+
+Training-data pipelines need reproducible row selection that is identical
+across runs, cluster sizes and engines — never `random()`: a re-run after a
+failure must pick the SAME rows (resumability), and holdout splits must
+never leak when the corpus is re-sharded. Row identity, not position,
+decides membership.
+
+The bucket function is a Knuth multiplicative hash computed in arithmetic
+BOTH numpy and ANSI SQL evaluate exactly: bucket = ((id % 2^31) * 2654435761)
+% 2^31. All intermediates stay below 2^63 (max (2^31-1) * 2654435761 ~=
+5.7e18), so int64/BIGINT never overflows and the two sides agree bit-for-bit.
+Ids >= 2^31 fold by the modulo first — sequential or dense ids keep exact
+bucket uniformity; arbitrary 64-bit ids still split consistently, just with
+the mixing of the low 31 bits.
+
+Everything here is a pure per-batch map: no shuffle, no state, no driver
+participation — the cheapest possible operator shape at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_M31 = np.uint64(2_147_483_648)  # 2^31
+_KNUTH = np.uint64(2_654_435_761)
+
+
+def hash_bucket(ids: np.ndarray) -> np.ndarray:
+    """int64 ids -> int64 buckets in [0, 2^31)."""
+    x = ids.astype(np.uint64) % _M31
+    return ((x * _KNUTH) % _M31).astype(np.int64)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(split_name, exclusive upper bucket bound) pairs covering [0, 2^31).
+    Fractions must sum to 1; bounds are floor(cumsum * 2^31) with the last
+    bound forced to 2^31 so every bucket lands somewhere."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    out, acc = [], 0.0
+    items = list(fractions.items())
+    for i, (name, f) in enumerate(items):
+        acc += f
+        bound = int(_M31) if i == len(items) - 1 else int(acc * int(_M31))
+        out.append((name, bound))
+    return out
+
+
+def assign_splits(ds, id_col: str, fractions: dict[str, float]):
+    """Append a string `split` column assigning every row to a named split
+    by its id's hash bucket. Deterministic, re-shard- and engine-stable."""
+    bounds = split_thresholds(fractions)
+    names = np.array([n for n, _ in bounds])
+    uppers = np.array([b for _, b in bounds], dtype=np.int64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = hash_bucket(ids)
+        sel = np.searchsorted(uppers, b, side="right")
+        return t.append_column("split", pa.array(names[sel]))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def hash_sample(ds, id_col: str, rate: float):
+    """Keep each row iff its id's bucket < rate * 2^31 — a deterministic
+    Bernoulli(rate) sample keyed on row identity."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    bound = int(rate * int(_M31))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(hash_bucket(ids) < bound))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def sql_bucket_expr(id_col: str) -> str:
+    """The identical bucket computation in ANSI SQL (oracle parity)."""
+    return f"(({id_col} % 2147483648) * 2654435761) % 2147483648"

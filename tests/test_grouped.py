@@ -1,0 +1,114 @@
+"""Grouped top-k / quantiles / hash-split tests vs pandas & DuckDB semantics."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.stages.grouped import grouped_quantiles, grouped_topk
+from lsh_apg_ray.stages.sampling import (
+    assign_splits,
+    hash_bucket,
+    hash_sample,
+    split_thresholds,
+)
+
+
+def _docs(n=200, groups=5, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.integers(0, groups, n).astype(np.int64),
+            "n_chars": rng.integers(0, 50, n).astype(np.int64),  # many ties
+        }
+    )
+
+
+def test_grouped_topk_matches_pandas_window():
+    df = _docs()
+    out = (
+        grouped_topk(rd.from_pandas(df), "lang", "n_chars", k=3,
+                     tie_cols=["doc_id"])
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).groupby("lang").head(3)
+    ref = ref.assign(rank=ref.groupby("lang").cumcount() + 1)
+    ref = ref.sort_values(["lang", "rank"]).reset_index(drop=True)
+    for c in ["lang", "doc_id", "n_chars", "rank"]:
+        assert out[c].tolist() == ref[c].tolist(), c
+
+
+def test_grouped_topk_small_groups():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], np.int64),
+            "lang": np.array([0, 1], np.int64),
+            "n_chars": np.array([5, 7], np.int64),
+        }
+    )
+    out = grouped_topk(rd.from_pandas(df), "lang", "n_chars", k=3,
+                       tie_cols=["doc_id"]).to_pandas()
+    assert len(out) == 2 and set(out["rank"]) == {1}
+
+
+def test_grouped_quantiles_duckdb_parity():
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, 500).astype(np.int64),
+            "value": np.round(rng.normal(0, 10, 500), 3),
+        }
+    )
+    out = (
+        grouped_quantiles(rd.from_pandas(df), "user_id", "value",
+                          qs=[0.25, 0.5, 0.9], num_partitions=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """SELECT user_id, CAST(count(*) AS BIGINT) n,
+                  quantile_disc(value, 0.25) q25, quantile_disc(value, 0.5) q50,
+                  quantile_disc(value, 0.9) q90
+           FROM df GROUP BY 1 ORDER BY 1"""
+    ).df()
+    pd.testing.assert_frame_equal(out[["user_id", "n", "q25", "q50", "q90"]], ref)
+
+
+def test_hash_split_fractions_and_determinism():
+    ids = np.arange(100_000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = assign_splits(rd.from_pandas(df), "doc_id", fr).to_pandas()
+    counts = out["split"].value_counts(normalize=True)
+    for name, f in fr.items():
+        assert abs(counts[name] - f) < 0.01, (name, counts[name])
+    # identical assignment regardless of shard layout
+    out2 = assign_splits(
+        rd.from_pandas(df).repartition(13), "doc_id", fr
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out.sort_values("doc_id").reset_index(drop=True)["split"]
+            == out2["split"]).all()
+    # sample rate matches and is a subset property: raising the rate only adds
+    b = hash_bucket(ids)
+    s10 = hash_sample(rd.from_pandas(df), "doc_id", 0.1).to_pandas()
+    s20 = hash_sample(rd.from_pandas(df), "doc_id", 0.2).to_pandas()
+    assert abs(len(s10) / len(ids) - 0.1) < 0.01
+    assert set(s10.doc_id).issubset(set(s20.doc_id))
+    assert (np.sort(s10.doc_id.to_numpy())
+            == ids[b < int(0.1 * 2**31)]).all()
+
+
+def test_split_thresholds_validation():
+    try:
+        split_thresholds({"a": 0.5, "b": 0.6})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError on fractions > 1")
