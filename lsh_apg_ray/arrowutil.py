@@ -65,3 +65,20 @@ def binary_to_u64_matrix(col, row_len: int) -> np.ndarray:
         return data.view(np.uint64).reshape(n, row_len)
     rows = binary_to_u64_list(arr)
     return np.stack([r for r in rows]).reshape(n, row_len)
+
+
+def hash_partition(key_col, num_partitions: int) -> np.ndarray:
+    """Coarse hash-partition ids for a key column (int64 in [0, n_parts)).
+
+    THE partition function for every key-co-location operator (hash_join,
+    sessionize, asof_join, range_join, grouped_quantiles): both sides of a
+    join must hash identically, so there is exactly one copy. pandas
+    murmur-backed hash_array with its fixed default key — deterministic
+    across processes, runs and machines."""
+    import pandas as pd
+
+    if isinstance(key_col, pa.ChunkedArray):
+        key_col = key_col.combine_chunks()
+    return (
+        pd.util.hash_array(np.asarray(key_col)) % np.uint64(num_partitions)
+    ).astype(np.int64)

@@ -89,12 +89,9 @@ def hash_join(
 
     def _tag_and_widen(key_col: str, side: int):
         def fn(t: pa.Table) -> pa.Table:
-            k = t[key_col]
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            part = (
-                pd.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
-            ).astype(np.int64)
+            from lsh_apg_ray.arrowutil import hash_partition
+
+            part = hash_partition(t[key_col], num_partitions)
             cols = {
                 name: (t[name] if name in t.column_names else pa.nulls(t.num_rows, typ))
                 for name, typ in all_fields

@@ -24,16 +24,32 @@ sides stream through the same shuffle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
+from lsh_apg_ray.arrowutil import hash_partition
 from lsh_apg_ray.joins import _schema_of
 
 _PART = "__apart"
 _SIDE = "__aside"
 _TS = "__ats"
 _TIE = "__atie"
+
+
+def join_fields(left, right, key, left_schema, right_schema):
+    """Shared temporal-join scaffolding (asof_join, range_join): resolve
+    schemas, reject non-key column collisions, and build the widened
+    superset field list both tagged sides emit so `union` is legal.
+    Returns (left_names, right_names, all_fields)."""
+    left_schema = left_schema or _schema_of(left)
+    right_schema = right_schema or _schema_of(right)
+    clash = (set(left_schema.names) & set(right_schema.names)) - {key}
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+    left_names = list(left_schema.names)
+    right_names = [n for n in right_schema.names if n != key]
+    all_fields = [(n, left_schema.field(n).type) for n in left_names]
+    all_fields += [(n, right_schema.field(n).type) for n in right_names]
+    return left_names, right_names, all_fields
 
 
 def _us(col) -> np.ndarray:
@@ -66,25 +82,14 @@ def asof_join(
     `key`. Pass schemas when the inputs are lazy plans (Dataset.schema()
     would partially execute them).
     """
-    left_schema = left_schema or _schema_of(left)
-    right_schema = right_schema or _schema_of(right)
-    clash = (set(left_schema.names) & set(right_schema.names)) - {key}
-    if clash:
-        raise ValueError(f"non-key column collision: {sorted(clash)}")
-    left_names = list(left_schema.names)
-    right_names = [n for n in right_schema.names if n != key]
-    all_fields = [(n, left_schema.field(n).type) for n in left_names]
-    all_fields += [(n, right_schema.field(n).type) for n in right_names]
+    left_names, right_names, all_fields = join_fields(
+        left, right, key, left_schema, right_schema
+    )
     out_fields = all_fields  # left cols then right payload cols
 
     def _tag(ts_col: str, side: int):
         def fn(t: pa.Table) -> pa.Table:
-            k = t[key]
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            part = (
-                pd.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
-            ).astype(np.int64)
+            part = hash_partition(t[key], num_partitions)
             cols = {
                 name: (t[name] if name in t.column_names else pa.nulls(t.num_rows, typ))
                 for name, typ in all_fields

@@ -22,7 +22,6 @@ source). Both avoid the global-sort anti-pattern:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -75,14 +74,9 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
         raise ValueError(f"quantile names collide: {names}")
 
     def _part(t: pa.Table) -> pa.Table:
-        import pandas as pd_
+        from lsh_apg_ray.arrowutil import hash_partition
 
-        g = t[group_col]
-        if isinstance(g, pa.ChunkedArray):
-            g = g.combine_chunks()
-        part = (
-            pd_.util.hash_array(np.asarray(g)) % np.uint64(num_partitions)
-        ).astype(np.int64)
+        part = hash_partition(t[group_col], num_partitions)
         return t.append_column("__qpart", pa.array(part, pa.int64()))
 
     def _quant(t: pa.Table) -> pa.Table:

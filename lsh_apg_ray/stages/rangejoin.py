@@ -24,11 +24,10 @@ with the repeat/arange trick; no per-row or per-key Python anywhere.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from lsh_apg_ray.joins import _schema_of
-from lsh_apg_ray.stages.asof import _us
+from lsh_apg_ray.arrowutil import hash_partition
+from lsh_apg_ray.stages.asof import _us, join_fields
 
 _PART = "__rpart"
 _SIDE = "__rside"  # 0 = lo probe, 1 = right row, 2 = hi probe
@@ -64,24 +63,14 @@ def range_join(
     """
     if upper_s < lower_s:
         raise ValueError(f"empty interval: [{lower_s}, {upper_s}]")
-    left_schema = left_schema or _schema_of(left)
-    right_schema = right_schema or _schema_of(right)
-    clash = (set(left_schema.names) & set(right_schema.names)) - {key}
-    if clash:
-        raise ValueError(f"non-key column collision: {sorted(clash)}")
-    left_names = list(left_schema.names)
-    right_names = [n for n in right_schema.names if n != key]
-    all_fields = [(n, left_schema.field(n).type) for n in left_names]
-    all_fields += [(n, right_schema.field(n).type) for n in right_names]
+    left_names, right_names, all_fields = join_fields(
+        left, right, key, left_schema, right_schema
+    )
     lower_us = int(lower_s) * 1_000_000
     upper_us = int(upper_s) * 1_000_000
 
     def _part_of(k) -> np.ndarray:
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        return (
-            pd.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
-        ).astype(np.int64)
+        return hash_partition(k, num_partitions)
 
     def _tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows

@@ -7,12 +7,17 @@ never leak when the corpus is re-sharded. Row identity, not position,
 decides membership.
 
 The bucket function is a Knuth multiplicative hash computed in arithmetic
-BOTH numpy and ANSI SQL evaluate exactly: bucket = ((id % 2^31) * 2654435761)
-% 2^31. All intermediates stay below 2^63 (max (2^31-1) * 2654435761 ~=
-5.7e18), so int64/BIGINT never overflows and the two sides agree bit-for-bit.
-Ids >= 2^31 fold by the modulo first — sequential or dense ids keep exact
-bucket uniformity; arbitrary 64-bit ids still split consistently, just with
-the mixing of the low 31 bits.
+BOTH numpy and ANSI SQL evaluate exactly: bucket = (fold(id) * 2654435761)
+% 2^31 where fold(id) = id mod 2^31 in the MATHEMATICAL (always
+non-negative) sense — numpy gets that for free from uint64 wraparound
+(2^64 ≡ 0 mod 2^31), while SQL needs the ((id % m) + m) % m idiom because
+its % keeps the dividend's sign. All intermediates stay below 2^63 (max
+(2^31-1) * 2654435761 ~= 5.7e18), so int64/BIGINT never overflows and the
+two sides agree bit-for-bit for EVERY int64 id, negative included
+(tests/test_grouped.py::test_hash_bucket_sql_parity_negative_ids). Ids
+>= 2^31 fold first — sequential or dense ids keep exact bucket uniformity;
+arbitrary 64-bit ids still split consistently, just with the mixing of the
+low 31 bits.
 
 Everything here is a pure per-batch map: no shuffle, no state, no driver
 participation — the cheapest possible operator shape at any scale.
@@ -80,5 +85,10 @@ def hash_sample(ds, id_col: str, rate: float):
 
 
 def sql_bucket_expr(id_col: str) -> str:
-    """The identical bucket computation in ANSI SQL (oracle parity)."""
-    return f"(({id_col} % 2147483648) * 2654435761) % 2147483648"
+    """The identical bucket computation in ANSI SQL (oracle parity): the
+    double-% folds negative ids to the mathematical modulo numpy's uint64
+    wraparound produces."""
+    return (
+        f"((({id_col} % 2147483648) + 2147483648) % 2147483648)"
+        f" * 2654435761 % 2147483648"
+    )

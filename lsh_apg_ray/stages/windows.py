@@ -142,14 +142,9 @@ def sessionize(events, key: str, ts_col: str, gap_s: int,
     _SPART = "__spart"
 
     def add_part(t: pa.Table) -> pa.Table:
-        import pandas as pd_
+        from lsh_apg_ray.arrowutil import hash_partition
 
-        k = t[key]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        part = (
-            pd_.util.hash_array(np.asarray(k)) % np.uint64(num_partitions)
-        ).astype(np.int64)
+        part = hash_partition(t[key], num_partitions)
         return t.append_column(_SPART, pa.array(part, pa.int64()))
 
     def per_partition(t: pa.Table) -> pa.Table:

@@ -112,3 +112,19 @@ def test_split_thresholds_validation():
         pass
     else:
         raise AssertionError("expected ValueError on fractions > 1")
+
+
+def test_hash_bucket_sql_parity_negative_ids():
+    import duckdb
+
+    from lsh_apg_ray.stages.sampling import sql_bucket_expr
+
+    ids = np.array([-5, -1, 0, 1, 7, -2**40, 2**40, 2**62, -2**62],
+                   dtype=np.int64)
+    ours = dict(zip(ids, hash_bucket(ids)))
+    df = pd.DataFrame({"doc_id": ids})
+    sql = duckdb.sql(
+        f"SELECT doc_id, {sql_bucket_expr('doc_id')} AS b FROM df"
+    ).df()
+    theirs = dict(zip(sql["doc_id"], sql["b"]))
+    assert ours == theirs, (ours, theirs)
