@@ -1204,6 +1204,73 @@ FROM tok GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 100
 """
 
 
+def q_curation_filter(sf_dir: str):
+    """Composed curation pipeline: per-doc vocabulary richness -> per-lang
+    median via grouped_quantiles -> keep docs at-or-above their language's
+    median. The per-lang threshold table is one row per language —
+    legitimately driver-collected and closure-broadcast (the canonical
+    small-side pattern); the integer metric keeps the cutoff comparison
+    exact on both sides."""
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.hashing import arrow_token_index
+    from lsh_apg_ray.stages.grouped import grouped_quantiles
+
+    pattern = DedupConfig().token_pattern
+
+    def richness(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], pattern)
+        assert ti is not None
+        indices, offsets, dictionary = ti
+        n = t.num_rows
+        if len(dictionary) == 0:
+            uniq_per_doc = np.zeros(n, np.int64)
+        else:
+            doc_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+            pair = np.unique(doc_row * np.int64(len(dictionary)) + indices)
+            uniq_per_doc = np.bincount(
+                (pair // np.int64(len(dictionary))).astype(np.int64),
+                minlength=n,
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_uniq_tokens": pa.array(uniq_per_doc, pa.int64()),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+    scored = docs.map_batches(richness, batch_format="pyarrow")
+    cuts = grouped_quantiles(
+        scored.select_columns(["lang", "n_uniq_tokens"]),
+        "lang", "n_uniq_tokens", qs=[0.5], num_partitions=4,
+    ).to_pandas()  # one row per language: the tiny broadcast side
+    p50 = dict(zip(cuts["lang"], cuts["q50"].astype(np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        thr = np.array([p50[l] for l in langs], dtype=np.int64)
+        vals = t["n_uniq_tokens"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vals >= thr))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_CURATION_FILTER = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+         ))) AS BIGINT) AS n_uniq_tokens
+  FROM documents
+), t AS (
+  SELECT lang, quantile_disc(n_uniq_tokens, 0.5) AS p50 FROM s GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.n_uniq_tokens
+FROM s JOIN t USING(lang) WHERE s.n_uniq_tokens >= t.p50 ORDER BY doc_id
+"""
+
+
 def q_events_hopping(sf_dir: str):
     from lsh_apg_ray.sources import read_table
     from lsh_apg_ray.stages.windows import hopping_aggregate
@@ -1630,6 +1697,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "split_assign": q_split_assign,
     "token_doc_freq": q_token_doc_freq,
+    "curation_filter": q_curation_filter,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -1678,6 +1746,7 @@ ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "split_assign": SQL_SPLIT_ASSIGN,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
+    "curation_filter": SQL_CURATION_FILTER,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,
