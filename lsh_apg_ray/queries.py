@@ -897,6 +897,43 @@ def q_graph_knn(sf_dir: str):
 SQL_GRAPH_KNN = _sql_knn_protocol("graph_knn")
 
 
+def q_graph_knn_incremental(sf_dir: str):
+    """The reference's dynamic-dataset headline (oneByOneInsert,
+    divGraph.h:764-810) as a driver query: build the graph WITHOUT a
+    deterministic 10% of the vectors, fold them in with insert_into_graph
+    (delta-scale cost), and answer the standard protocol queries over the
+    extended graph — scored by the same independent recall/ratio oracle as
+    graph_knn, so insertion quality is value-hash gated."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.ann import load_queries
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn, insert_into_graph
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def _part(keep_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            is_delta = (ids % 10) == 7
+            return t.filter(pa.array(is_delta if keep_delta else ~is_delta))
+
+        return fn
+
+    base = emb.map_batches(_part(False), batch_format="pyarrow")
+    delta = emb.map_batches(_part(True), batch_format="pyarrow")
+    ix_base = build_graph(base, T=24, L=4, K=4, W=16.0, cfg=_cfg(threshold=0.5))
+    ix = insert_into_graph(ix_base, delta, T=24)
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = graph_knn(ix, qids, qmat, KNN_K, ef=64)
+    ann = rd.from_arrow(
+        out.select(["query_id", "neighbor_id", "rank", "dist"])
+    )
+    return _knn_protocol(sf_dir, "graph_knn_incremental", ann, KNN_K)
+
+
+SQL_GRAPH_KNN_INCREMENTAL = _sql_knn_protocol("graph_knn_incremental")
+
+
 def q_graph_knn_noseed(sf_dir: str):
     """knnHNSW ablation (divGraph.h:1061-1091): the SAME graph queried by a
     beam from the fixed entry point 0 with NO LSH seeding — the reference's
@@ -1714,6 +1751,7 @@ QUERIES = {
     "e2lsh_knn": q_e2lsh_knn,
     "zorder_knn": q_zorder_knn,
     "graph_knn": q_graph_knn,
+    "graph_knn_incremental": q_graph_knn_incremental,
     "graph_knn_noseed": q_graph_knn_noseed,
     "ivf_knn": q_ivf_knn,
     "image_decode_stats": q_image_decode_stats,
@@ -1774,6 +1812,7 @@ ORACLE_SQL = {
     "e2lsh_knn": SQL_E2LSH_KNN,
     "zorder_knn": SQL_ZORDER_KNN,
     "graph_knn": SQL_GRAPH_KNN,
+    "graph_knn_incremental": SQL_GRAPH_KNN_INCREMENTAL,
     "graph_knn_noseed": SQL_GRAPH_KNN_NOSEED,
     "ivf_knn": SQL_IVF_KNN,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built

@@ -344,6 +344,184 @@ def build_graph(
     return assemble_index.remote(mat_ref, *adj.to_arrow_refs())
 
 
+def insert_into_graph(
+    index_ref,
+    delta_embeddings,
+    T: int = 24,
+    efC: int = 80,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 256,
+):
+    """Fold a delta batch into a built graph at delta-scale cost — the
+    reference's dynamic-dataset headline (`oneByOneInsert` ->
+    `insertLSHRefine` -> chooseNN -> reverse edges, divGraph.h:764-810,
+    471-567) re-expressed as a batch operation:
+
+      1. each delta point beam-searches the EXISTING index for its efC
+         nearest candidates (the insertLSHRefine candidate pool; parallel
+         remote tasks over delta chunks, zero-copy index reads),
+      2. within-delta candidates come from one exact delta x delta pass
+         (the sequential reference lets insert i see inserts < i; the
+         symmetric exact pass sees strictly more, so connectivity is
+         at-least-reference — delta batches are small by definition, same
+         framing as pipelines/incremental.py; band large deltas through
+         build_graph instead),
+      3. forward edges = top-T by (dist, dst_id) per delta node,
+      4. every forward edge inserts its reverse; affected OLD nodes re-cap
+         their lists at maxT = 2T by exact distance (Node2 arena-bounded
+         degree, divGraph.h:22-110) — distances of surviving old edges are
+         recomputed vectorized for affected nodes only,
+      5. merged CSR + seed-derived key tables assembled in one worker task.
+
+    The new-node count per call is bounded by the single assemble task's
+    memory (delta x efC candidate rows + delta^2 distance tiles); the base
+    graph can be arbitrarily large. Returns ObjectRef[GraphIndex].
+    """
+    delta_ref = collect_matrix_ref(delta_embeddings, id_col, vec_col)
+
+    @ray.remote
+    def search_delta(ix: GraphIndex, delta_pack, lo: int, hi: int):
+        ids_d, mat_d = delta_pack
+        n = len(ix.ids)
+        budget = max(1, int(4 * ix.L * np.log(max(n, 2))))
+        tb = get_e2lsh_tables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W,
+                              seed=ix.seed)
+        qkeys = tb.keys(mat_d[lo:hi])
+        srcs, dsts, ds_ = [], [], []
+        for i in range(lo, hi):
+            rows, dists, _, _ = _search_one(
+                ix, mat_d[i], qkeys[i - lo], efC, efC, budget, None
+            )
+            srcs.append(np.full(len(rows), ids_d[i], np.int64))
+            dsts.append(ix.ids[rows])
+            ds_.append(dists)
+        z = np.empty(0, np.int64)
+        return (
+            np.concatenate(srcs) if srcs else z,
+            np.concatenate(dsts) if dsts else z,
+            np.concatenate(ds_) if ds_ else np.empty(0, np.float64),
+        )
+
+    @ray.remote
+    def assemble(ix: GraphIndex, delta_pack, *cand_parts):
+        ids_d, mat_d = delta_pack
+        m = len(ids_d)
+        if m == 0:
+            return ix
+        if np.intersect1d(ix.ids, ids_d).size:
+            raise ValueError("delta ids overlap the existing graph")
+        # --- candidate pool: old-index beam results + exact within-delta ---
+        c_src = np.concatenate([p[0] for p in cand_parts])
+        c_dst = np.concatenate([p[1] for p in cand_parts])
+        c_dist = np.concatenate([p[2] for p in cand_parts])
+        if m > 1:
+            # gram form: m x m, never m x m x dim
+            sq = (mat_d ** 2).sum(axis=1)
+            dd = np.round(
+                np.maximum(sq[:, None] + sq[None, :] - 2.0 * (mat_d @ mat_d.T), 0.0),
+                ROUND_DECIMALS,
+            )
+            iu, ju = np.nonzero(~np.eye(m, dtype=bool))
+            c_src = np.concatenate([c_src, ids_d[iu]])
+            c_dst = np.concatenate([c_dst, ids_d[ju]])
+            c_dist = np.concatenate([c_dist, dd[iu, ju]])
+        # --- forward top-T per delta node (chooseNN_simple) ---
+        fwd = _topT_partition(
+            pa.table(
+                {
+                    "src": pa.array(c_src, pa.int64()),
+                    "dst": pa.array(c_dst, pa.int64()),
+                    "dist": pa.array(c_dist, pa.float64()),
+                }
+            ),
+            T,
+        )
+        f_src = fwd["src"].to_numpy(zero_copy_only=False)
+        f_dst = fwd["dst"].to_numpy(zero_copy_only=False)
+        f_dist = fwd["dist"].to_numpy(zero_copy_only=False)
+        # --- merge id spaces ---
+        ids_new = np.sort(np.concatenate([ix.ids, ids_d]))
+        mat_new = np.empty((len(ids_new), ix.mat.shape[1]), np.float64)
+        old_pos = np.searchsorted(ids_new, ix.ids)
+        d_pos = np.searchsorted(ids_new, ids_d)
+        mat_new[old_pos] = ix.mat
+        mat_new[d_pos] = mat_d
+        remap_old = old_pos  # old row r -> new row
+        # --- edge list in NEW row space: forward + reverse for delta ---
+        e_src = np.searchsorted(ids_new, np.concatenate([f_src, f_dst]))
+        e_dst = np.searchsorted(ids_new, np.concatenate([f_dst, f_src]))
+        e_dist = np.concatenate([f_dist, f_dist])
+        # affected old nodes (receiving a reverse edge) contribute their
+        # EXISTING edges with recomputed exact dists, then re-cap at 2T
+        delta_rows = np.zeros(len(ids_new), dtype=bool)
+        delta_rows[d_pos] = True
+        affected = np.unique(e_src[~delta_rows[e_src]])
+        aff_old_rows = np.searchsorted(remap_old, affected)  # rows in OLD csr
+        deg_aff = (ix.indptr[aff_old_rows + 1] - ix.indptr[aff_old_rows])
+        total = int(deg_aff.sum())
+        if total:
+            # gather every affected node's existing edge slice in one pass
+            # (ranges-concatenation trick, no per-node Python)
+            csum = np.concatenate(([0], np.cumsum(deg_aff)[:-1]))
+            pos = (np.repeat(ix.indptr[aff_old_rows] - csum, deg_aff)
+                   + np.arange(total))
+            nb_all = ix.nbr[pos]
+            src_old_rep = np.repeat(aff_old_rows, deg_aff)
+            nd = np.round(
+                ((ix.mat[nb_all] - ix.mat[src_old_rep]) ** 2).sum(axis=1),
+                ROUND_DECIMALS,
+            )
+            e_src = np.concatenate([e_src, np.repeat(affected, deg_aff)])
+            e_dst = np.concatenate([e_dst, remap_old[nb_all]])
+            e_dist = np.concatenate([e_dist, nd])
+        # dedup + per-node cap (delta nodes and affected old nodes): 2T
+        touched = pa.table(
+            {
+                "src": pa.array(e_src, pa.int64()),
+                "dst": pa.array(e_dst, pa.int64()),
+                "dist": pa.array(e_dist, pa.float64()),
+            }
+        )
+        capped = _topT_partition(_dedup_edges(touched), 2 * T)
+        t_src = capped["src"].to_numpy(zero_copy_only=False)
+        t_dst = capped["dst"].to_numpy(zero_copy_only=False)
+        # --- untouched old nodes keep their (remapped) slices verbatim ---
+        touched_mask = np.zeros(len(ids_new), dtype=bool)
+        touched_mask[t_src] = True
+        keep_old = ~touched_mask[remap_old[
+            np.repeat(np.arange(len(ix.ids)), np.diff(ix.indptr))
+        ]]
+        u_src = remap_old[
+            np.repeat(np.arange(len(ix.ids)), np.diff(ix.indptr))
+        ][keep_old]
+        u_dst = remap_old[ix.nbr][keep_old]
+        a_src = np.concatenate([t_src, u_src])
+        a_dst = np.concatenate([t_dst, u_dst])
+        order = np.lexsort((a_dst, a_src))
+        a_src, a_dst = a_src[order], a_dst[order]
+        counts = np.bincount(a_src, minlength=len(ids_new))
+        indptr = np.zeros(len(ids_new) + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        params = dict(L=ix.L, K=ix.K, W=ix.W, seed=ix.seed)
+        ks, rws, h0 = _derived_tables(mat_new, **params)
+        return GraphIndex(
+            ids=ids_new, mat=mat_new, indptr=indptr, nbr=a_dst,
+            keys_sorted=ks, rows_sorted=rws, hashes=h0, **params,
+        )
+
+    @ray.remote
+    def _count(pack) -> int:
+        return len(pack[0])
+
+    m = ray.get(_count.remote(delta_ref))  # count only — matrix stays in plasma
+    futs = [
+        search_delta.remote(index_ref, delta_ref, lo, min(lo + chunk, m))
+        for lo in range(0, m, chunk)
+    ]
+    return assemble.remote(index_ref, delta_ref, *futs)
+
+
 def _derived_tables(mat: np.ndarray, L: int, K: int, W: float, seed: int):
     """Per-table sorted key arrays + raw projection values — pure functions
     of (mat, params) via the seed-derived hash family, shared by the builder

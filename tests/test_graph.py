@@ -255,3 +255,71 @@ def test_graph_build_div_mode(ray_session, clustered_embeddings):
     assert deg.max() <= 2 * 24  # maxT cap holds in div mode too
     res = graph_knn(ix_ref, qids, qmat, k=k, ef=120).to_pandas()
     assert _recall(golden, res, qids, k) >= 0.95
+
+
+def test_insert_into_graph_recall_and_invariants(ray_session, clustered_embeddings):
+    """Batch delta insert (insert_into_graph — the oneByOneInsert analogue):
+    the incrementally-extended graph must answer queries over base + delta
+    with recall parity to a full rebuild, and keep the CSR invariants
+    (degree <= 2T, every delta node reachable, ids sorted)."""
+    import ray
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.ann import knn_l2
+    from lsh_apg_ray.stages.graph import build_graph, graph_knn, insert_into_graph
+
+    emb, ids, x = clustered_embeddings
+    n_delta = 250
+    base_ids, delta_ids = ids[:-n_delta], ids[-n_delta:]
+
+    def subset(sel_ids):
+        t = pa.table(
+            {
+                "vec_id": pa.array(sel_ids),
+                "embedding": pa.array(
+                    list(x[sel_ids].astype(np.float32)), pa.list_(pa.float32())
+                ),
+            }
+        )
+        return rd.from_arrow(t).materialize()
+
+    T = 24
+    base_ix = build_graph(subset(base_ids), T=T)
+    inc_ref = insert_into_graph(base_ix, subset(delta_ids), T=T)
+    ix = ray.get(inc_ref)
+
+    # structural invariants
+    assert (np.diff(ix.ids) > 0).all()
+    assert len(ix.ids) == len(ids)
+    deg = np.diff(ix.indptr)
+    assert deg.max() <= 2 * T
+    d_rows = np.searchsorted(ix.ids, delta_ids)
+    assert (deg[d_rows] >= 1).all()
+    assert ix.indptr[-1] == len(ix.nbr)
+
+    # recall parity vs a full rebuild, querying for delta points' neighbors
+    k = 50
+    qids, qmat = delta_ids[:20], x[delta_ids[:20]]
+    golden = knn_l2(emb, qids, qmat, k).to_pandas()
+    res_inc = graph_knn(inc_ref, qids, qmat, k=k, ef=120).to_pandas()
+    full_ix = build_graph(emb, T=T)
+    res_full = graph_knn(full_ix, qids, qmat, k=k, ef=120).to_pandas()
+    r_inc = _recall(golden, res_inc, qids, k)
+    r_full = _recall(golden, res_full, qids, k)
+    assert r_inc >= 0.99, (r_inc, r_full)
+    assert r_inc >= r_full - 0.01, (r_inc, r_full)
+
+
+def test_insert_into_graph_rejects_overlap(ray_session, clustered_embeddings):
+    import ray
+
+    from lsh_apg_ray.stages.graph import build_graph, insert_into_graph
+
+    emb, ids, x = clustered_embeddings
+    ix = build_graph(emb)
+    try:
+        ray.get(insert_into_graph(ix, emb))
+    except Exception as e:
+        assert "overlap" in str(e)
+    else:
+        raise AssertionError("expected overlap rejection")
