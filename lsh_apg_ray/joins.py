@@ -24,7 +24,15 @@ import pyarrow.compute as pc
 
 _PART = "__part"
 _SIDE = "__side"
-_HOW_TO_ARROW = {"inner": "inner", "left": "left outer", "right": "right outer"}
+_HOW_TO_ARROW = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    # filter joins: output is left columns only; the right side should be
+    # pre-selected down to its key column so only keys cross the shuffle
+    "semi": "left semi",
+    "anti": "left anti",
+}
 
 
 def _to_arrow_type(t) -> pa.DataType:
@@ -79,7 +87,12 @@ def hash_join(
 
     left_names = list(left_schema.names)
     right_names = list(right_schema.names)
-    out_names = left_names + [n for n in right_names if n != right_on]
+    filter_join = how in ("semi", "anti")
+    out_names = (
+        left_names
+        if filter_join
+        else left_names + [n for n in right_names if n != right_on]
+    )
     # one superset schema so union() is legal; a side's missing columns are
     # typed nulls (never read back — each side re-selects only its own)
     all_fields = [(n, left_schema.field(n).type) for n in left_names]
@@ -92,10 +105,16 @@ def hash_join(
             from lsh_apg_ray.arrowutil import hash_partition
 
             part = hash_partition(t[key_col], num_partitions)
-            cols = {
-                name: (t[name] if name in t.column_names else pa.nulls(t.num_rows, typ))
-                for name, typ in all_fields
-            }
+            cols = {}
+            for name, typ in all_fields:
+                v = (t[name] if name in t.column_names
+                     else pa.nulls(t.num_rows, typ))
+                if v.type != typ:
+                    # empty blocks surface null-typed columns (e.g. an empty
+                    # pandas input); cast to the declared schema so acero
+                    # never sees a null-typed join field
+                    v = v.cast(typ)
+                cols[name] = v
             cols[_PART] = pa.array(part, pa.int64())
             cols[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8))
             return pa.table(cols)
@@ -105,6 +124,9 @@ def hash_join(
     lt = left.map_batches(_tag_and_widen(left_on, 0), batch_format="pyarrow")
     rt = right.map_batches(_tag_and_widen(right_on, 1), batch_format="pyarrow")
 
+    l_schema = pa.schema([(n, left_schema.field(n).type) for n in left_names])
+    r_schema = pa.schema([(n, right_schema.field(n).type) for n in right_names])
+
     def _join_part(group: pa.Table) -> pa.Table:
         side = group[_SIDE]
         if isinstance(side, pa.ChunkedArray):
@@ -112,6 +134,13 @@ def hash_join(
         mask = pc.equal(side, np.int8(0))
         l = group.filter(mask).select(left_names)
         r = group.filter(pc.invert(mask)).select(right_names)
+        # the sort-shuffle's pandas round-trip downgrades all-null typed
+        # columns (a one-sided partition's other side) to null type, which
+        # acero rejects as a join key — re-cast to the declared schemas
+        if l.schema != l_schema:
+            l = l.cast(l_schema)
+        if r.schema != r_schema:
+            r = r.cast(r_schema)
         return l.join(
             r, keys=left_on, right_keys=right_on, join_type=arrow_how
         ).select(out_names)

@@ -1548,6 +1548,163 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# 1998-06-01 00:00:00 UTC in microseconds (the Q3 cutoff date)
+_Q3_CUTOFF_US = 896_659_200 * 1_000_000
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analogue: revenue of not-yet-shipped lineitems of BUILDING
+    customers' pre-cutoff orders, top 10 orders. Exercises the multi-join
+    pipeline: a SEMI join keeps orders of qualifying customers with only the
+    customer KEY crossing the shuffle, then a partitioned inner join to
+    lineitem, a 3-key partial-aggregated groupby, and per-block partial
+    top-k instead of a global sort. Revenue is integer cents per row
+    (floor(x*100+0.5)) so the distributed sum is accumulation-order-free
+    and hash-exact vs the serial oracle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_f = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def f_orders(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(us < _Q3_CUTOFF_US))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def f_li(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(us > _Q3_CUTOFF_US))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    o_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    bld_orders = hash_join(
+        orders.map_batches(f_orders, batch_format="pyarrow"),
+        cust_f,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="semi",
+        left_schema=o_schema,
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+    joined = hash_join(
+        li.map_batches(f_li, batch_format="pyarrow"),
+        bld_orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=o_schema,
+    )
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("cents", alias_name="revenue_e2"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        rev = t["revenue_e2"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ok, -rev))[:10]
+        return t.take(pa.array(sel, pa.int64()))
+
+    return (
+        agg.map_batches(
+            lambda df: df.assign(revenue_e2=df["revenue_e2"].astype("int64")),
+            batch_format="pandas",
+        )
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["revenue_e2", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e2"]
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3 ORDER BY revenue_e2 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_customers_without_f_order(sf_dir: str):
+    """Anti join (filter join): customers having NO completed ('F') order —
+    only the order KEY column crosses the shuffle; output is left columns
+    only (joins.hash_join how='anti', acero left-anti per partition)."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    f_orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust,
+        f_orders,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        how="anti",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_F_ORDER = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+) ORDER BY c_custkey
+"""
+
+
 def q_top_lineitems(sf_dir: str):
     """Global top-20 WITHOUT a global sort: each block keeps its own
     deterministic top-20 (vectorized lexsort), then one tiny sort+limit over
@@ -1739,6 +1896,8 @@ QUERIES = {
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
     "top_lineitems": q_top_lineitems,
+    "shipping_priority": q_shipping_priority,
+    "customers_without_f_order": q_customers_without_f_order,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
@@ -1789,6 +1948,8 @@ ORACLE_SQL = {
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,
     "top_lineitems": SQL_TOP_LINEITEMS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "customers_without_f_order": SQL_CUSTOMERS_WITHOUT_F_ORDER,
     "quality_scores": SQL_QUALITY_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "langid": SQL_LANGID,

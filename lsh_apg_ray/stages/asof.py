@@ -90,10 +90,12 @@ def asof_join(
     def _tag(ts_col: str, side: int):
         def fn(t: pa.Table) -> pa.Table:
             part = hash_partition(t[key], num_partitions)
-            cols = {
-                name: (t[name] if name in t.column_names else pa.nulls(t.num_rows, typ))
-                for name, typ in all_fields
-            }
+            cols = {}
+            for name, typ in all_fields:
+                v = (t[name] if name in t.column_names
+                     else pa.nulls(t.num_rows, typ))
+                # empty blocks surface null-typed columns; cast to schema
+                cols[name] = v if v.type == typ else v.cast(typ)
             cols[_TS] = pa.array(_us(t[ts_col]), pa.int64())
             tie = (
                 t[right_tie].cast(pa.int64())
@@ -146,7 +148,10 @@ def asof_join(
         ri = pa.array(order[rp], pa.int64())
         cols = {name: group[name].take(li) for name in left_names}
         cols.update({name: group[name].take(ri) for name in right_names})
-        return pa.table(cols)
+        out = pa.table(cols)
+        # the shuffle's pandas round-trip can downgrade all-null typed
+        # columns to null type; re-cast to the declared output schema
+        return out if out.schema == empty.schema else out.cast(empty.schema)
 
     return (
         lt.union(rt)

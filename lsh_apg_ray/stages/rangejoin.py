@@ -83,7 +83,8 @@ def range_join(
             cols = {}
             for name, typ in all_fields:
                 if side == _LO and name in t.column_names:
-                    cols[name] = t[name]
+                    v = t[name]
+                    cols[name] = v if v.type == typ else v.cast(typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
             cols[key] = t[key]
@@ -96,10 +97,11 @@ def range_join(
 
     def _tag_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        cols = {
-            name: (t[name] if name in t.column_names else pa.nulls(n, typ))
-            for name, typ in all_fields
-        }
+        cols = {}
+        for name, typ in all_fields:
+            v = t[name] if name in t.column_names else pa.nulls(n, typ)
+            # empty blocks surface null-typed columns; cast to schema
+            cols[name] = v if v.type == typ else v.cast(typ)
         cols[key] = t[key]
         cols[_TS] = pa.array(_us(t[right_ts]), pa.int64())
         cols[_LID] = pa.array(np.full(n, -1, np.int64))
@@ -143,7 +145,10 @@ def range_join(
         ri = pa.array(order[right_sorted_pos[expand]], pa.int64())
         cols = {name: group[name].take(li) for name in left_names}
         cols.update({name: group[name].take(ri) for name in right_names})
-        return pa.table(cols)
+        out = pa.table(cols)
+        # the shuffle's pandas round-trip can downgrade all-null typed
+        # columns to null type; re-cast to the declared output schema
+        return out if out.schema == empty.schema else out.cast(empty.schema)
 
     lt = left.map_batches(_tag_left, batch_format="pyarrow")
     rt = right.map_batches(_tag_right, batch_format="pyarrow")

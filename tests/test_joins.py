@@ -1,0 +1,52 @@
+"""Filter-join (semi/anti) tests for joins.hash_join vs pandas."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from lsh_apg_ray.joins import hash_join
+
+
+def _sides():
+    left = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 3, 4, 5, 5], np.int64),
+            "payload": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    right = pd.DataFrame({"rk": np.array([2, 2, 5, 9], np.int64)})
+    return left, right
+
+
+def test_semi_join():
+    left, right = _sides()
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="rk", how="semi", num_partitions=3,
+    ).to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+    # rows whose key appears on the right, NOT multiplied by right dup count
+    assert out["payload"].tolist() == ["b", "e", "f"]
+    assert list(out.columns) == ["k", "payload"]
+
+
+def test_anti_join():
+    left, right = _sides()
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="rk", how="anti", num_partitions=3,
+    ).to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+    assert out["payload"].tolist() == ["a", "c", "d"]
+
+
+def test_anti_join_empty_right():
+    import pyarrow as pa
+
+    left, right = _sides()
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[0:0]),
+        left_on="k", right_on="rk", how="anti", num_partitions=3,
+        # an empty input infers a null-typed key; explicit schema is the
+        # documented contract for schema-less inputs
+        right_schema=pa.schema([("rk", pa.int64())]),
+    ).to_pandas()
+    assert len(out) == len(left)  # nothing filtered
