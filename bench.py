@@ -110,6 +110,8 @@ def run_bench() -> dict:
         rep_secs.append(round(time.time() - t0, 3))
         assert n_assign == n_files, (n_assign, n_files)
         if len(rep_secs) >= reps:
+            if len(rep_secs) < 2:  # reps=1 (scaling child): nothing to compare
+                break
             prior_best = min(rep_secs[:-1])
             still_improving = rep_secs[-1] < 0.9 * prior_best
             if not still_improving or time.time() - budget_t0 > 240:
@@ -169,14 +171,19 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_CORPUS_MULT=os.environ.get("GRAFT_SCALING_MULT", "24"),
                    GRAFT_SCALING_CHILD="1")
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(
+                f"scaling child (cpus={ncpu}) failed rc={proc.returncode}; "
+                f"stderr tail:\n{proc.stderr[-4000:]}\n"
+            )
+            raise RuntimeError(f"scaling child failed (cpus={ncpu})")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     # This host's wall-clock drifts 2-5x within a session (memory-ballooned
