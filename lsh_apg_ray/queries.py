@@ -987,6 +987,26 @@ def q_ivf_knn(sf_dir: str):
 SQL_IVF_KNN = _sql_knn_protocol("ivf_knn")
 
 
+def q_pq_knn(sf_dir: str):
+    """Product-quantization ANN (ADC scan + exact rerank) — the in-memory
+    footprint scale path (m bytes/row instead of 4·dim): codebooks trained
+    once in a remote task, per-batch encode + LUT gather-sum, deterministic
+    global ADC top-R candidate merge, exact top-k. Scored by the same
+    independent recall/ratio protocol as the other ANN tiers."""
+    from lsh_apg_ray.stages.ann import load_queries, pq_knn
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = pq_knn(emb, qids, qmat, KNN_K, m_subspaces=8, n_codes=16, rerank=64)
+    return _knn_protocol(
+        sf_dir, "pq_knn",
+        out.select_columns(["query_id", "neighbor_id", "rank", "dist"]), KNN_K,
+    )
+
+
+SQL_PQ_KNN = _sql_knn_protocol("pq_knn")
+
+
 # ---------------------------------------------------------------------------
 # windowed / session operators over the events log (SURVEY.md §2.9 — batch
 # re-expression of stream-shaped semantics; ordering assumptions in
@@ -1305,6 +1325,116 @@ WITH s AS (
 )
 SELECT s.doc_id, s.lang, s.n_uniq_tokens
 FROM s JOIN t USING(lang) WHERE s.n_uniq_tokens >= t.p50 ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (top-token mass, top-bigram
+    count, duplicate-trigram census) — integer counts, one vectorized scan."""
+    from lsh_apg_ray.stages.textstats import repetition_stats
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return repetition_stats(docs, _cfg())
+
+
+SQL_REPETITION_STATS = """
+WITH tok AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+         ) AS toks
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM tok),
+ucnt AS (
+  SELECT doc_id, max(c) AS top_token_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2) GROUP BY 1
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM tok
+),
+bcnt AS (
+  SELECT doc_id, max(c) AS top_bigram_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM tok
+),
+tcnt AS (
+  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+  FROM tri GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT)                  AS n_tokens,
+       CAST(COALESCE(u.top_token_count, 0) AS BIGINT)  AS top_token_count,
+       CAST(greatest(len(t.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(greatest(len(t.toks) - 2, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(c.n_distinct_trigrams, 0) AS BIGINT) AS n_distinct_trigrams
+FROM tok t
+LEFT JOIN ucnt u USING (doc_id)
+LEFT JOIN bcnt b USING (doc_id)
+LEFT JOIN tcnt c USING (doc_id)
+ORDER BY 1
+"""
+
+
+DECONTAM_N = 8
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: a deterministic 5% of the documents table
+    (doc_id % 20 == 3) plays the eval set; every remaining doc is scored by
+    how many of its distinct 8-gram token windows appear in that set — the
+    GPT-3/PaLM-style overlap hygiene filter. Integer outputs (n_grams,
+    n_hits); the SQL oracle compares true gram STRINGS, so the value hash
+    also gates the engine's hash-based gram identity."""
+    from lsh_apg_ray.stages.decontam import decontaminate
+
+    def part(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20) == 3
+            return t.filter(pa.array(m if keep_bench else ~m))
+
+        return fn
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=DECONTAM_N, cfg=_cfg())
+
+
+SQL_DECONTAMINATE = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+         ) AS toks
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {DECONTAM_N - 1}, 0)),
+           i -> array_to_string(toks[i : i + {DECONTAM_N - 1}], ' '))) AS grams
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM ng WHERE doc_id % 20 = 3),
+corp AS (SELECT doc_id, unnest(grams) AS g FROM ng WHERE doc_id % 20 <> 3),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM corp JOIN bench USING (g) GROUP BY 1
+)
+SELECT ng.doc_id,
+       CAST(len(ng.grams) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits
+FROM ng LEFT JOIN hits h USING (doc_id)
+WHERE ng.doc_id % 20 <> 3
+ORDER BY 1
 """
 
 
@@ -1892,6 +2022,8 @@ QUERIES = {
     "split_assign": q_split_assign,
     "token_doc_freq": q_token_doc_freq,
     "curation_filter": q_curation_filter,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -1913,6 +2045,7 @@ QUERIES = {
     "graph_knn_incremental": q_graph_knn_incremental,
     "graph_knn_noseed": q_graph_knn_noseed,
     "ivf_knn": q_ivf_knn,
+    "pq_knn": q_pq_knn,
     "image_decode_stats": q_image_decode_stats,
     "audio_decode_stats": q_audio_decode_stats,
     "frame_sample": q_frame_sample,
@@ -1944,6 +2077,8 @@ ORACLE_SQL = {
     "split_assign": SQL_SPLIT_ASSIGN,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
     "curation_filter": SQL_CURATION_FILTER,
+    "decontaminate": SQL_DECONTAMINATE,
+    "repetition_stats": SQL_REPETITION_STATS,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,
@@ -1976,6 +2111,7 @@ ORACLE_SQL = {
     "graph_knn_incremental": SQL_GRAPH_KNN_INCREMENTAL,
     "graph_knn_noseed": SQL_GRAPH_KNN_NOSEED,
     "ivf_knn": SQL_IVF_KNN,
+    "pq_knn": SQL_PQ_KNN,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built
     # deterministically from doc_id; the oracle predicts the decoded stats
     # analytically, so the value-hash gates the REAL decode kernels.

@@ -764,6 +764,158 @@ def ivf_knn(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def pq_knn(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    kmeans_iters: int = 10,
+    train_max_rows: int = 200_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization kNN: ADC scan + exact rerank — the memory-scale
+    path for similarity search. The vector is split into `m_subspaces`
+    contiguous subvectors, each quantized to one of `n_codes` per-subspace
+    centroids; a query scores a row by summing per-subspace lookup-table
+    entries at the row's codes (asymmetric distance), so the scan touches
+    m bytes per row instead of 4·dim (e.g. 8 B vs 256 B at dim=64/f32 —
+    a 32x in-memory footprint reduction for a resident 100-TB-corpus index).
+
+    Ray shape: codebooks are TRAINED once in a remote task (seeded Lloyd per
+    subspace over a deterministic id-sorted sample) and broadcast; each batch
+    encodes its rows vectorized, scores ALL queries with one LUT gather-sum,
+    and emits a partial candidate set. Determinism across parallelism: the
+    per-batch cut is the top-`rerank` by (rounded ADC, id) — a prefix of a
+    GLOBAL row order — so the merged global top-`rerank` is independent of
+    batch boundaries; exact distances ride along with the candidates and the
+    final top-k is taken over the merged candidate set. Returns
+    (query_id, neighbor_id, rank, dist [squared L2, exact])."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
+    rerank = max(int(rerank), k)
+
+    @ray.remote
+    def train(pack):
+        _, mat = pack
+        n, dim = mat.shape
+        if n > train_max_rows:  # deterministic sample: ids are pre-sorted
+            step = n // train_max_rows + 1
+            mat = mat[::step]
+            n = mat.shape[0]
+        m = min(m_subspaces, dim) or 1
+        dsub = -(-dim // m)  # ceil; zero-pad the tail subspace
+        if dim < m * dsub:
+            mat = np.hstack([mat, np.zeros((n, m * dsub - dim))])
+        c = min(n_codes, max(1, n))
+        books = np.empty((m, c, dsub))
+        for s in range(m):
+            sub = mat[:, s * dsub: (s + 1) * dsub]
+            rng = np.random.default_rng(seed + s)
+            cent = sub[rng.choice(n, size=c, replace=False)].copy()
+            for _ in range(kmeans_iters):
+                assign = np.empty(n, np.int64)
+                for lo in range(0, n, 8192):
+                    blk = sub[lo: lo + 8192]
+                    dd = ((blk ** 2).sum(1)[:, None] - 2 * blk @ cent.T
+                          + (cent ** 2).sum(1)[None, :])
+                    assign[lo: lo + 8192] = dd.argmin(1)
+                for j in range(c):
+                    sel = assign == j
+                    if sel.any():  # empty cluster keeps its old centroid
+                        cent[j] = sub[sel].mean(axis=0)
+            books[s] = cent
+        return books
+
+    book_ref = train.remote(mat_ref)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
+
+    def probe(t: pa.Table) -> pa.Table:
+        books = ray.get(book_ref)  # (m, c, dsub)
+        qids, qmat = ray.get(qref)
+        m, c, dsub = books.shape
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "adc": pa.array([], pa.float64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        n = len(ids)
+        if n == 0:
+            return empty
+        dim = x.shape[1]
+        xp = x if dim == m * dsub else np.hstack(
+            [x, np.zeros((n, m * dsub - dim))])
+        qp = qmat if qmat.shape[1] == m * dsub else np.hstack(
+            [qmat, np.zeros((qmat.shape[0], m * dsub - qmat.shape[1]))])
+        # encode the batch: nearest per-subspace centroid, vectorized
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            sub = xp[:, s * dsub: (s + 1) * dsub]
+            dd = ((sub ** 2).sum(1)[:, None] - 2 * sub @ books[s].T
+                  + (books[s] ** 2).sum(1)[None, :])
+            codes[:, s] = dd.argmin(1)
+        # per-query LUTs (Q, m, c), then one gather-sum over the codes
+        qsub = qp.reshape(qp.shape[0], m, dsub)
+        lut = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        adc = np.zeros((qp.shape[0], n))
+        for s in range(m):
+            adc += lut[:, s, :][:, codes[:, s]]
+        adc = np.round(adc, ROUND_DECIMALS)
+        out_q, out_n, out_a, out_d = [], [], [], []
+        for qi in range(len(qids)):
+            cand = np.flatnonzero(ids != qids[qi])
+            if not len(cand):
+                continue
+            a = adc[qi, cand]
+            kk = min(rerank, len(cand))
+            if kk < len(cand):
+                # cheap cut that RESPECTS the (adc, id) total order at the
+                # boundary: keep every row tied with the kk-th smallest adc,
+                # then let the lexsort break those ties by id
+                bound = np.partition(a, kk - 1)[kk - 1]
+                keep = np.flatnonzero(a <= bound)
+                cand, a = cand[keep], a[keep]
+            sel = np.lexsort((ids[cand], a))[:kk]
+            cand, a = cand[sel], a[sel]
+            d = np.round(((xp[cand] - qp[qi]) ** 2).sum(axis=1), ROUND_DECIMALS)
+            out_q.append(np.full(len(cand), qids[qi], np.int64))
+            out_n.append(ids[cand])
+            out_a.append(a)
+            out_d.append(d)
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc": pa.array(np.concatenate(out_a), pa.float64()),
+                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(probe, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # global ADC top-`rerank` (batch-independent: prefix of a total row
+        # order), then the exact top-k over that candidate set
+        g = g.sort_values(["adc", "neighbor_id"], ascending=True).head(rerank)
+        g = g.sort_values(["dist", "neighbor_id"], ascending=True).head(k)
+        g = g.drop(columns=["adc"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def zorder_knn(
     embeddings,
     query_ids: np.ndarray,

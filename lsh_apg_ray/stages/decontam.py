@@ -1,0 +1,171 @@
+"""Benchmark decontamination: flag corpus documents sharing any token n-gram
+with a benchmark/eval set — the standard training-data hygiene pass (the
+GPT-3/PaLM-style 13-/8-gram overlap filter), beyond the reference's surface
+but reusing its hashing skeleton (rolling k-gram fold, LSH-APG
+`Preprocess.cpp` tokenize-once discipline).
+
+Ray shape (100-TB stance):
+  - The benchmark side is SMALL by construction (eval sets are MBs while the
+    corpus is TBs): its distinct n-gram hash set is built with per-batch
+    dedupe, then unioned + sorted in ONE remote task from the block refs —
+    the driver never holds gram bytes — and broadcast once via the returned
+    ObjectRef (`ray.put`-style small-side pattern, SURVEY.md ST6).
+  - The corpus scan is one `map_batches`: per batch, one rolling fold over
+    the flat token-hash array (document-boundary masked — no per-doc Python
+    loop), per-doc dedupe via one lexsort, membership via `searchsorted`
+    into the sorted broadcast array. Content never shuffles; the output is
+    one integer row per document.
+
+Exactness note: grams are compared as 64-bit splitmix hashes of the token
+hash fold, not as strings. Two DIFFERENT grams colliding to one u64 is the
+only divergence from string comparison (probability ~ |grams|^2 / 2^64 —
+negligible below ~10^8 distinct grams; shard the gram space by prefix above
+that). The DuckDB oracle compares true strings, so the driver gate would
+catch a collision at test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import _GOLDEN, TokenHasher, arrow_token_hashes, mix64
+
+
+def _doc_gram_pairs(
+    flat_h: np.ndarray, offsets: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_row, gram_hash) for every DISTINCT n-gram of every doc in the
+    batch. One rolling fold over the whole flat array; windows straddling a
+    document boundary are masked; per-doc dedupe is one lexsort +
+    adjacent-difference keep mask (no per-doc loop)."""
+    total = len(flat_h)
+    n_docs = len(offsets) - 1
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    w = total - n + 1
+    h = flat_h[:w].copy()
+    for j in range(1, n):
+        h = (h * _GOLDEN) ^ flat_h[j: j + w]
+    h = mix64(h)
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:w]
+    valid = (np.arange(w, dtype=np.int64) + n) <= offsets[1:][doc_of]
+    doc_v, h_v = doc_of[valid], h[valid]
+    if not len(doc_v):
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    order = np.lexsort((h_v, doc_v))
+    doc_s, h_s = doc_v[order], h_v[order]
+    keep = np.ones(len(doc_s), bool)
+    keep[1:] = (doc_s[1:] != doc_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return doc_s[keep], h_s[keep]
+
+
+def benchmark_gram_ref(
+    bench_ds,
+    n: int,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+):
+    """ObjectRef[sorted unique u64 n-gram hashes of the benchmark set],
+    assembled in a remote task from the per-batch-deduped block refs."""
+    cfg = cfg or DedupConfig()
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+
+    def grams(t: pa.Table) -> pa.Table:
+        tok = arrow_token_hashes(t[text_col], hasher, pattern)
+        if tok is None:  # non-char-class pattern: per-doc fallback
+            hs = []
+            for txt in t[text_col].to_pylist():
+                th = hasher.token_hashes(hasher.tokenize(txt))
+                if len(th) >= n:
+                    w = len(th) - n + 1
+                    g = th[:w].copy()
+                    for j in range(1, n):
+                        g = (g * _GOLDEN) ^ th[j: j + w]
+                    hs.append(mix64(g))
+            g = (np.unique(np.concatenate(hs)) if hs
+                 else np.empty(0, np.uint64))
+        else:
+            _, g = _doc_gram_pairs(*tok, n)
+            g = np.unique(g)
+        return pa.table({"g": pa.array(g.view(np.int64), pa.int64())})
+
+    per_batch = bench_ds.select_columns([text_col]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+
+    @ray.remote
+    def pack(*blocks):
+        parts = [b["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 for b in blocks if b.num_rows]
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.unique(np.concatenate(parts).view(np.uint64))
+
+    return pack.remote(*per_batch.to_arrow_refs())
+
+
+def decontaminate(
+    docs,
+    bench_ds,
+    n: int = 8,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per corpus doc: (doc_id, n_grams [distinct], n_hits [distinct grams
+    also present in the benchmark set]). `contaminated` is `n_hits > 0`;
+    integer outputs keep the driver value-hash exact."""
+    cfg = cfg or DedupConfig()
+    gram_ref = benchmark_gram_ref(bench_ds, n, cfg, text_col)
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(gram_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(ids)
+        tok = arrow_token_hashes(t[text_col], hasher, pattern)
+        n_grams = np.zeros(n_rows, np.int64)
+        n_hits = np.zeros(n_rows, np.int64)
+        if tok is not None:
+            doc_row, g = _doc_gram_pairs(*tok, n)
+            if len(doc_row):
+                n_grams = np.bincount(doc_row, minlength=n_rows).astype(np.int64)
+                if len(bench):
+                    pos = np.searchsorted(bench, g)
+                    pos[pos == len(bench)] = 0
+                    hit = bench[pos] == g
+                    n_hits = np.bincount(
+                        doc_row[hit], minlength=n_rows
+                    ).astype(np.int64)
+        else:
+            for i, txt in enumerate(t[text_col].to_pylist()):
+                th = hasher.token_hashes(hasher.tokenize(txt))
+                if len(th) < n:
+                    continue
+                w = len(th) - n + 1
+                g = th[:w].copy()
+                for j in range(1, n):
+                    g = (g * _GOLDEN) ^ th[j: j + w]
+                g = np.unique(mix64(g))
+                n_grams[i] = len(g)
+                if len(bench):
+                    pos = np.searchsorted(bench, g)
+                    pos[pos == len(bench)] = 0
+                    n_hits[i] = int((bench[pos] == g).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

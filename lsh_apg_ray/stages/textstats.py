@@ -379,3 +379,82 @@ def fingerprint_dataset(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def repetition_stats(ds, cfg: DedupConfig | None = None,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    repetition filters, re-expressed over single-line token streams):
+
+        n_tokens, top_token_count        — most-frequent-token mass
+        n_bigrams, top_bigram_count      — top-2-gram fraction numerator
+        n_trigrams, n_distinct_trigrams  — duplicate-3-gram fraction
+
+    Integer counts only (the caller derives the fractions), so the driver
+    value-hash is exact. One vectorized pass per batch: per-doc run-length
+    counting is a single lexsort over (doc, key) with adjacent-difference
+    boundaries — no per-doc Python loop. Trigram identity uses the 64-bit
+    rolling fold over batch-local dictionary indices (V^3 would overflow
+    int64); in-doc collisions are the only divergence from string identity
+    (~len^2/2^64, negligible) and the string-comparing SQL oracle gates it.
+    """
+    from lsh_apg_ray.hashing import _GOLDEN
+
+    cfg = cfg or DedupConfig()
+    pattern = cfg.token_pattern
+
+    def run_counts(doc_of: np.ndarray, key: np.ndarray):
+        """(run_doc, run_count) for equal (doc, key) runs."""
+        if not len(key):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.lexsort((key, doc_of))
+        d, k2 = doc_of[order], key[order]
+        new = np.ones(len(d), bool)
+        new[1:] = (d[1:] != d[:-1]) | (k2[1:] != k2[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(d))).astype(np.int64)
+        return d[starts], counts
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        ti = arrow_token_index(t[text_col], pattern)
+        assert ti is not None, "repetition_stats needs a char-class pattern"
+        indices, offsets, dictionary = ti
+        lens = np.diff(offsets)
+        V = np.int64(max(len(dictionary), 1))
+        doc_row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        top_tok = np.zeros(n, np.int64)
+        top_big = np.zeros(n, np.int64)
+        n_dis_tri = np.zeros(n, np.int64)
+        rd, rc = run_counts(doc_row, indices)
+        np.maximum.at(top_tok, rd, rc)
+        if len(indices) > 1:
+            adj = doc_row[1:] == doc_row[:-1]
+            bd = doc_row[:-1][adj]
+            bk = indices[:-1][adj] * V + indices[1:][adj]
+            rd2, rc2 = run_counts(bd, bk)
+            np.maximum.at(top_big, rd2, rc2)
+        if len(indices) > 2:
+            adj3 = doc_row[2:] == doc_row[:-2]
+            a = indices[:-2][adj3].astype(np.uint64)
+            b = indices[1:-1][adj3].astype(np.uint64)
+            c = indices[2:][adj3].astype(np.uint64)
+            key3 = mix64(mix64(a * _GOLDEN ^ b) * _GOLDEN ^ c)
+            rd3, _ = run_counts(doc_row[:-2][adj3], key3)
+            n_dis_tri = np.bincount(rd3, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(lens.astype(np.int64), pa.int64()),
+                "top_token_count": pa.array(top_tok, pa.int64()),
+                "n_bigrams": pa.array(np.maximum(lens - 1, 0), pa.int64()),
+                "top_bigram_count": pa.array(top_big, pa.int64()),
+                "n_trigrams": pa.array(np.maximum(lens - 2, 0), pa.int64()),
+                "n_distinct_trigrams": pa.array(n_dis_tri, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow"
+    )

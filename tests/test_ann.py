@@ -184,3 +184,36 @@ def test_e2lsh_knn_bucket_miss_expansion(ray_session):
         emb, qids, qmat, k, L=4, K=8, W=1.0, probe_expand=False
     ).to_pandas()
     assert len(out_off) == 0
+
+
+def test_pq_knn_recall_and_batch_independence(emb_ds):
+    """PQ ADC + exact rerank: high recall on clustered data, and the result
+    is IDENTICAL across different batch boundaries (the per-batch candidate
+    cut is a prefix of a global (adc, id) order, so the merged global
+    top-rerank cannot depend on partitioning)."""
+    from lsh_apg_ray.stages.ann import pq_knn
+
+    ds, X = emb_ds
+    qids = np.arange(8, dtype=np.int64)
+    k = 5
+    got = pq_knn(ds, qids, X[:8], k=k, m_subspaces=8, n_codes=16,
+                 rerank=48).to_pandas()
+    hits = total = 0
+    for q in qids:
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want = set(np.argsort(d, kind="stable")[:k])
+        g = set(got[got.query_id == q]["neighbor_id"].tolist())
+        assert len(g) == k
+        hits += len(g & want)
+        total += k
+    assert hits / total >= 0.9, hits / total
+    # different block layout -> identical output
+    ds8 = ds.repartition(8)
+    got2 = pq_knn(ds8, qids, X[:8], k=k, m_subspaces=8, n_codes=16,
+                  rerank=48).to_pandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "dist"]].equals(
+        b[["query_id", "neighbor_id", "dist"]]
+    )

@@ -133,3 +133,93 @@ def test_containment_detects_fragment():
     assert got > 0.8
     # jaccard would have been low: sizes 400 vs 80 tokens -> J <= 0.2
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_repetition_stats_matches_naive(ray_session):
+    """Vectorized per-batch run-length counting == per-doc Python recompute."""
+    import itertools
+
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.textstats import repetition_stats
+
+    texts = [
+        "a b c a b c a b c",          # heavy bigram/trigram repetition
+        "x",                           # single token: no bigrams/trigrams
+        "",                            # empty
+        "one two three four five",     # all distinct
+        "dup dup dup dup",             # one token repeated
+        "p q p q r p q p q r",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = (
+        repetition_stats(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import re
+
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9_]+", t.lower())
+        row = got.iloc[i]
+        assert row.n_tokens == len(toks)
+        cnt = {}
+        for x in toks:
+            cnt[x] = cnt.get(x, 0) + 1
+        assert row.top_token_count == (max(cnt.values()) if cnt else 0)
+        bigs = list(zip(toks, toks[1:]))
+        bcnt = {}
+        for b in bigs:
+            bcnt[b] = bcnt.get(b, 0) + 1
+        assert row.n_bigrams == len(bigs)
+        assert row.top_bigram_count == (max(bcnt.values()) if bcnt else 0)
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        assert row.n_trigrams == len(tris)
+        assert row.n_distinct_trigrams == len(set(tris))
+
+
+def test_decontaminate_counts(ray_session):
+    """n_hits == |distinct doc 8-grams ∩ benchmark 8-gram set| computed
+    naively; clean docs report 0; the benchmark set never scores itself."""
+    import re
+
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.decontam import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = [
+        # contains the first 8-gram of the benchmark verbatim
+        "xx alpha beta gamma delta epsilon zeta eta theta yy zz",
+        # clean
+        "one two three four five six seven eight nine ten eleven",
+        # too short for any 8-gram
+        "alpha beta gamma",
+        # the benchmark doc duplicated entirely (3 distinct 8-grams)
+        bench_text,
+    ]
+    bench_ds = rd.from_items([{"doc_id": 100, "text": bench_text}])
+    corp_ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(corpus)]
+    )
+    got = (
+        decontaminate(corp_ds, bench_ds, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(t):
+        toks = re.findall(r"[a-z0-9_]+", t.lower())
+        return {tuple(toks[i: i + 8]) for i in range(len(toks) - 7)}
+
+    bg = grams(bench_text)
+    for i, t in enumerate(corpus):
+        row = got.iloc[i]
+        g = grams(t)
+        assert row.n_grams == len(g)
+        assert row.n_hits == len(g & bg), (i, row.n_hits, len(g & bg))
+    assert got.n_hits.tolist() == [1, 0, 0, 3]
