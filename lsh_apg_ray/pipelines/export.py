@@ -1,0 +1,124 @@
+"""Training-ready shuffled export sink: deterministic seeded global shuffle
++ partitioned, resumable Parquet output.
+
+The last stage of a curation pipeline: training wants the corpus in a
+RANDOM but REPRODUCIBLE order, written as many independent bucket
+directories so (a) a failed run resumes by skipping finished buckets and
+(b) downstream loaders stream bucket-parallel. Counterpart of the
+reference's result sink (`Performance::save`, alg.h:136-160) re-expressed
+as a data sink.
+
+Determinism contract: a row's shuffle key is a pure function of row
+IDENTITY and the seed — `key = ((fold31(id) XOR fold31(seed)) * 2654435761)
+mod 2^31` in the same numpy/SQL-parity arithmetic as `stages/sampling.py`
+(all intermediates < 2^63; mathematical modulo on both sides). Bucket =
+key mod n_buckets, within-bucket order = (key, id). Re-runs, re-shards and
+different cluster sizes produce byte-identical buckets.
+
+Ray shape: one pure per-batch map appends (key, bucket); ONE shuffle
+(`groupby(bucket).map_groups`) co-locates each bucket; each group task
+sorts its bucket, writes `bucket=NNNNN/part.parquet` ATOMICALLY (tmp file +
+rename + `_SUCCESS` marker) and emits a one-row census — so the returned
+Dataset is tiny (n_buckets rows) while the payload goes straight from the
+group task to storage, never through the driver. A bucket whose `_SUCCESS`
+marker already exists is NOT rewritten (resume); its census row is still
+emitted from the in-flight rows. Buckets are written to a path all workers
+can reach (shared FS / object store on a real cluster; /tmp here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lsh_apg_ray.stages.sampling import _KNUTH, _M31
+
+_CENSUS_SCHEMA = {
+    "bucket": pa.int64(),
+    "n_rows": pa.int64(),
+    "min_key": pa.int64(),
+    "max_key": pa.int64(),
+    "key_xor": pa.int64(),
+}
+
+
+def shuffle_keys(ids: np.ndarray, seed: int) -> np.ndarray:
+    """int64 ids -> int64 shuffle keys in [0, 2^31); SQL-parity arithmetic
+    (see sql_shuffle_key_expr)."""
+    x = ids.astype(np.uint64) % _M31
+    s = np.uint64(seed) % _M31
+    return (((x ^ s) * _KNUTH) % _M31).astype(np.int64)
+
+
+def sql_shuffle_key_expr(id_col: str, seed: int) -> str:
+    """The identical key computation in DuckDB SQL (oracle parity)."""
+    fold = f"((({id_col} % 2147483648) + 2147483648) % 2147483648)"
+    s31 = (seed % (1 << 31) + (1 << 31)) % (1 << 31)
+    return f"(xor({fold}, {s31}) * 2654435761) % 2147483648"
+
+
+def shuffled_export(
+    ds,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    seed: int = 7,
+):
+    """Export `ds` as `n_buckets` shuffled bucket dirs under `out_dir`;
+    returns the census Dataset (bucket, n_rows, min_key, max_key, key_xor —
+    all int64, so the driver value-hash is exact). Buckets with an existing
+    `_SUCCESS` marker are skipped (resume); delete a bucket dir to force its
+    rewrite."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets {n_buckets} < 1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = shuffle_keys(ids, seed)
+        t = t.append_column("__skey", pa.array(key, pa.int64()))
+        return t.append_column(
+            "__bucket", pa.array(key % np.int64(n_buckets), pa.int64())
+        )
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {k: pa.array([], v) for k, v in _CENSUS_SCHEMA.items()}
+        )
+        if t.num_rows == 0:
+            return empty
+        bucket = int(t["__bucket"][0].as_py())
+        key = t["__skey"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, key))
+        payload = t.drop_columns(["__bucket"]).take(
+            pa.array(order, pa.int64())
+        )
+        bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
+        marker = os.path.join(bdir, "_SUCCESS")
+        if not os.path.exists(marker):  # resume: finished buckets are final
+            os.makedirs(bdir, exist_ok=True)
+            tmp = os.path.join(bdir, f".part.parquet.tmp-{os.getpid()}")
+            pq.write_table(payload, tmp)
+            os.replace(tmp, os.path.join(bdir, "part.parquet"))
+            with open(marker, "w") as f:
+                f.write(str(payload.num_rows))
+        kx = np.bitwise_xor.reduce(key.astype(np.uint64))
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int64()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "min_key": pa.array([int(key.min())], pa.int64()),
+                "max_key": pa.array([int(key.max())], pa.int64()),
+                "key_xor": pa.array([int(kx)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+    )

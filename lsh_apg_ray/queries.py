@@ -1384,6 +1384,46 @@ ORDER BY 1
 """
 
 
+EXPORT_BUCKETS = 16
+EXPORT_SEED = 7
+
+
+def q_shuffle_export(sf_dir: str):
+    """Training-ready export sink: deterministic seeded shuffle of the
+    documents table into 16 resumable Parquet bucket dirs; returns the
+    integer census (per bucket: row count, key range, key xor) whose SQL
+    oracle recomputes the identical shuffle-key arithmetic — value-hashing
+    the whole partition/order assignment, not just row counts."""
+    import shutil
+
+    from lsh_apg_ray.pipelines.export import shuffled_export
+
+    out = _dump_path(sf_dir, "shuffle_export_out")
+    shutil.rmtree(out, ignore_errors=True)  # fresh run per query invocation
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return shuffled_export(
+        docs, out, id_col="doc_id", n_buckets=EXPORT_BUCKETS, seed=EXPORT_SEED
+    )
+
+
+def _sql_shuffle_export() -> str:
+    from lsh_apg_ray.pipelines.export import sql_shuffle_key_expr
+
+    key = sql_shuffle_key_expr("doc_id", EXPORT_SEED)
+    return f"""
+WITH k AS (SELECT {key} AS key FROM documents)
+SELECT key % {EXPORT_BUCKETS}           AS bucket,
+       CAST(count(*) AS BIGINT)         AS n_rows,
+       min(key)                         AS min_key,
+       max(key)                         AS max_key,
+       CAST(bit_xor(key) AS BIGINT)     AS key_xor
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_SHUFFLE_EXPORT = _sql_shuffle_export()
+
+
 DECONTAM_N = 8
 
 
@@ -2024,6 +2064,7 @@ QUERIES = {
     "curation_filter": q_curation_filter,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "shuffle_export": q_shuffle_export,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -2079,6 +2120,7 @@ ORACLE_SQL = {
     "curation_filter": SQL_CURATION_FILTER,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,
+    "shuffle_export": SQL_SHUFFLE_EXPORT,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,

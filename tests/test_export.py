@@ -1,0 +1,85 @@
+"""Shuffled-export sink: determinism across parallelism, within-bucket
+order, exact coverage, and resume semantics (finished buckets not
+rewritten)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from lsh_apg_ray.pipelines.export import shuffle_keys, shuffled_export
+
+
+def _mkds(n=500, parallelism=None):
+    items = [{"doc_id": i, "text": f"doc {i}"} for i in range(n)]
+    ds = rd.from_items(items)
+    return ds.repartition(parallelism) if parallelism else ds
+
+
+def _run(out, parallelism=None, n=500):
+    shutil.rmtree(out, ignore_errors=True)
+    census = (
+        shuffled_export(_mkds(n, parallelism), out, n_buckets=8, seed=7)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    return census
+
+
+def test_export_coverage_order_and_parallelism_identity(ray_session):
+    out_a, out_b = "/tmp/lsh_test_export_a", "/tmp/lsh_test_export_b"
+    ca = _run(out_a)
+    cb = _run(out_b, parallelism=7)
+    # census identical across block layouts
+    assert ca.equals(cb)
+    assert ca.n_rows.sum() == 500
+    # bucket files: sorted by (key, id), disjoint, exactly covering input
+    seen = []
+    for bdir in sorted(glob.glob(os.path.join(out_a, "bucket=*"))):
+        assert os.path.exists(os.path.join(bdir, "_SUCCESS"))
+        t = pq.read_table(os.path.join(bdir, "part.parquet"))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = t["__skey"].to_numpy(zero_copy_only=False)
+        np.testing.assert_array_equal(keys, shuffle_keys(ids, 7))
+        order = np.lexsort((ids, keys))
+        np.testing.assert_array_equal(order, np.arange(len(ids)))
+        seen.append(ids)
+    all_ids = np.sort(np.concatenate(seen))
+    np.testing.assert_array_equal(all_ids, np.arange(500))
+    # byte-identical bucket payloads across the two runs
+    for bdir in sorted(os.listdir(out_a)):
+        fa = os.path.join(out_a, bdir, "part.parquet")
+        fb = os.path.join(out_b, bdir, "part.parquet")
+        assert pq.read_table(fa).equals(pq.read_table(fb))
+
+
+def test_export_resume_skips_finished_buckets(ray_session):
+    out = "/tmp/lsh_test_export_resume"
+    _run(out)
+    bdirs = sorted(glob.glob(os.path.join(out, "bucket=*")))
+    victim = bdirs[3]
+    victim_table = pq.read_table(os.path.join(victim, "part.parquet"))
+    shutil.rmtree(victim)  # simulate a failed/missing partition
+    mtimes = {
+        b: os.path.getmtime(os.path.join(b, "part.parquet"))
+        for b in bdirs
+        if b != victim
+    }
+    census2 = (
+        shuffled_export(_mkds(), out, n_buckets=8, seed=7)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert census2.n_rows.sum() == 500
+    # the missing bucket was rewritten identically...
+    assert pq.read_table(os.path.join(victim, "part.parquet")).equals(
+        victim_table
+    )
+    # ...and every finished bucket was left untouched
+    for b, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(b, "part.parquet")) == mt
