@@ -724,6 +724,43 @@ ORDER BY 1, 2
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means buckets (oracle boundary —
+    dumped), within-bucket cosine >= theta against any lower id marks a row
+    duplicate. The SQL oracle recomputes the pairwise-cosine marking exactly
+    from the dumped assignment, so bucketing, the shuffle and the greedy
+    policy are all value-hash gated."""
+    from lsh_apg_ray.stages.ann import semantic_dedup
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    out = semantic_dedup(emb, threshold=EMB_DUP_THETA, n_centroids=32)
+    out = out.materialize()
+    _dump_ds(out.select_columns(["vec_id", "kcluster"]), sf_dir,
+             "semantic_clusters")
+    return out
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH a AS (
+  SELECT * FROM read_parquet('{_dump_path(_SQL_SF, "semantic_clusters")}/*.parquet')
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dup AS (
+  SELECT x.vec_id
+  FROM a x
+  JOIN a y ON y.kcluster = x.kcluster AND y.vec_id < x.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE round(list_cosine_similarity(ex.v, ey.v), 12) >= {EMB_DUP_THETA}
+  GROUP BY 1
+)
+SELECT a.vec_id, a.kcluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM a LEFT JOIN dup d USING (vec_id)
+ORDER BY 1
+"""
+
+
 def _knn_protocol(sf_dir: str, dump_name: str, ann_ds, k: int):
     """The reference's query-benchmark protocol (alg.h:98-134, Query.cpp:9-67)
     as a query surface: per query_id emit n_results, n_hits (|ann ∩ golden|),
@@ -2080,6 +2117,7 @@ QUERIES = {
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "e2lsh_knn": q_e2lsh_knn,
     "zorder_knn": q_zorder_knn,
     "graph_knn": q_graph_knn,
@@ -2129,6 +2167,7 @@ ORACLE_SQL = {
     "customers_without_f_order": SQL_CUSTOMERS_WITHOUT_F_ORDER,
     "quality_scores": SQL_QUALITY_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "langid": SQL_LANGID,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,

@@ -257,6 +257,38 @@ def embedding_near_dup_bruteforce(
     return embeddings.map_batches(score, batch_format="pyarrow")
 
 
+def _encode_vec_binary(x: np.ndarray) -> pa.Array:
+    """(n, dim) float64 -> Arrow binary column of raw row bytes (Acero hash
+    joins and the sort shuffle reject nested/tensor payloads; fixed-width
+    binary rows survive both and decode zero-copy)."""
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    n = len(x)
+    width = x.shape[1] * 8 if x.ndim == 2 else 0
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * width)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(x.tobytes())]
+    )
+
+
+def _bin_to_matrix(col) -> np.ndarray:
+    """Inverse of _encode_vec_binary: binary column -> (n, dim) float64,
+    zero-copy from the Arrow buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0))
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    widths = np.diff(off)
+    width = int(widths[0])
+    if not (width % 8 == 0 and (widths == width).all()):
+        raise ValueError("ragged vector byte rows")
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data[off[0] : off[-1]].view(np.float64).reshape(n, width // 8)
+
+
 def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
                        vec_col: str, join_partitions: int):
     """Exact-cosine verify with NO broadcast: attach each endpoint's vector
@@ -273,17 +305,10 @@ def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
     # Arrow buffers in `score`.
     def encode_side(id_out: str, vec_out: str):
         def fn(t: pa.Table) -> pa.Table:
-            x = np.ascontiguousarray(_to_matrix(t[vec_col]), dtype=np.float64)
-            n = len(x)
-            width = x.shape[1] * 8 if x.ndim == 2 else 0
-            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * width)
-            vals = pa.Array.from_buffers(
-                pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(x.tobytes())]
-            )
             return pa.table(
                 {
                     id_out: t[id_col].cast(pa.int64()),
-                    vec_out: vals,
+                    vec_out: _encode_vec_binary(_to_matrix(t[vec_col])),
                 }
             )
 
@@ -311,24 +336,6 @@ def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
         right_schema=schema_b,
     )
 
-    def bin_to_matrix(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        if n == 0:
-            return np.empty((0, 0))
-        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-            col.offset : col.offset + n + 1
-        ].astype(np.int64)
-        widths = np.diff(off)
-        width = int(widths[0])
-        if not (width % 8 == 0 and (widths == width).all()):
-            raise ValueError("ragged vector byte rows in join verify")
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        return (
-            data[off[0] : off[-1]].view(np.float64).reshape(n, width // 8)
-        )
-
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -339,8 +346,8 @@ def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
         )
         if t.num_rows == 0:
             return empty
-        va = bin_to_matrix(t["_vec_a"])
-        vb = bin_to_matrix(t["_vec_b"])
+        va = _bin_to_matrix(t["_vec_a"])
+        vb = _bin_to_matrix(t["_vec_b"])
         va = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-300)
         vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-300)
         sim = np.round(np.einsum("ij,ij->i", va, vb), ROUND_DECIMALS)
@@ -652,6 +659,45 @@ def e2lsh_knn(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def _lloyd(mat: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic seeded Lloyd k-means over an in-memory matrix (blocked
+    distance evaluation, empty clusters keep their previous centroid).
+    Shared trainer for the coarse quantizers (IVF, PQ subspaces, SemDeDup
+    buckets)."""
+    n = mat.shape[0]
+    c = min(n_centroids, max(1, n))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(n, size=c, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.empty(n, np.int64)
+        for lo in range(0, n, 8192):
+            blk = mat[lo: lo + 8192]
+            dd = ((blk ** 2).sum(1)[:, None] - 2 * blk @ cent.T
+                  + (cent ** 2).sum(1)[None, :])
+            assign[lo: lo + 8192] = dd.argmin(1)
+        for j in range(c):
+            sel = assign == j
+            if sel.any():
+                cent[j] = mat[sel].mean(axis=0)
+    return cent
+
+
+def train_kmeans_ref(mat_ref, n_centroids: int, iters: int = 10,
+                     seed: int = 42, max_rows: int = 200_000):
+    """ObjectRef[centroids] trained in one remote task over the (optionally
+    strided-down) broadcast matrix — the quantizer-training stage every
+    coarse index shares."""
+
+    @ray.remote
+    def train(pack):
+        _, mat = pack
+        if mat.shape[0] > max_rows:  # deterministic stride sample
+            mat = mat[:: mat.shape[0] // max_rows + 1]
+        return _lloyd(mat, n_centroids, iters, seed)
+
+    return train.remote(mat_ref)
+
+
 def ivf_knn(
     embeddings,
     query_ids: np.ndarray,
@@ -678,34 +724,7 @@ def ivf_knn(
     q = np.asarray(query_matrix, dtype=np.float64)
 
     mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
-
-    @ray.remote
-    def train(pack):
-        ids, mat = pack
-        n = len(ids)
-        c = min(n_centroids, max(1, n))
-        rng = np.random.default_rng(seed)
-        cent = mat[rng.choice(n, size=c, replace=False)].copy()
-        for _ in range(kmeans_iters):
-            d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) \
-                if n * c * mat.shape[1] < 5e7 else None
-            if d is None:
-                # blocked distance for big corpora
-                assign = np.empty(n, np.int64)
-                for s in range(0, n, 8192):
-                    blk = mat[s: s + 8192]
-                    dd = ((blk ** 2).sum(1)[:, None]
-                          - 2 * blk @ cent.T + (cent ** 2).sum(1)[None, :])
-                    assign[s: s + 8192] = dd.argmin(1)
-            else:
-                assign = d.argmin(1)
-            for j in range(c):
-                m = assign == j
-                if m.any():
-                    cent[j] = mat[m].mean(axis=0)
-        return cent
-
-    cent_ref = train.remote(mat_ref)
+    cent_ref = train_kmeans_ref(mat_ref, n_centroids, kmeans_iters, seed)
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
 
     def probe(t: pa.Table) -> pa.Table:
@@ -814,21 +833,9 @@ def pq_knn(
         c = min(n_codes, max(1, n))
         books = np.empty((m, c, dsub))
         for s in range(m):
-            sub = mat[:, s * dsub: (s + 1) * dsub]
-            rng = np.random.default_rng(seed + s)
-            cent = sub[rng.choice(n, size=c, replace=False)].copy()
-            for _ in range(kmeans_iters):
-                assign = np.empty(n, np.int64)
-                for lo in range(0, n, 8192):
-                    blk = sub[lo: lo + 8192]
-                    dd = ((blk ** 2).sum(1)[:, None] - 2 * blk @ cent.T
-                          + (cent ** 2).sum(1)[None, :])
-                    assign[lo: lo + 8192] = dd.argmin(1)
-                for j in range(c):
-                    sel = assign == j
-                    if sel.any():  # empty cluster keeps its old centroid
-                        cent[j] = sub[sel].mean(axis=0)
-            books[s] = cent
+            books[s] = _lloyd(
+                mat[:, s * dsub: (s + 1) * dsub], c, kmeans_iters, seed + s
+            )
         return books
 
     book_ref = train.remote(mat_ref)
@@ -914,6 +921,90 @@ def pq_knn(
         return g
 
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def semantic_dedup(
+    embeddings,
+    threshold: float = 0.4,
+    n_centroids: int = 32,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
+    2303.09540): k-means buckets the embedding space and ONLY within-bucket
+    pairwise cosine is examined; a row is a duplicate iff some LOWER-id row
+    of its bucket has cosine >= threshold (the greedy keep-first policy —
+    deterministic, no CC fixpoint). Returns (vec_id, kcluster, is_dup), all
+    int64 so the driver value-hash is exact.
+
+    Ray shape: centroids trained once in a remote task (shared `_lloyd`
+    trainer) and broadcast; assignment is a pure per-batch map; ONE shuffle
+    (`groupby(kcluster)`) co-locates each bucket with vectors riding as
+    fixed-width binary rows (nested types don't survive the sort shuffle);
+    per-bucket marking is a blocked normalized matmul. Within-bucket work is
+    O(|bucket|^2) — at corpus scale grow n_centroids ~ sqrt(N) (SemDeDup
+    itself uses 50k clusters at 440M rows) so buckets stay ~1e4 and each
+    group task is one small GEMM."""
+    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
+    cent_ref = train_kmeans_ref(mat_ref, n_centroids, kmeans_iters, seed)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "kcluster": pa.array([], pa.int64()),
+                    "_vec": pa.array([], pa.binary()),
+                }
+            )
+        dd = ((x ** 2).sum(1)[:, None] - 2 * x @ cent.T
+              + (cent ** 2).sum(1)[None, :])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "kcluster": pa.array(dd.argmin(1).astype(np.int64), pa.int64()),
+                "_vec": _encode_vec_binary(x),
+            }
+        )
+
+    def mark(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "kcluster": pa.array([], pa.int64()),
+                "is_dup": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _bin_to_matrix(t["_vec"])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        n = len(ids)
+        is_dup = np.zeros(n, bool)
+        for lo in range(0, n, 2048):
+            hi = min(lo + 2048, n)
+            sim = np.round(xn[lo:hi] @ xn.T, ROUND_DECIMALS)
+            m = (sim >= threshold) & (ids[None, :] < ids[lo:hi, None])
+            is_dup[lo:hi] = m.any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "kcluster": t["kcluster"],
+                "is_dup": pa.array(is_dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(assign, batch_format="pyarrow")
+        .groupby("kcluster")
+        .map_groups(mark, batch_format="pyarrow")
+    )
 
 
 def zorder_knn(

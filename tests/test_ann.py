@@ -217,3 +217,49 @@ def test_pq_knn_recall_and_batch_independence(emb_ds):
     assert a[["query_id", "neighbor_id", "dist"]].equals(
         b[["query_id", "neighbor_id", "dist"]]
     )
+
+
+def test_semantic_dedup_matches_naive(emb_ds):
+    """Bucketed marking == naive recompute: assign each row to its nearest
+    trained centroid, then is_dup iff ANY lower-id same-bucket row has
+    cosine >= theta. Also identical across block layouts (the groupby
+    co-locates whole buckets regardless of input partitioning)."""
+    import ray
+
+    from lsh_apg_ray.stages.ann import (
+        collect_matrix_ref,
+        semantic_dedup,
+        train_kmeans_ref,
+    )
+
+    ds, X = emb_ds
+    theta = 0.8
+    got = (
+        semantic_dedup(ds, threshold=theta, n_centroids=12)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    cent = ray.get(
+        train_kmeans_ref(collect_matrix_ref(ds), 12, iters=10, seed=42)
+    )
+    dd = ((X ** 2).sum(1)[:, None] - 2 * X @ cent.T
+          + (cent ** 2).sum(1)[None, :])
+    cid = dd.argmin(1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sim = np.round(Xn @ Xn.T, 12)
+    n = len(X)
+    want_dup = [
+        bool(((sim[i, :i] >= theta) & (cid[:i] == cid[i])).any())
+        for i in range(n)
+    ]
+    assert got.kcluster.tolist() == cid.tolist()
+    assert got.is_dup.astype(bool).tolist() == want_dup
+    assert got.is_dup.sum() > 0  # the mixture fixture has real near-dups
+    got2 = (
+        semantic_dedup(ds.repartition(9), threshold=theta, n_centroids=12)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(got2)
