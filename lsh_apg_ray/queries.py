@@ -1421,6 +1421,29 @@ ORDER BY 1
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-50 tokens by term frequency via the Misra-Gries sketch +
+    exact-recount path — bounded per-task state, no full-vocabulary shuffle;
+    exactness is PROVEN at runtime (k-th count > N/(B+1)) or the operator
+    raises."""
+    from lsh_apg_ray.stages.sketches import heavy_hitters
+
+    docs = read_documents(sf_dir, columns=["text"])
+    return heavy_hitters(docs, k=50, budget=2048, cfg=_cfg())
+
+
+SQL_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+  )) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+FROM tok GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 50
+"""
+
+
 EXPORT_BUCKETS = 16
 EXPORT_SEED = 7
 
@@ -2102,6 +2125,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "shuffle_export": q_shuffle_export,
+    "heavy_hitters": q_heavy_hitters,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -2159,6 +2183,7 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,

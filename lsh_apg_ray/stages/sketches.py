@@ -1,0 +1,177 @@
+"""Mergeable frequency sketches: exact top-k heavy hitters WITHOUT a
+full-vocabulary shuffle.
+
+`token_doc_freq` (queries.py) computes a census by shuffling every unique
+token — correct, but the shuffle carries the whole vocabulary (billions of
+rows at corpus scale). The heavy-hitter path here never does: each batch
+emits a bounded Misra–Gries summary (<= budget rows regardless of batch
+vocabulary), summaries merge associatively in one remote task (Agarwal et
+al., "Mergeable Summaries", PODS'12 — merge = add counts, then subtract the
+(budget+1)-th largest and keep positives), and a second column-pruned scan
+recounts ONLY the surviving candidates exactly.
+
+Exactness guarantee (checked at runtime, not assumed): every MG compression
+subtracts a known offset from all counters, so the sketch carries its TRUE
+accumulated undercount `err` (sum of per-batch offsets + merge offsets) —
+far tighter than the textbook N/(B+1) worst case. Any token with true count
+> err survives pass 1; after the exact recount, the k-th candidate count
+exceeding `err` PROVES no non-candidate token can beat it — the returned
+top-k is exact, from a sketch pass whose state is O(B) per task. If the
+corpus is so flat that the proof fails, the operator raises with the
+measured bound instead of returning silently approximate results
+(raise-don't-guess, same contract as the dedup caps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import arrow_token_index
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, budget: int):
+    """Misra–Gries compression: subtract the (budget+1)-th largest count,
+    keep strictly-positive remainders (<= budget entries survive). Returns
+    (tokens, counts, offset) — `offset` is the exact per-token undercount
+    this step introduced."""
+    if len(tokens) <= budget:
+        return tokens, counts, 0
+    kth = np.partition(counts, len(counts) - budget - 1)[len(counts) - budget - 1]
+    rem = counts - kth
+    keep = rem > 0
+    return tokens[keep], rem[keep], int(kth)
+
+
+def heavy_hitters(
+    ds,
+    k: int = 50,
+    budget: int = 2048,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+):
+    """Exact top-`k` tokens by TERM frequency (count DESC, token ASC
+    tie-break) via MG sketch + exact candidate recount. Returns a pyarrow
+    Table (token, term_freq) of exactly min(k, |candidates|) rows.
+
+    Raises RuntimeError when the exactness proof fails (k-th candidate count
+    <= N/(budget+1)) — raise the budget, don't trust a flat tail."""
+    cfg = cfg or DedupConfig()
+    pattern = cfg.token_pattern
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], pattern)
+        assert ti is not None, "heavy_hitters needs a char-class pattern"
+        indices, _, dictionary = ti
+        if not len(indices):
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64()),
+                 "n_total": pa.array([], pa.int64())}
+            )
+        counts = np.bincount(indices, minlength=len(dictionary)).astype(np.int64)
+        toks = np.asarray(dictionary, dtype=object)
+        used = counts > 0
+        toks, counts, off = _mg_compress(toks[used], counts[used], budget)
+        if len(toks) == 0 and off:
+            # fully-flat batch: MG dropped everything; keep one sentinel row
+            # so the undercount still reaches the merge
+            return pa.table(
+                {"token": pa.array([""], pa.string()),
+                 "c": pa.array([0], pa.int64()),
+                 "err": pa.array([off], pa.int64())}
+            )
+        err = np.zeros(len(toks), np.int64)
+        if len(err):
+            err[0] = off  # batch undercount rides on one row
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "c": pa.array(counts, pa.int64()),
+             "err": pa.array(err, pa.int64())}
+        )
+
+    sketches = ds.select_columns([text_col]).map_batches(
+        sketch, batch_format="pyarrow"
+    )
+
+    @ray.remote
+    def merge(*blocks):
+        toks_parts, c_parts, err = [], [], 0
+        for b in blocks:
+            if b.num_rows == 0:
+                continue
+            toks_parts.append(b["token"].to_numpy(zero_copy_only=False))
+            c_parts.append(b["c"].to_numpy(zero_copy_only=False))
+            err += int(b["err"].to_numpy(zero_copy_only=False).sum())
+        if not toks_parts:
+            return np.empty(0, object), 0
+        toks = np.concatenate(toks_parts)
+        c = np.concatenate(c_parts).astype(np.int64)
+        order = np.argsort(toks, kind="stable")
+        toks, c = toks[order], c[order]
+        new = np.ones(len(toks), bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(c, starts)
+        toks, c, off = _mg_compress(toks[starts], sums, budget)
+        return toks, err + off
+
+    cand_ref = merge.remote(*sketches.to_arrow_refs())
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand, _ = ray.get(cand_ref)
+        cand_sorted = np.sort(cand.astype(str)) if len(cand) else cand
+        ti = arrow_token_index(t[text_col], pattern)
+        assert ti is not None
+        indices, _, dictionary = ti
+        if not len(indices) or not len(cand_sorted):
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "term_freq": pa.array([], pa.int64())}
+            )
+        counts = np.bincount(indices, minlength=len(dictionary)).astype(np.int64)
+        toks = np.asarray(dictionary, dtype=str)
+        pos = np.searchsorted(cand_sorted, toks)
+        pos[pos == len(cand_sorted)] = 0
+        member = (cand_sorted[pos] == toks) & (counts > 0)
+        return pa.table(
+            {"token": pa.array(toks[member], pa.string()),
+             "term_freq": pa.array(counts[member], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.select_columns([text_col])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("term_freq", alias_name="term_freq"))
+    ).to_pandas()  # <= budget rows: the small side by construction
+    if "token" not in exact.columns:  # zero candidates: empty-schema result
+        import pandas as pd
+
+        exact = pd.DataFrame({"token": [], "term_freq": []})
+
+    _, sketch_err = ray.get(cand_ref)
+    exact = exact.sort_values(
+        ["term_freq", "token"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    # a non-candidate token's true count is <= the sketch's accumulated
+    # undercount, so the result is provably exact iff the sketch was
+    # lossless (err == 0) or k full candidates all beat the undercount
+    kth = int(exact["term_freq"].iloc[-1]) if len(exact) else 0
+    if sketch_err > 0 and (len(exact) < k or kth <= sketch_err):
+        raise RuntimeError(
+            f"heavy_hitters exactness proof failed: k-th count {kth} <= "
+            f"sketch undercount {sketch_err}; raise budget above {budget}"
+        )
+    return pa.table(
+        {
+            "token": pa.array(exact["token"], pa.string()),
+            "term_freq": pa.array(
+                exact["term_freq"].to_numpy(), pa.int64()
+            ),
+        }
+    )

@@ -1,0 +1,61 @@
+"""Heavy hitters: MG compression correctness under a budget SMALLER than
+the vocabulary, exactness vs naive counts, and the proof-failure raise."""
+
+import collections
+import re
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.stages.sketches import _mg_compress, heavy_hitters
+
+
+def _zipf_docs(n_docs=300, seed=5):
+    """Skewed synthetic corpus: vocab of 500 words with Zipf-ish counts."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(500)])
+    p = 1.0 / np.arange(1, 501)
+    p /= p.sum()
+    docs = []
+    for i in range(n_docs):
+        toks = rng.choice(vocab, size=40, p=p)
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    return docs
+
+
+def test_mg_compress_undercount_bound():
+    rng = np.random.default_rng(1)
+    counts = rng.integers(1, 100, size=300).astype(np.int64)
+    toks = np.array([f"t{i}" for i in range(300)], dtype=object)
+    kept_t, kept_c, off = _mg_compress(toks, counts, budget=50)
+    assert len(kept_t) <= 50
+    orig = dict(zip(toks, counts))
+    # every kept count is an undercount by exactly the reported offset,
+    # and every dropped token had count <= that offset
+    assert all(orig[t] - c == off for t, c in zip(kept_t, kept_c))
+    assert off > 0
+    kept = set(kept_t)
+    max_dropped = max(orig[t] for t in toks if t not in kept)
+    assert max_dropped <= off
+
+
+def test_heavy_hitters_exact_under_compression(ray_session):
+    docs = _zipf_docs()
+    ds = rd.from_items(docs)
+    # budget 64 << 500-word vocab: every batch and the merge must compress
+    got = heavy_hitters(ds, k=20, budget=64).to_pandas()
+    cnt = collections.Counter()
+    for d in docs:
+        cnt.update(re.findall(r"[a-z0-9_]+", d["text"].lower()))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["token"], got["term_freq"])) == want
+
+
+def test_heavy_hitters_raises_when_proof_fails(ray_session):
+    # perfectly flat corpus: every token appears once -> k-th count 1 can
+    # never exceed N/(B+1) with a tiny budget; must raise, not guess
+    docs = [{"doc_id": i, "text": f"u{i} v{i} w{i}"} for i in range(200)]
+    ds = rd.from_items(docs)
+    with pytest.raises(RuntimeError, match="exactness proof failed"):
+        heavy_hitters(ds, k=5, budget=8)
