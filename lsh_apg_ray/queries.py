@@ -1421,6 +1421,78 @@ ORDER BY 1
 """
 
 
+SIMDOC_MOD, SIMDOC_RES = 20, 7
+
+
+def q_similar_docs(sf_dir: str):
+    """Query-by-document similarity SEARCH: the dedup index machinery reused
+    as a retrieval surface. A deterministic 5% of docs (doc_id % 20 == 7)
+    play the query set; candidates come from MinHash band-key collisions
+    (cross-side pairs only), verified by exact shingle Jaccard >= theta.
+    At this (128-perm, 32x4) config banding recall is exactly 1.0 on these
+    tables, so the query matches the EXACT all-cross-pairs SQL oracle (same
+    contract as minhash_lsh_dedup). Output: (query_id, doc_id, n_inter,
+    n_union, jaccard)."""
+    from lsh_apg_ray.stages.bands import band_explode
+    from lsh_apg_ray.stages.minhash import MinHashSigner
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+    from lsh_apg_ray.stages.prep import prep_dataset
+    from lsh_apg_ray.stages.verify import verify_pairs
+
+    cfg = _cfg()
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(docs, cfg, content_col="text", id_col="doc_id").materialize()
+    sigs = feats.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs=dict(cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.signer_concurrency),
+        num_cpus=1,
+    )
+    pairs = candidate_pairs(band_explode(sigs, cfg), cfg)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return t.filter(
+            pa.array((a % SIMDOC_MOD == SIMDOC_RES) != (b % SIMDOC_MOD == SIMDOC_RES))
+        )
+
+    ver = verify_pairs(
+        pairs.map_batches(cross_only, batch_format="pyarrow"), feats, cfg
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        jac = t["jaccard"].to_numpy(zero_copy_only=False)
+        keep = jac >= THETA
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        qa = (a % SIMDOC_MOD) == SIMDOC_RES
+        return pa.table(
+            {
+                "query_id": pa.array(np.where(qa, a, b), pa.int64()),
+                "doc_id": pa.array(np.where(qa, b, a), pa.int64()),
+                "n_inter": t["n_inter"],
+                "n_union": t["n_union"],
+                "jaccard": t["jaccard"],
+            }
+        ).filter(pa.array(keep))
+
+    return ver.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SIMILAR_DOCS = f"""
+WITH {_SQL_PAIRS_CTE}
+SELECT CASE WHEN id_a % {SIMDOC_MOD} = {SIMDOC_RES} THEN id_a ELSE id_b END AS query_id,
+       CASE WHEN id_a % {SIMDOC_MOD} = {SIMDOC_RES} THEN id_b ELSE id_a END AS doc_id,
+       n_inter, n_union, jaccard
+FROM pairs
+WHERE (id_a % {SIMDOC_MOD} = {SIMDOC_RES}) <> (id_b % {SIMDOC_MOD} = {SIMDOC_RES})
+ORDER BY 1, 2
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact top-50 tokens by term frequency via the Misra-Gries sketch +
     exact-recount path — bounded per-task state, no full-vocabulary shuffle;
@@ -2126,6 +2198,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "shuffle_export": q_shuffle_export,
     "heavy_hitters": q_heavy_hitters,
+    "similar_docs": q_similar_docs,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -2184,6 +2257,7 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "similar_docs": SQL_SIMILAR_DOCS,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,

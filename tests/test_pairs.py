@@ -76,3 +76,47 @@ def test_bucket_stats_records_overflow():
     assert int(stats["overflow_buckets"].iloc[0]) == 1
     assert int(stats["max_bucket"].iloc[0]) == 30
     assert int(stats["skipped_pairs"].iloc[0]) == 30 * 29 // 2 - (2 * 30 - 3)
+
+
+def test_similar_docs_matches_naive(ray_session):
+    """Query-by-document search (q_similar_docs) == brute-force cross-side
+    exact Jaccard over 3-token shingles at sf0.001."""
+    import re
+
+    from lsh_apg_ray.queries import SIMDOC_MOD, SIMDOC_RES, THETA, q_similar_docs
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_similar_docs(sf)
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = re.findall(r"[a-z0-9_]+", txt.lower())
+        sets[did] = {tuple(toks[i: i + 3]) for i in range(len(toks) - 2)}
+    want = []
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            if (a % SIMDOC_MOD == SIMDOC_RES) == (b % SIMDOC_MOD == SIMDOC_RES):
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= THETA:
+                q, d = (a, b) if a % SIMDOC_MOD == SIMDOC_RES else (b, a)
+                want.append((q, d, inter, union, inter / union))
+    want.sort()
+    assert len(want) > 0  # the fixture must exercise the path
+    got_tuples = [
+        (r.query_id, r.doc_id, r.n_inter, r.n_union, r.jaccard)
+        for r in got.itertuples()
+    ]
+    assert got_tuples == want
