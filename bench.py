@@ -185,7 +185,13 @@ def run_scaling() -> dict:
             raise RuntimeError(f"scaling child failed (cpus={ncpu})")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # Default pair 2->8 (N and 4N): BASELINE.md's per-level ceiling
+    # measurement shows this host's aggregate throughput saturates at
+    # ~5.8k files/s from 16 CPUs up (first-touch page wall shared by both
+    # "cluster sizes"), so 8->32 measures the wall, not the engine; 2->8 is
+    # the widest pair whose upper level is still below the ceiling. Override
+    # with GRAFT_SCALING_CPUS=8,32 etc. — BASELINE.md records both.
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     # This host's wall-clock drifts 2-5x within a session (memory-ballooned
     # VM; see BASELINE.md): a single lo/hi pair can land in different host
     # states and measure the drift, not the engine. Alternate the levels

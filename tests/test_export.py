@@ -13,13 +13,14 @@ import ray.data as rd
 from lsh_apg_ray.pipelines.export import shuffle_keys, shuffled_export
 
 
-def _mkds(n=500, parallelism=None):
+def _mkds(n=500, parallelism=4):
+    # from_items spreads n rows over ~200 tiny blocks; coalesce so stages
+    # run a handful of tasks, not hundreds
     items = [{"doc_id": i, "text": f"doc {i}"} for i in range(n)]
-    ds = rd.from_items(items)
-    return ds.repartition(parallelism) if parallelism else ds
+    return rd.from_items(items).repartition(parallelism)
 
 
-def _run(out, parallelism=None, n=500):
+def _run(out, parallelism=4, n=500):
     shutil.rmtree(out, ignore_errors=True)
     census = (
         shuffled_export(_mkds(n, parallelism), out, n_buckets=8, seed=7)

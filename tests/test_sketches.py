@@ -42,7 +42,7 @@ def test_mg_compress_undercount_bound():
 
 def test_heavy_hitters_exact_under_compression(ray_session):
     docs = _zipf_docs()
-    ds = rd.from_items(docs)
+    ds = rd.from_items(docs).repartition(6)  # multi-batch, few tasks
     # budget 64 << 500-word vocab: every batch and the merge must compress
     got = heavy_hitters(ds, k=20, budget=64).to_pandas()
     cnt = collections.Counter()
@@ -56,6 +56,6 @@ def test_heavy_hitters_raises_when_proof_fails(ray_session):
     # perfectly flat corpus: every token appears once -> k-th count 1 can
     # never exceed N/(B+1) with a tiny budget; must raise, not guess
     docs = [{"doc_id": i, "text": f"u{i} v{i} w{i}"} for i in range(200)]
-    ds = rd.from_items(docs)
+    ds = rd.from_items(docs).repartition(4)
     with pytest.raises(RuntimeError, match="exactness proof failed"):
         heavy_hitters(ds, k=5, budget=8)
