@@ -84,3 +84,29 @@ def test_export_resume_skips_finished_buckets(ray_session):
     # ...and every finished bucket was left untouched
     for b, mt in mtimes.items():
         assert os.path.getmtime(os.path.join(b, "part.parquet")) == mt
+
+
+def test_shuffle_key_sql_parity_negative_ids():
+    """shuffle_keys == the DuckDB expression bit-for-bit for arbitrary int64
+    ids, negative included (the census oracle only exercises non-negative
+    ids; this is the full-domain contract)."""
+    import duckdb
+
+    from lsh_apg_ray.pipelines.export import shuffle_keys, sql_shuffle_key_expr
+
+    rng = np.random.default_rng(3)
+    ids = np.concatenate(
+        [
+            rng.integers(-(2 ** 62), 2 ** 62, size=200, dtype=np.int64),
+            np.array([0, -1, 1, 2 ** 31, -(2 ** 31), 2 ** 62, -(2 ** 62)],
+                     dtype=np.int64),
+        ]
+    )
+    for seed in (0, 7, 12345):
+        got = shuffle_keys(ids, seed)
+        con = duckdb.connect()
+        con.register("t", __import__("pandas").DataFrame({"id": ids}))
+        want = con.sql(
+            f"SELECT {sql_shuffle_key_expr('id', seed)} AS k FROM t"
+        ).df()["k"].to_numpy()
+        np.testing.assert_array_equal(got, want.astype(np.int64))
