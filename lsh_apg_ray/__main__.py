@@ -1,0 +1,133 @@
+"""Job-submittable CLI for the flagship dedup pipeline — the `ray job
+submit` surface the north rule names:
+
+    ray job submit --working-dir . -- \\
+        python -m lsh_apg_ray --input /data/corpus --output /data/dedup_out \\
+            --threshold 0.8 --checkpoint-dir /data/ckpt
+
+Connects to the cluster Ray (`RAY_ADDRESS`) when launched by the job
+server, falls back to a local session otherwise. Owns its Ray session —
+the ONLY library-adjacent code allowed to call ray.init (bench.py, the
+test fixture and this CLI; `__ray_entry__`/the library never do).
+
+Output layout (resumable at two levels):
+  <output>/assignments/bucket=NNNNN/part.parquet  — shuffled-export sink:
+      finished buckets are skipped on re-run (each carries a _SUCCESS
+      marker), and with --checkpoint-dir the pipeline stages themselves
+      resume from their Parquet checkpoints.
+  <output>/metrics.json — row counts + per-stage wall times.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m lsh_apg_ray",
+        description="Near-duplicate detection + clustering over a Parquet "
+        "corpus (repo, path, commit, lang, content).",
+    )
+    ap.add_argument("--input", required=True,
+                    help="Parquet dir of the source-code corpus")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--content-col", default="content")
+    ap.add_argument("--id-col", default=None,
+                    help="int64 id column; default derives doc_id from "
+                    "(repo, path, commit)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="stage-checkpoint dir (resume across runs)")
+    ap.add_argument("--join-partitions", type=int, default=None,
+                    help="default: 2x available CPUs")
+    ap.add_argument("--substring-containment", type=float, default=None,
+                    help="enable the suffix-array substring verify tier")
+    ap.add_argument("--export-buckets", type=int, default=64)
+    ap.add_argument("--export-seed", type=int, default=7)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local fallback session size (ignored on a cluster)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # runs get a local session
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        if os.environ.get("RAY_ADDRESS") is None:
+            kw["address"] = "local"
+        if args.num_cpus and os.environ.get("RAY_ADDRESS") is None:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.pipelines.dedup import dedup_pipeline
+    from lsh_apg_ray.pipelines.export import shuffled_export
+
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = DedupConfig(
+        threshold=args.threshold,
+        join_partitions=args.join_partitions or 2 * ncpus,
+        signer_concurrency=max(2, ncpus - 2),
+        substring_containment=args.substring_containment,
+    )
+
+    stage_times: dict = {}
+    t0 = time.time()
+    ds = rd.read_parquet(args.input)
+    res = dedup_pipeline(
+        ds,
+        cfg,
+        content_col=args.content_col,
+        id_col=args.id_col,
+        keep_cols=("repo", "path", "commit", "lang")
+        if args.id_col is None else (),
+        collect_metrics=True,
+        checkpoint_dir=args.checkpoint_dir,
+        stage_times=stage_times,
+        payload_files=args.input,
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    census = shuffled_export(
+        res.assignments,
+        os.path.join(args.output, "assignments"),
+        id_col="doc_id",
+        n_buckets=args.export_buckets,
+        seed=args.export_seed,
+    ).to_pandas()
+
+    metrics = {
+        "n_docs": int(census["n_rows"].sum()),
+        "n_buckets": len(census),
+        "wall_sec": round(time.time() - t0, 3),
+        "stage_times": stage_times,
+        "config": {
+            "threshold": cfg.threshold,
+            "num_perm": cfg.num_perm,
+            "bands": cfg.bands,
+            "rows": cfg.rows,
+            "shingle_k": cfg.shingle_k,
+            "seed": cfg.seed,
+        },
+    }
+    if res.candidate_metrics is not None:
+        metrics["candidates"] = res.candidate_metrics.to_dict("records")
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, default=str)
+    print(json.dumps({"n_docs": metrics["n_docs"],
+                      "wall_sec": metrics["wall_sec"],
+                      "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
