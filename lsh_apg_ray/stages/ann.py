@@ -870,34 +870,56 @@ def pq_knn(
             dd = ((sub ** 2).sum(1)[:, None] - 2 * sub @ books[s].T
                   + (books[s] ** 2).sum(1)[None, :])
             codes[:, s] = dd.argmin(1)
-        # per-query LUTs (Q, m, c), then one gather-sum over the codes
-        qsub = qp.reshape(qp.shape[0], m, dsub)
+        # per-query LUTs (Q, m, c), then a gather-sum over the codes.
+        # Queries are processed in CHUNKS with preallocated scratch: a fresh
+        # (Q, n) float64 temp per subspace is ~GBs of allocation per batch
+        # at corpus scale, and first-touch pages are the measured wall on
+        # memory-ballooned hosts (NOTES.md) — np.take(..., out=) keeps the
+        # steady state allocation-free.
+        Q = qp.shape[0]
+        qsub = qp.reshape(Q, m, dsub)
         lut = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-        adc = np.zeros((qp.shape[0], n))
-        for s in range(m):
-            adc += lut[:, s, :][:, codes[:, s]]
-        adc = np.round(adc, ROUND_DECIMALS)
+        kk_all = min(rerank, n)
+        ch = max(1, min(Q, 4_000_000 // max(n, 1) + 1))
+        acc = np.empty((ch, n))
+        tmp = np.empty((ch, n))
         out_q, out_n, out_a, out_d = [], [], [], []
-        for qi in range(len(qids)):
-            cand = np.flatnonzero(ids != qids[qi])
-            if not len(cand):
-                continue
-            a = adc[qi, cand]
-            kk = min(rerank, len(cand))
-            if kk < len(cand):
-                # cheap cut that RESPECTS the (adc, id) total order at the
-                # boundary: keep every row tied with the kk-th smallest adc,
-                # then let the lexsort break those ties by id
-                bound = np.partition(a, kk - 1)[kk - 1]
-                keep = np.flatnonzero(a <= bound)
-                cand, a = cand[keep], a[keep]
-            sel = np.lexsort((ids[cand], a))[:kk]
-            cand, a = cand[sel], a[sel]
-            d = np.round(((xp[cand] - qp[qi]) ** 2).sum(axis=1), ROUND_DECIMALS)
-            out_q.append(np.full(len(cand), qids[qi], np.int64))
-            out_n.append(ids[cand])
-            out_a.append(a)
-            out_d.append(d)
+        for q0 in range(0, Q, ch):
+            q1 = min(q0 + ch, Q)
+            w = q1 - q0
+            a_ch = acc[:w]
+            a_ch.fill(0.0)
+            t_ch = tmp[:w]
+            for s in range(m):
+                np.take(lut[q0:q1, s, :], codes[:, s], axis=1, out=t_ch)
+                a_ch += t_ch
+            np.round(a_ch, ROUND_DECIMALS, out=a_ch)
+            # self-exclusion by +inf so the vectorized cut never picks it
+            sq, sr = np.nonzero(ids[None, :] == qids[q0:q1, None])
+            a_ch[sq, sr] = np.inf
+            # one in-place axis-1 partition per chunk computes every query's
+            # kk-th boundary; keeping boundary TIES preserves the
+            # prefix-of-global-(adc,id)-order invariant (batch-layout
+            # determinism). Per-query work below touches ~rerank rows only.
+            np.copyto(t_ch, a_ch)
+            t_ch.partition(kk_all - 1, axis=1)
+            bounds = t_ch[:, kk_all - 1]
+            for wi in range(w):
+                qi = q0 + wi
+                cand = np.flatnonzero(a_ch[wi] <= bounds[wi])
+                cand = cand[ids[cand] != qids[qi]]  # bound=inf when n<=kk
+                if not len(cand):
+                    continue
+                a = a_ch[wi, cand]
+                kk = min(rerank, len(cand))
+                sel = np.lexsort((ids[cand], a))[:kk]
+                cand, a = cand[sel], a[sel]
+                d = np.round(((xp[cand] - qp[qi]) ** 2).sum(axis=1),
+                             ROUND_DECIMALS)
+                out_q.append(np.full(len(cand), qids[qi], np.int64))
+                out_n.append(ids[cand])
+                out_a.append(a)
+                out_d.append(d)
         if not out_q:
             return empty
         return pa.table(

@@ -69,6 +69,11 @@ def main() -> int:
         d[i] = np.inf
         golden_sets.append(set(np.argpartition(d, k)[:k].tolist()))
 
+    name = f"synthetic_{n_total}x{dim}"
+    rows = []
+    pq_only = os.environ.get("ANN_PQ_ONLY", "") == "1"
+    build_sec = 0.0
+
     T = int(os.environ.get("ANN_T", "24"))
     L = int(os.environ.get("ANN_L", "4"))
     K = int(os.environ.get("ANN_K", "4"))
@@ -79,34 +84,67 @@ def main() -> int:
     default_w = float(np.sqrt((X[:1000] ** 2).sum(axis=1)).mean())
     W = float(os.environ.get("ANN_W", default_w))
     div = os.environ.get("ANN_DIV", "") == "1"  # chooseNN_div build mode
-    t0 = time.time()
-    ix_ref = build_graph(emb, T=T, L=L, K=K, W=W, seed=42, div=div)
-    # force the build before timing queries
-    ray.get(ix_ref)
-    build_sec = time.time() - t0
-
-    name = f"synthetic_{n_total}x{dim}"
-    rows = []
-    for ef, pq in [(50, None), (100, None), (200, None), (100, 0.9)]:
+    if not pq_only:
         t0 = time.time()
-        res = graph_knn(ix_ref, qids, qmat, k=k, ef=ef, prob_q=pq).to_pandas()
-        wall = time.time() - t0
-        avg_ms = wall * 1000.0 / n_queries
-        recalls, costs = [], []
-        for qid, grp in res.groupby("query_id"):
-            got = set(grp["neighbor_id"].tolist())
-            recalls.append(len(got & golden_sets[qid]) / k)
-            costs.append(grp["cost"].iloc[0] / n_total)
-        row = {
-            "Dataset": name, "k": k, "L": L, "K": K, "T": T, "ef": ef,
-            "pQ": pq if pq is not None else "",
-            "RECALL": round(float(np.mean(recalls)), 4),
-            "COST": round(float(np.mean(costs)), 4),
-            "AVG_TIME_MS": round(avg_ms, 3),
-            "QPS": round(n_queries / wall, 1),
-        }
-        rows.append(row)
-        print(json.dumps(row))
+        ix_ref = build_graph(emb, T=T, L=L, K=K, W=W, seed=42, div=div)
+        # force the build before timing queries
+        ray.get(ix_ref)
+        build_sec = time.time() - t0
+
+        for ef, pq in [(50, None), (100, None), (200, None), (100, 0.9)]:
+            t0 = time.time()
+            res = graph_knn(ix_ref, qids, qmat, k=k, ef=ef, prob_q=pq).to_pandas()
+            wall = time.time() - t0
+            avg_ms = wall * 1000.0 / n_queries
+            recalls, costs = [], []
+            for qid, grp in res.groupby("query_id"):
+                got = set(grp["neighbor_id"].tolist())
+                recalls.append(len(got & golden_sets[qid]) / k)
+                costs.append(grp["cost"].iloc[0] / n_total)
+            row = {
+                "Dataset": name, "k": k, "L": L, "K": K, "T": T, "ef": ef,
+                "pQ": pq if pq is not None else "",
+                "RECALL": round(float(np.mean(recalls)), 4),
+                "COST": round(float(np.mean(costs)), 4),
+                "AVG_TIME_MS": round(avg_ms, 3),
+                "QPS": round(n_queries / wall, 1),
+            }
+            rows.append(row)
+            print(json.dumps(row))
+
+    if pq_only or os.environ.get("ANN_PQ", "") == "1":
+        # PQ tier at the same shape: COST = rerank/N (the exactly-verified
+        # fraction per query, the comparable axis to the graph's beam cost);
+        # the ADC scan itself touches m bytes/row instead of 8*dim.
+        from lsh_apg_ray.stages.ann import pq_knn
+
+        m_sub = int(os.environ.get("ANN_PQ_M", "16"))
+        n_codes = int(os.environ.get("ANN_PQ_CODES", "64"))
+        # a real corpus arrives as many blocks; a single 50k-row block would
+        # serialize the ADC scan onto one CPU. Blocks must stay >> rerank,
+        # though — the per-batch candidate cut keeps top-rerank per query
+        # per block, so rerank-sized blocks emit everything.
+        n_blocks = max(4, min(num_cpus * 2, n_total // 6_000))
+        emb_mat = emb.repartition(n_blocks).materialize()
+        for rr in (100, 400, 1000):
+            t0 = time.time()
+            res = pq_knn(emb_mat, qids, qmat, k=k, m_subspaces=m_sub,
+                         n_codes=n_codes, rerank=rr).to_pandas()
+            wall = time.time() - t0
+            recalls = []
+            for qid, grp in res.groupby("query_id"):
+                got = set(grp["neighbor_id"].tolist())
+                recalls.append(len(got & golden_sets[qid]) / k)
+            row = {
+                "Dataset": name, "k": k, "L": "", "K": "", "T": "",
+                "ef": "", "pQ": f"PQ m{m_sub}x{n_codes} rr={rr}",
+                "RECALL": round(float(np.mean(recalls)), 4),
+                "COST": round(rr / n_total, 4),
+                "AVG_TIME_MS": round(wall * 1000.0 / n_queries, 3),
+                "QPS": round(n_queries / wall, 1),
+            }
+            rows.append(row)
+            print(json.dumps(row))
 
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
