@@ -1421,6 +1421,133 @@ ORDER BY 1
 """
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Per-doc keyword extraction: the token maximizing tf/df (plain TF-IDF
+    ordering; doc-frequency census built first, broadcast via a remote-task
+    pack). Ranking divides int64 tf by int64 df in float64 — IEEE division
+    is exactly rounded, so numpy and DuckDB produce the identical double for
+    identical integer inputs and the tie-break by token is deterministic.
+    Output: (doc_id, top_term, tf, df)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.hashing import arrow_token_index
+
+    pattern = DedupConfig().token_pattern
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], pattern)
+        assert ti is not None
+        indices, offsets, dictionary = ti
+        if len(dictionary) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        doc_row = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        uniq = np.unique(doc_row * np.int64(len(dictionary)) + indices)
+        counts = np.bincount(
+            (uniq % np.int64(len(dictionary))).astype(np.int64),
+            minlength=len(dictionary),
+        )
+        used = np.flatnonzero(counts)
+        return pa.table(
+            {"token": pa.array([dictionary[i] for i in used], pa.string()),
+             "df": pa.array(counts[used], pa.int64())}
+        )
+
+    census = (
+        docs.select_columns(["text"])
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    @ray.remote
+    def pack(*blocks):
+        toks, dfs = [], []
+        for b in blocks:
+            if b.num_rows:
+                toks.append(np.asarray(b["token"].to_pylist(), dtype=str))
+                dfs.append(b["df"].to_numpy(zero_copy_only=False))
+        tok = np.concatenate(toks) if toks else np.empty(0, str)
+        df = np.concatenate(dfs).astype(np.int64) if dfs else np.empty(0, np.int64)
+        order = np.argsort(tok, kind="stable")
+        return tok[order], df[order]
+
+    df_ref = pack.remote(*census.to_arrow_refs())
+
+    def top_term(t: pa.Table) -> pa.Table:
+        vocab, df_all = ray.get(df_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        ti = arrow_token_index(t["text"], pattern)
+        assert ti is not None
+        indices, offsets, dictionary = ti
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "top_term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()),
+             "df": pa.array([], pa.int64())}
+        )
+        if not len(indices):
+            return empty
+        doc_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        key = doc_row * np.int64(len(dictionary)) + indices
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        new = np.ones(len(ks), bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(ks))).astype(np.int64)
+        run_doc = (ks[starts] // np.int64(len(dictionary))).astype(np.int64)
+        run_tok_i = (ks[starts] % np.int64(len(dictionary))).astype(np.int64)
+        toks = np.asarray(dictionary, dtype=str)[run_tok_i]
+        pos = np.searchsorted(vocab, toks)
+        df = df_all[pos]
+        score = tf.astype(np.float64) / df
+        # best (score DESC, token ASC) per doc: one lexsort, first per doc
+        sel_order = np.lexsort((toks, -score, run_doc))
+        first = np.ones(len(sel_order), bool)
+        d_s = run_doc[sel_order]
+        first[1:] = d_s[1:] != d_s[:-1]
+        win = sel_order[first]
+        return pa.table(
+            {"doc_id": pa.array(ids[run_doc[win]], pa.int64()),
+             "top_term": pa.array(toks[win], pa.string()),
+             "tf": pa.array(tf[win], pa.int64()),
+             "df": pa.array(df[win], pa.int64())}
+        )
+
+    return docs.map_batches(top_term, batch_format="pyarrow")
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+  )) AS token
+  FROM documents
+),
+tfreq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token
+         ) AS rn
+  FROM tfreq t JOIN dfreq d USING (token)
+)
+SELECT doc_id, token AS top_term, tf, df FROM ranked WHERE rn = 1 ORDER BY 1
+"""
+
+
 SIMDOC_MOD, SIMDOC_RES = 20, 7
 
 
@@ -2199,6 +2326,7 @@ QUERIES = {
     "shuffle_export": q_shuffle_export,
     "heavy_hitters": q_heavy_hitters,
     "similar_docs": q_similar_docs,
+    "distinctive_terms": q_distinctive_terms,
     "top_error_users": q_top_error_users,
     "props_extract": q_props_extract,
     "quantity_by_nation": q_quantity_by_nation,
@@ -2258,6 +2386,7 @@ ORACLE_SQL = {
     "shuffle_export": SQL_SHUFFLE_EXPORT,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "similar_docs": SQL_SIMILAR_DOCS,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "top_error_users": SQL_TOP_ERROR_USERS,
     "props_extract": SQL_PROPS_EXTRACT,
     "quantity_by_nation": SQL_QUANTITY_BY_NATION,

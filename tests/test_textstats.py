@@ -223,3 +223,39 @@ def test_decontaminate_counts(ray_session):
         assert row.n_grams == len(g)
         assert row.n_hits == len(g & bg), (i, row.n_hits, len(g & bg))
     assert got.n_hits.tolist() == [1, 0, 0, 3]
+
+
+def test_distinctive_terms_matches_naive(ray_session):
+    """q_distinctive_terms == naive tf/df argmax per doc at sf0.001."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from lsh_apg_ray.queries import q_distinctive_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_distinctive_terms(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tfs, df = {}, collections.Counter()
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = re.findall(r"[a-z0-9_]+", txt.lower())
+        tfs[did] = collections.Counter(toks)
+        df.update(set(toks))
+    want = []
+    for did in sorted(tfs):
+        if not tfs[did]:
+            continue
+        best = min(
+            tfs[did].items(), key=lambda kv: (-(kv[1] / df[kv[0]]), kv[0])
+        )
+        want.append((did, best[0], best[1], df[best[0]]))
+    got_tuples = [
+        (r.doc_id, r.top_term, r.tf, r.df) for r in got.itertuples()
+    ]
+    assert got_tuples == want
