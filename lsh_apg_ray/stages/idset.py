@@ -1,0 +1,154 @@
+"""Scale-safe membership sets of int64 doc ids.
+
+The flagship pipeline filters wide scans (band rows in pass B, the content
+rescan in pass C) by "is this doc in the representative / pair-involved
+set". Below the broadcast cap that set is ONE sorted array in plasma — the
+cheapest possible structure. Past the cap a single object is the wrong
+shape: it must fit one plasma allocation, ships whole to every node, and at
+the 10^12-file north rule it simply cannot exist.
+
+`ChunkedIdSet` removes the single-object ceiling without shuffling the rows
+being filtered (content must never cross a shuffle — SURVEY.md §7.4): the
+sorted id array is split into bounded RANGE chunks, each its own plasma
+object, plus a tiny per-chunk lower-bound array carried by value. A
+membership probe searchsorts the bounds once, then fetches (zero-copy) ONLY
+the chunks whose id range the batch actually touches — a scan task over a
+key-clustered corpus reads O(1) chunks per batch; a uniformly-hashed id
+batch reads the chunks it spans and plasma caches them node-locally, so on
+a multi-node cluster each chunk transfers at most once per node (a
+broadcast in aggregate, but never a single unbounded object, and evictable
+per-chunk under memory pressure).
+
+Reference analogue: the bucketed index is never driver- or
+single-object-resident in the reference either (e2lsh.h:162 — hash tables
+live sharded across L table objects); this is that idea applied to the
+membership side of a streaming filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+
+class ChunkedIdSet:
+    """Sorted int64 id set split into range chunks, each a plasma object.
+
+    Pickle-safe for capture inside map_batches closures and remote-task args
+    (ObjectRefs serialize with distributed ref-counting intact). `bounds[k]`
+    is the first id of chunk k; chunk k covers [bounds[k], bounds[k+1]).
+    """
+
+    __slots__ = ("bounds", "refs", "n")
+
+    def __init__(self, bounds: np.ndarray, refs: list, n: int) -> None:
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.refs = list(refs)
+        self.n = int(n)
+
+    def __len__(self) -> int:
+        return self.n
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.refs)
+
+    def single_ref(self):
+        """The one chunk's ObjectRef — only valid for single-chunk sets
+        (callers on the broadcast fast path, e.g. verify's block index)."""
+        if len(self.refs) != 1:
+            raise ValueError(f"ChunkedIdSet has {len(self.refs)} chunks, not 1")
+        return self.refs[0]
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask; fetches only the chunks whose range
+        the batch touches."""
+        ids = np.asarray(ids, dtype=np.int64)
+        mask = np.zeros(len(ids), dtype=bool)
+        if self.n == 0 or len(ids) == 0:
+            return mask
+        # chunk index per id: rightmost chunk whose lower bound <= id
+        ci = np.searchsorted(self.bounds, ids, side="right") - 1
+        for k in np.unique(ci):
+            if k < 0:
+                continue  # below the smallest id in the set
+            sel = ci == k
+            chunk = ray.get(self.refs[k])  # zero-copy plasma view
+            probe = ids[sel]
+            pos = np.clip(np.searchsorted(chunk, probe), 0, len(chunk) - 1)
+            mask[sel] = chunk[pos] == probe
+        return mask
+
+
+def membership_mask(idset, ids: np.ndarray) -> np.ndarray:
+    """Membership mask for `ids` against a set given as a ChunkedIdSet, a
+    plasma ObjectRef to a sorted int64 array, or the array itself (remote
+    tasks receive refs auto-dereferenced)."""
+    if isinstance(idset, ChunkedIdSet):
+        return idset.contains(ids)
+    w = ray.get(idset) if isinstance(idset, ray.ObjectRef) else np.asarray(idset)
+    ids = np.asarray(ids, dtype=np.int64)
+    if len(w) == 0 or len(ids) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
+    return w[pos] == ids
+
+
+def _chunk_sorted(ids: np.ndarray, chunk_size: int):
+    """Split a sorted array into <=chunk_size plasma objects; returns the
+    (bounds, refs, n) constructor triple. Runs INSIDE a worker task so the
+    full array never passes through the driver."""
+    chunk_size = max(1, int(chunk_size))
+    if len(ids) == 0:
+        # one empty chunk so single_ref() is always valid; contains()
+        # early-exits on n == 0 before touching bounds
+        return np.zeros(1, np.int64), [ray.put(ids)], 0
+    refs, bounds = [], []
+    for i in range(0, len(ids), chunk_size):
+        chunk = np.ascontiguousarray(ids[i : i + chunk_size])
+        bounds.append(int(chunk[0]))
+        refs.append(ray.put(chunk))
+    return np.asarray(bounds, dtype=np.int64), refs, len(ids)
+
+
+@ray.remote
+def collect_pair_ids_chunked(chunk_size: int, *pair_blocks):
+    """Sorted unique doc ids touched by >=1 candidate pair, as a chunked
+    set built in a worker task (the chunk objects are ray.put where the
+    blocks already live; only the tiny bounds+refs tuple returns)."""
+    parts = []
+    for b in pair_blocks:
+        if b.num_rows == 0:
+            continue
+        parts.append(b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        parts.append(b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    return _chunk_sorted(ids, chunk_size)
+
+
+@ray.remote
+def collect_column_chunked(chunk_size: int, column: str, *blocks):
+    """Sorted unique values of one int64 column across blocks, chunked."""
+    parts = [
+        b[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in blocks
+        if b.num_rows
+    ]
+    ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    return _chunk_sorted(ids, chunk_size)
+
+
+def build_pair_idset(pairs, chunk_size: int) -> ChunkedIdSet:
+    """ChunkedIdSet of all ids in a (id_a, id_b) pairs Dataset."""
+    ref = collect_pair_ids_chunked.remote(
+        chunk_size, *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
+    )
+    return ChunkedIdSet(*ray.get(ref))
+
+
+def build_column_idset(ds, column: str, chunk_size: int) -> ChunkedIdSet:
+    """ChunkedIdSet of the distinct values of one int64 column."""
+    ref = collect_column_chunked.remote(
+        chunk_size, column, *ds.select_columns([column]).to_arrow_refs()
+    )
+    return ChunkedIdSet(*ray.get(ref))

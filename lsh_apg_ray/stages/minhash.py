@@ -221,12 +221,14 @@ def make_fused_prep_fn(cfg: DedupConfig, content_col="content",
 def make_shingle_payload_fn(cfg: DedupConfig, ids_ref, content_col="content",
                             id_col: str | None = None):
     """Pass C of the round-2 flagship: (doc_id, shingles) for the docs in
-    the broadcast sorted id set — i.e. ONLY pair-involved docs. The shingle
+    the membership id set — i.e. ONLY pair-involved docs. The shingle
     payload (the widest intermediate, ~KBs/doc) never materializes
     corpus-wide; it exists only for the candidate set, re-derived from the
-    source (column-pruned scan + the same deterministic tokenizer)."""
+    source (column-pruned scan + the same deterministic tokenizer).
+
+    `ids_ref`: ObjectRef of a sorted id array (broadcast fast path) or a
+    ChunkedIdSet (scale path — no single-object ceiling; see idset.py)."""
     import numpy as np
-    import ray
 
     from lsh_apg_ray.arrowutil import u64s_to_binary
     from lsh_apg_ray.hashing import (
@@ -235,6 +237,7 @@ def make_shingle_payload_fn(cfg: DedupConfig, ids_ref, content_col="content",
         doc_id_of,
         shingle_hashes,
     )
+    from lsh_apg_ray.stages.idset import membership_mask
 
     def fn(batch: pa.Table) -> pa.Table:
         hasher, _ = _hash_state(cfg)
@@ -254,9 +257,7 @@ def make_shingle_payload_fn(cfg: DedupConfig, ids_ref, content_col="content",
                 dtype=np.int64,
                 count=n,
             )
-        w = ray.get(ids_ref)  # sorted int64, zero-copy plasma
-        pos = np.clip(np.searchsorted(w, doc_ids), 0, max(0, len(w) - 1))
-        mask = (w[pos] == doc_ids) if len(w) else np.zeros(n, bool)
+        mask = membership_mask(ids_ref, doc_ids)
         batch = batch.filter(pa.array(mask))
         doc_ids = doc_ids[mask]
         tok = arrow_token_hashes(batch[content_col], hasher, cfg.token_pattern)
@@ -286,16 +287,14 @@ def file_has_involved_docs(path: str, involved, id_col: str | None = None) -> bo
     column never leaves storage for files with no candidate docs. doc ids
     are hash-derived (uniform), so footer min/max statistics cannot prune;
     this narrow re-derivation is the cheapest exact test. `involved` is the
-    sorted id array — pass the plasma ObjectRef as the task arg (Ray
-    auto-dereferences it zero-copy; nothing is re-shipped per file)."""
+    sorted id array (pass the plasma ObjectRef as the task arg — Ray
+    auto-dereferences it zero-copy) or a ChunkedIdSet at scale."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from lsh_apg_ray.hashing import doc_id_of
+    from lsh_apg_ray.stages.idset import membership_mask
 
-    w = np.asarray(involved)
-    if len(w) == 0:
-        return False
     cols = [id_col] if id_col is not None else ["repo", "path", "commit"]
     t = pq.read_table(path, columns=cols)
     if id_col is not None:
@@ -313,8 +312,7 @@ def file_has_involved_docs(path: str, involved, id_col: str | None = None) -> bo
             dtype=np.int64,
             count=t.num_rows,
         )
-    pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
-    return bool((w[pos] == ids).any())
+    return bool(membership_mask(involved, ids).any())
 
 
 def rep_features_dataset(src, cfg: DedupConfig, rep_ids_ref, content_col="content",

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ray.data.aggregate import Count
 
@@ -39,7 +40,33 @@ _PPART = "__ppart"   # coarse bucket partition (pair emission)
 _QPART = "__qpart"   # coarse pair partition (pair dedup/count)
 
 
-def _emit_partition_pairs(group: pa.Table, max_bucket: int, num_partitions: int = 8) -> pa.Table:
+@ray.remote(num_cpus=0)
+class OverflowCounter:
+    """Run-scoped atomic counter for the bucket cap's recall footprint
+    (ST5 analogue — the reference's cost counters, divGraph.h:369-370).
+
+    Pair-emission tasks report ONLY when a bucket overflowed, and block on
+    the ack (ray.get) so every report is applied before the task returns —
+    a post-materialize get() therefore sees the complete total. Zero-CPU
+    actor: it never competes with pipeline tasks for a slot."""
+
+    def __init__(self) -> None:
+        self.buckets_capped = 0
+        self.skipped_pairs_ub = 0
+
+    def add(self, capped: int, skipped: int) -> None:
+        self.buckets_capped += int(capped)
+        self.skipped_pairs_ub += int(skipped)
+
+    def get(self) -> dict:
+        return {
+            "buckets_capped": self.buckets_capped,
+            "skipped_pairs_ub": self.skipped_pairs_ub,
+        }
+
+
+def _emit_partition_pairs(group: pa.Table, max_bucket: int, num_partitions: int = 8,
+                          overflow_counter=None) -> pa.Table:
     """Vectorized pair emission for every bucket in one coarse partition.
 
     Rows are lexsorted by (band_hash, doc_id); bucket boundaries are found
@@ -63,6 +90,8 @@ def _emit_partition_pairs(group: pa.Table, max_bucket: int, num_partitions: int 
 
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
+    n_capped = 0
+    n_skipped = 0
     for s, e in zip(starts.tolist(), ends.tolist()):
         ids = doc_id[s:e]
         # dedup within bucket (same doc can hash twice only if input repeated)
@@ -79,6 +108,12 @@ def _emit_partition_pairs(group: pa.Table, max_bucket: int, num_partitions: int 
             hub = np.full(m - 1, ids[0], dtype=np.int64)
             out_a.append(np.concatenate([hub, ids[1:-1]]))
             out_b.append(np.concatenate([ids[1:], ids[2:]]))
+            n_capped += 1
+            n_skipped += m * (m - 1) // 2 - (2 * m - 3)
+    if overflow_counter is not None and n_capped:
+        # blocking ack: the report is applied before this task completes,
+        # so a get() after the pairs dataset materializes is exact
+        ray.get(overflow_counter.add.remote(n_capped, n_skipped))
     if not out_a:
         return _empty_pairs()
     a = np.concatenate(out_a)
@@ -149,7 +184,7 @@ def _with_ppart(band_ds, num_partitions: int):
     return band_ds.map_batches(add, batch_format="pyarrow")
 
 
-def candidate_pairs(band_ds, cfg: DedupConfig):
+def candidate_pairs(band_ds, cfg: DedupConfig, overflow_counter=None):
     """band rows -> distinct candidate pairs (id_a < id_b).
 
     Two shuffles: groupby(coarse bucket partition) forms buckets [shuffle 1];
@@ -157,13 +192,16 @@ def candidate_pairs(band_ds, cfg: DedupConfig):
     multiple bands [shuffle 2]; its count doubles as "number of bands that
     proposed this pair" (n_bands) — a confidence signal, and the exact
     intersection size when the band key is a raw shingle (allpairs.py).
+
+    overflow_counter: optional OverflowCounter actor handle — every capped
+    bucket is reported so the star+chain recall trade is NEVER silent.
     """
     mb, jp = cfg.max_bucket, cfg.join_partitions
     raw = (
         _with_ppart(band_ds, jp)
         .groupby(_PPART)
         .map_groups(
-            lambda g: _emit_partition_pairs(g, mb, jp),
+            lambda g: _emit_partition_pairs(g, mb, jp, overflow_counter),
             batch_format="pyarrow",
         )
     )

@@ -280,19 +280,30 @@ def verify_pairs(pairs, features, cfg: DedupConfig,
     (huge candidate sets): broadcast semi-filter + two partitioned hash joins.
 
     pair_ids_ref: optional precollected ObjectRef of the sorted pair-involved
-    id array (collect_pair_ids) — skips the collection here.
+    id array (collect_pair_ids), or a ChunkedIdSet at scale (idset.py) —
+    skips the collection here. Multi-chunk sets always take the join path
+    (the broadcast block index needs one resident array by construction).
     """
+    from lsh_apg_ray.stages.idset import ChunkedIdSet
+
     pairs = pairs.materialize()  # consumed twice: id scan + verify map/join
     if pair_ids_ref is None:
         pair_ids_ref = collect_pair_ids.remote(
             *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
         )
-    n_ids = ray.get(_len_of.remote(pair_ids_ref))
-    too_big = n_ids > cfg.broadcast_max_ids
+    if isinstance(pair_ids_ref, ChunkedIdSet):
+        n_ids = pair_ids_ref.n
+        single_ref = (
+            pair_ids_ref.single_ref() if pair_ids_ref.n_chunks == 1 else None
+        )
+    else:
+        n_ids = ray.get(_len_of.remote(pair_ids_ref))
+        single_ref = pair_ids_ref
+    too_big = single_ref is None or n_ids > cfg.broadcast_max_ids
 
     if not too_big:
         block_refs = features.select_columns(["doc_id", "shingles"]).to_arrow_refs()
-        index_refs = [_build_block_index.remote(b, pair_ids_ref) for b in block_refs]
+        index_refs = [_build_block_index.remote(b, single_ref) for b in block_refs]
         return _verify_with_broadcast(pairs, index_refs)
 
     n_pairs = pairs.count()

@@ -83,7 +83,12 @@ class StageCheckpointer:
 
         m = self.manifest(stage)
         files = [os.path.join(self._dir(stage), f["name"]) for f in m["files"]]
-        self.metrics[stage] = {"rows": m["total_rows"], "wall_s": 0.0, "resumed": True}
+        self.metrics[stage] = {
+            "rows": m["total_rows"],
+            "bytes": sum(f.get("bytes", 0) for f in m["files"]),
+            "wall_s": 0.0,
+            "resumed": True,
+        }
         return rd.read_parquet(files)
 
     def save(self, stage: str, ds, fingerprint: str):
@@ -124,7 +129,12 @@ class StageCheckpointer:
             json.dump(manifest, f, indent=1)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
-        self.metrics[stage] = {"rows": total, "wall_s": round(wall, 3), "resumed": False}
+        self.metrics[stage] = {
+            "rows": total,
+            "bytes": sum(f["bytes"] for f in files),
+            "wall_s": round(wall, 3),
+            "resumed": False,
+        }
         return rd.read_parquet([os.path.join(final, f["name"]) for f in files])
 
     def stage(self, name: str, fingerprint: str, make_ds):
