@@ -99,7 +99,18 @@ def shuffled_export(
         )
         bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
         marker = os.path.join(bdir, "_SUCCESS")
-        if not os.path.exists(marker):  # resume: finished buckets are final
+        if os.path.exists(marker):  # resume: finished buckets are final
+            with open(marker) as f:
+                done_rows = int(f.read().strip() or 0)
+            if done_rows != payload.num_rows:
+                raise RuntimeError(
+                    f"resume mismatch for {bdir}: _SUCCESS recorded "
+                    f"{done_rows} rows but the current input routes "
+                    f"{payload.num_rows} rows to this bucket — the input "
+                    f"changed since the marker was written; delete the "
+                    f"bucket dir (or the whole out_dir) to re-export"
+                )
+        else:
             os.makedirs(bdir, exist_ok=True)
             tmp = os.path.join(bdir, f".part.parquet.tmp-{os.getpid()}")
             pq.write_table(payload, tmp)

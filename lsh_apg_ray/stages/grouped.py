@@ -25,6 +25,22 @@ import numpy as np
 import pyarrow as pa
 
 
+def _desc_key(val: np.ndarray) -> np.ndarray:
+    """Order-reversing transform safe for every supported dtype. Plain
+    integer negation is wrong for unsigned dtypes (0 wraps to the maximum)
+    and for np.int64 min (negates to itself); bit-flip in uint64 space is
+    exact and overflow-free."""
+    if val.dtype.kind == "i":
+        return ~(val.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63))
+    if val.dtype.kind == "u":
+        return ~val.astype(np.uint64)
+    if val.dtype.kind == "f":
+        return -val
+    raise TypeError(
+        f"grouped_topk order column must be int/uint/float, got {val.dtype}"
+    )
+
+
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  tie_cols: list[str] | None = None):
     """Per-group top-k rows by `order_col` DESC, ties broken ascending by
@@ -41,7 +57,7 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         grp = t[group_col].to_numpy(zero_copy_only=False)
         val = t[order_col].to_numpy(zero_copy_only=False)
         ties = [t[c].to_numpy(zero_copy_only=False) for c in reversed(tie_cols)]
-        order = np.lexsort(tuple(ties) + (-val, grp))
+        order = np.lexsort(tuple(ties) + (_desc_key(val), grp))
         g_s = grp[order]
         change = np.empty(n, dtype=bool)
         change[0] = True

@@ -69,7 +69,7 @@ def heavy_hitters(
             return pa.table(
                 {"token": pa.array([], pa.string()),
                  "c": pa.array([], pa.int64()),
-                 "n_total": pa.array([], pa.int64())}
+                 "err": pa.array([], pa.int64())}
             )
         counts = np.bincount(indices, minlength=len(dictionary)).astype(np.int64)
         toks = np.asarray(dictionary, dtype=object)

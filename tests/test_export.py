@@ -110,3 +110,17 @@ def test_shuffle_key_sql_parity_negative_ids():
             f"SELECT {sql_shuffle_key_expr('id', seed)} AS k FROM t"
         ).df()["k"].to_numpy()
         np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_export_resume_detects_changed_input(ray_session):
+    """If the input changed since a bucket's _SUCCESS marker was written,
+    resume must fail loudly instead of returning a census that silently
+    disagrees with the on-disk bucket."""
+    import pytest
+    import ray
+
+    out = "/tmp/lsh_test_export_changed"
+    _run(out)  # 500 rows, all buckets finished
+    with pytest.raises(ray.exceptions.RayTaskError, match="resume mismatch"):
+        shuffled_export(_mkds(400), out, n_buckets=8, seed=7).materialize()
+    shutil.rmtree(out, ignore_errors=True)

@@ -128,3 +128,38 @@ def test_hash_bucket_sql_parity_negative_ids():
     ).df()
     theirs = dict(zip(sql["doc_id"], sql["b"]))
     assert ours == theirs, (ours, theirs)
+
+
+def test_grouped_topk_extreme_and_unsigned_dtypes(ray_session):
+    """Descending order must hold for values where integer negation breaks:
+    np.int64 min (negates to itself) and unsigned dtypes (0 wraps to max)."""
+    import pyarrow as pa
+    import ray.data as rd2
+
+    lo = np.iinfo(np.int64).min
+    hi = np.iinfo(np.int64).max
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "lang": np.zeros(6, np.int64),
+            "n_chars": np.array([lo, -5, 0, 7, hi, hi - 1], np.int64),
+        }
+    )
+    out = grouped_topk(rd.from_pandas(df), "lang", "n_chars", k=3,
+                       tie_cols=["doc_id"]).to_pandas()
+    assert out.sort_values("rank")["n_chars"].tolist() == [hi, hi - 1, 7]
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "lang": pa.array(np.zeros(4, np.int64)),
+            "n_chars": pa.array(
+                np.array([0, 3, np.iinfo(np.uint64).max, 1], np.uint64),
+                pa.uint64(),
+            ),
+        }
+    )
+    out_u = grouped_topk(rd2.from_arrow(t), "lang", "n_chars", k=2,
+                         tie_cols=["doc_id"]).to_pandas()
+    got = sorted(out_u["n_chars"].tolist(), reverse=True)
+    assert got == [np.iinfo(np.uint64).max, 3]
