@@ -2278,28 +2278,60 @@ FROM documents ORDER BY doc_id
 
 
 def q_frame_sample(sf_dir: str):
-    """Video frame sampling plumbing (flat_map shape: 1 payload row ->
-    n_frames descriptor rows) through the driver surface. No SQL oracle on
-    purpose: without a container codec the frame features come from the
-    documented deterministic fake (blake2 over payload bytes), which SQL
-    cannot reproduce — the driver records the weaker rows-only check, and
-    determinism/shape are pytest-gated (tests/test_multimodal.py)."""
-    from lsh_apg_ray.stages.multimodal import sample_frames
+    """Video frame sampling (flat_map shape: 1 payload row -> n_frames
+    descriptor rows) through the driver surface, value-hash gated: payloads
+    are REAL YUV4MPEG2 (C420) streams synthesized per doc_id — frame t of
+    doc d is solid luma (d*31 + t*17) % 251 over a (4+2*(d%3)) x
+    (4+2*(d%2)) raster, 4 + d%5 frames total — decoded by the real numpy
+    y4m parser in the actor pool. DuckDB predicts every sampled frame
+    analytically: src_frame = (frame_idx * total) // 4 and mean luma of a
+    constant plane is value/255.0, one exact IEEE division on both sides."""
+    from lsh_apg_ray.stages.multimodal import encode_y4m, sample_frames
 
     def build_payloads(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            total = 4 + d % 5
+            frame_y = [(d * 31 + t * 17) % 251 for t in range(total)]
+            payloads.append(
+                encode_y4m(4 + 2 * (d % 3), 4 + 2 * (d % 2),
+                           np.array(frame_y, np.uint8))
+            )
         return pa.table(
             {
                 "item_id": pa.array(ids, pa.int64()),
-                "payload": pa.array(
-                    [b"FAKEVID0" + int(d).to_bytes(8, "little") for d in ids],
-                    pa.large_binary(),
-                ),
+                "payload": pa.array(payloads, pa.large_binary()),
             }
         )
 
     docs = read_documents(sf_dir, columns=["doc_id"])
-    return sample_frames(docs.map_batches(build_payloads, batch_format="pyarrow"))
+    sampled = sample_frames(docs.map_batches(build_payloads, batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["item_id"],
+                "frame_idx": t["frame_idx"],
+                "src_frame": t["src_frame"],
+                "mean_y": t["mean_y"],
+            }
+        )
+
+    return sampled.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FRAME_SAMPLE = """
+SELECT d.doc_id,
+       g.fi AS frame_idx,
+       (g.fi * (4 + d.doc_id % 5)) // 4 AS src_frame,
+       CAST((d.doc_id * 31 + ((g.fi * (4 + d.doc_id % 5)) // 4) * 17) % 251
+            AS DOUBLE) / 255.0 AS mean_y
+FROM documents d
+CROSS JOIN generate_series(0, 3) AS g(fi)
+ORDER BY d.doc_id, g.fi
+"""
 
 
 QUERIES = {
@@ -2426,4 +2458,5 @@ ORACLE_SQL = {
     # analytically, so the value-hash gates the REAL decode kernels.
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,
     "audio_decode_stats": SQL_AUDIO_DECODE_STATS,
+    "frame_sample": SQL_FRAME_SAMPLE,
 }

@@ -84,6 +84,59 @@ def encode_wav_pcm16(rate: int, channels: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+def encode_y4m(w: int, h: int, frame_y: np.ndarray) -> bytes:
+    """REAL YUV4MPEG2 (C420) encoder: one solid-luma frame per entry of
+    `frame_y` (chroma planes neutral 128). Counterpart of `_decode_y4m`;
+    used by tests and the driver-gate frame_sample query to synthesize
+    decodable video payloads whose per-frame stats are analytically
+    predictable. Even dims required by 4:2:0 subsampling."""
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even dimensions")
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+    cw, ch = w // 2, h // 2
+    chroma = np.full(cw * ch, 128, np.uint8).tobytes()
+    parts = [header]
+    for y in np.asarray(frame_y, dtype=np.uint8):
+        parts.append(b"FRAME\n")
+        parts.append(np.full(w * h, y, np.uint8).tobytes())
+        parts.append(chroma)  # U
+        parts.append(chroma)  # V
+    return b"".join(parts)
+
+
+def _decode_y4m(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """REAL raw-video decode: YUV4MPEG2 parsed with numpy only — stream
+    header `YUV4MPEG2 W<w> H<h> ... C420\\n`, then per frame `FRAME...\\n`
+    followed by planar Y (w*h bytes) + U + V (w/2*h/2 each). Returns
+    (w, h, [Y plane per frame]); chroma is skipped, not copied."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = b"C420"
+    for tok in tokens[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("missing W/H in y4m header")
+    if not colorspace.startswith(b"C420"):
+        raise ValueError(f"unsupported y4m colorspace {colorspace!r}")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params allowed
+        frames.append(np.frombuffer(payload, np.uint8, count=ysz, offset=pos))
+        pos += ysz + 2 * csz
+    return w, h, frames
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL raw-image decode: binary PPM (P6) parsed with numpy only —
     header `P6\\n<w> <h>\\n<maxval>\\n` then w*h*3 raw bytes. No codec
@@ -255,10 +308,15 @@ class ImageDecode:
 
 
 class FrameSample:
-    """video payload -> `n_frames` evenly-spaced frame descriptors.
+    """video payload -> up to `n_frames` evenly-spaced frame descriptors
+    (output position, source frame index, mean luma, frame hash).
 
-    Real path: pyav keyframe extraction. STUB: deterministic fake frame
-    hashes. flat_map-shaped: one input row -> n_frames output rows."""
+    Tiered like ImageDecode: raw YUV4MPEG2 payloads decode FOR REAL with
+    numpy only (`_decode_y4m`); compressed containers use pyav when the
+    actor can import it; otherwise the documented deterministic fake.
+    flat_map-shaped: one input row -> min(n_frames, total_frames) rows.
+    Evenly-spaced sampling rule (SQL-expressible for the oracle gate):
+    src_frame = (frame_idx * total_frames) // n_out."""
 
     def __init__(self, n_frames: int = 4) -> None:
         self.n_frames = n_frames
@@ -269,18 +327,43 @@ class FrameSample:
         except ImportError:
             self._av = None
 
+    def _sample_one(self, p: bytes):
+        """-> list of (frame_idx, src_frame, mean_y, frame_hash)."""
+        if p[:9] == b"YUV4MPEG2":
+            _, _, planes = _decode_y4m(p)
+            total = len(planes)
+            n = min(self.n_frames, total)
+            out = []
+            for fi in range(n):
+                src = (fi * total) // n
+                y = planes[src]
+                fh = int.from_bytes(
+                    hashlib.blake2b(y.tobytes(), digest_size=8).digest(),
+                    "little",
+                ) >> 1
+                out.append((fi, src, float(y.mean() / 255.0), fh))
+            return out
+        feats = _stable_floats(p, self.n_frames, b"video")
+        return [
+            (fi, fi, float(feats[fi]), int(feats[fi] * 2**62))
+            for fi in range(self.n_frames)
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, fhash = [], [], []
+        ids, frames, srcs, lumas, fhash = [], [], [], [], []
         for item, p in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
-            feats = _stable_floats(p or b"", self.n_frames, b"video")
-            for fi in range(self.n_frames):
+            for fi, src, luma, fh in self._sample_one(p or b""):
                 ids.append(item)
                 frames.append(fi)
-                fhash.append(int(feats[fi] * 2**62))
+                srcs.append(src)
+                lumas.append(luma)
+                fhash.append(fh)
         return pa.table(
             {
                 "item_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(frames, pa.int64()),
+                "src_frame": pa.array(srcs, pa.int64()),
+                "mean_y": pa.array(lumas, pa.float64()),
                 "frame_hash": pa.array(fhash, pa.int64()),
             }
         )

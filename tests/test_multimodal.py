@@ -151,3 +151,48 @@ def test_real_wav_decode(ray_session):
     assert out["n_samples"].iloc[0] == rate
     assert abs(out["duration_s"].iloc[0] - 1.0) < 1e-9
     assert abs(out["rms"].iloc[0] - 0.5) < 1e-9
+
+
+def test_y4m_roundtrip_and_even_sampling(ray_session):
+    """Real YUV4MPEG2 decode: encode_y4m -> FrameSample actor pool. A
+    12-frame clip sampled to 4 frames must pick src = (fi*12)//4 =
+    0,3,6,9 and report each sampled plane's exact constant luma / 255."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lsh_apg_ray.stages.multimodal import (
+        _decode_y4m,
+        encode_y4m,
+        sample_frames,
+    )
+
+    ys = np.arange(10, 130, 10, dtype=np.uint8)  # 12 frames
+    payload = encode_y4m(6, 4, ys)
+    w, h, planes = _decode_y4m(payload)
+    assert (w, h, len(planes)) == (6, 4, 12)
+    for p, y in zip(planes, ys):
+        assert p.shape == (24,) and (p == y).all()
+
+    t = pa.table(
+        {
+            "item_id": pa.array([7], pa.int64()),
+            "payload": pa.array([payload], pa.large_binary()),
+        }
+    )
+    out = (
+        sample_frames(rd.from_arrow(t), n_frames=4)
+        .to_pandas()
+        .sort_values("frame_idx")
+    )
+    assert out["src_frame"].tolist() == [0, 3, 6, 9]
+    assert out["mean_y"].tolist() == [ys[s] / 255.0 for s in (0, 3, 6, 9)]
+    # fewer frames than n_frames: emit them all, src == idx
+    short = encode_y4m(4, 4, ys[:2])
+    t2 = pa.table(
+        {
+            "item_id": pa.array([1], pa.int64()),
+            "payload": pa.array([short], pa.large_binary()),
+        }
+    )
+    out2 = sample_frames(rd.from_arrow(t2), n_frames=4).to_pandas()
+    assert out2["src_frame"].tolist() == [0, 1]
