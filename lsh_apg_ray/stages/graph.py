@@ -39,6 +39,8 @@ import ray
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.stages.ann import (
     ROUND_DECIMALS,
+    _bin_to_matrix,
+    _encode_vec_binary,
     _to_matrix,
     collect_matrix_ref,
     get_e2lsh_tables,
@@ -114,8 +116,9 @@ def _topT_partition(t: pa.Table, T: int) -> pa.Table:
     )
 
 
-def _div_select_partition(t: pa.Table, T: int, ids: np.ndarray,
-                          mat: np.ndarray, consider_cap: int = 4) -> pa.Table:
+def _div_select_partition(t: pa.Table, T: int, ids: np.ndarray | None,
+                          mat: np.ndarray | None,
+                          consider_cap: int = 4) -> pa.Table:
     """RNG*-style diversified neighbor selection — `chooseNN_div`
     (divGraph.h:576-628, off by default via DIV def.h:69): candidates sorted
     by distance to p; keep c iff NO already-kept b satisfies
@@ -124,14 +127,22 @@ def _div_select_partition(t: pa.Table, T: int, ids: np.ndarray,
     vector matrix is read here (zero-copy plasma). Per node at most
     consider_cap*T nearest candidates are examined (bounds the quadratic
     check; the reference examines its full beam result, similarly bounded
-    by efC)."""
+    by efC).
+
+    Candidate vectors come from the broadcast (ids, mat) lookup, or — when
+    ids is None (verify_mode="join") — from the `_vec_dst` binary column
+    the join path carries on every directed edge, so no node ever holds
+    the corpus matrix."""
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     dist = t["dist"].to_numpy(zero_copy_only=False)
     if len(src) == 0:
-        return t
+        return t.select(["src", "dst", "dist"])
+    carried = _bin_to_matrix(t["_vec_dst"]) if ids is None else None
     order = np.lexsort((dst, dist, src))
     src, dst, dist = src[order], dst[order], dist[order]
+    if carried is not None:
+        carried = carried[order]
     new = np.empty(len(src), dtype=bool)
     new[0] = True
     new[1:] = src[1:] != src[:-1]
@@ -142,8 +153,10 @@ def _div_select_partition(t: pa.Table, T: int, ids: np.ndarray,
         e = min(e, s + consider_cap * T)
         cd = dst[s:e]
         cdist = dist[s:e]
-        rows = np.searchsorted(ids, cd)
-        cmat = mat[rows]
+        if carried is None:
+            cmat = mat[np.searchsorted(ids, cd)]
+        else:
+            cmat = carried[s:e]
         kept: list[int] = [0]
         for i in range(1, len(cd)):
             if len(kept) >= T:
@@ -189,6 +202,86 @@ def _dedup_edges(t: pa.Table) -> pa.Table:
     )
 
 
+def _pair_dists_join(pairs, embeddings, id_col: str, vec_col: str,
+                     join_partitions: int, carry_vec: bool):
+    """Candidate-pair squared-L2 distances with NO broadcast matrix: each
+    endpoint's vector is attached to the pair by partitioned hash join
+    (the `_verify_pairs_join` dataflow from ann.py, L2 instead of cosine),
+    then one vectorized pass per batch. Shuffle bytes scale with the PAIR
+    count, never the corpus — graph construction no longer requires the
+    vector matrix to fit any single node. Output is the symmetrized
+    directed edge table (src, dst, dist), bit-identical to the broadcast
+    `pair_dists` (same subtract/square/sum order, same rounding).
+
+    carry_vec=True (div mode) additionally rides each directed edge's DST
+    vector (`_vec_dst`, raw float64 bytes) into the selection shuffle so
+    `chooseNN_div`'s candidate-candidate occlusion distances are computable
+    in-group without the matrix; costs dim*8 bytes per edge."""
+    from lsh_apg_ray.joins import hash_join, out_schema
+
+    def encode_side(id_out: str, vec_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_out: t[id_col].cast(pa.int64()),
+                    vec_out: _encode_vec_binary(_to_matrix(t[vec_col])),
+                }
+            )
+
+        return fn
+
+    pair_keys = pairs.select_columns(["id_a", "id_b"])
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    emb = embeddings.select_columns([id_col, vec_col])
+    schema_a = pa.schema([("id_a", pa.int64()), ("_vec_a", pa.binary())])
+    schema_b = pa.schema([("id_b", pa.int64()), ("_vec_b", pa.binary())])
+    j1 = hash_join(
+        pair_keys,
+        emb.map_batches(encode_side("id_a", "_vec_a"), batch_format="pyarrow"),
+        "id_a",
+        num_partitions=join_partitions,
+        left_schema=pair_schema,
+        right_schema=schema_a,
+    )
+    j2 = hash_join(
+        j1,
+        emb.map_batches(encode_side("id_b", "_vec_b"), batch_format="pyarrow"),
+        "id_b",
+        num_partitions=join_partitions,
+        left_schema=out_schema(pair_schema, schema_a, "id_a"),
+        right_schema=schema_b,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cols = {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+        }
+        if carry_vec:
+            cols["_vec_dst"] = pa.array([], pa.binary())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        va = _bin_to_matrix(t["_vec_a"])
+        vb = _bin_to_matrix(t["_vec_b"])
+        d = np.round(((va - vb) ** 2).sum(axis=1), ROUND_DECIMALS)
+        out = {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            "dist": pa.array(np.concatenate([d, d]), pa.float64()),
+        }
+        if carry_vec:
+            # a->b carries b's vector, b->a carries a's
+            out["_vec_dst"] = pa.concat_arrays(
+                [t["_vec_b"].combine_chunks(), t["_vec_a"].combine_chunks()]
+            )
+        return pa.table(out)
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
 def build_graph(
     embeddings,
     T: int = 24,
@@ -200,6 +293,7 @@ def build_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     div: bool = False,
+    verify_mode: str = "broadcast",
 ):
     """Build the proximity graph; returns an ObjectRef[GraphIndex].
 
@@ -215,7 +309,21 @@ def build_graph(
     degree-bounded-recall knob, off by default in the reference too
     (def.h:69). The reverse pass keeps the simple maxT cap either way
     (matching the reference's default incremental path).
+
+    verify_mode picks the pair-distance dataflow:
+      - "broadcast": one plasma copy of the (ids, matrix) pack, read
+        zero-copy by distance tasks — fastest when the matrix fits a node
+        (the reference is RAM-resident by design, divGraph.h:249).
+      - "join": vectors hash-join onto candidate pairs (`_pair_dists_join`)
+        so CONSTRUCTION never materializes the matrix anywhere; the
+        assembled GraphIndex still packs (ids, mat) for query-time beam
+        search, but build-side bytes scale with the candidate-pair count.
+        Bit-identical edges/CSR to broadcast mode (pytest-gated).
     """
+    if verify_mode not in ("broadcast", "join"):
+        raise ValueError(
+            f"verify_mode must be 'broadcast' or 'join', got {verify_mode!r}"
+        )
     cfg = cfg or DedupConfig(threshold=0.5)
     mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
     params = dict(L=L, K=K, W=W, seed=seed)
@@ -268,7 +376,13 @@ def build_graph(
             }
         )
 
-    cand_edges = pairs.map_batches(pair_dists, batch_format="pyarrow")
+    if verify_mode == "join":
+        cand_edges = _pair_dists_join(
+            pairs, embeddings, id_col, vec_col, cfg.join_partitions,
+            carry_vec=div,
+        )
+    else:
+        cand_edges = pairs.map_batches(pair_dists, batch_format="pyarrow")
 
     def part_by_src(t: pa.Table) -> pa.Table:
         from lsh_apg_ray.hashing import mix64
@@ -281,7 +395,11 @@ def build_graph(
 
     # per-node top-T selection (one coarse partition per group, vectorized);
     # div mode reads the broadcast matrix for candidate-candidate distances
-    if div:
+    if div and verify_mode == "join":
+        def _sel(g: pa.Table) -> pa.Table:
+            return _div_select_partition(g.drop_columns(["__gpart"]), T,
+                                         None, None)
+    elif div:
         def _sel(g: pa.Table) -> pa.Table:
             ids_m, mat_m = ray.get(mat_ref)
             return _div_select_partition(g.drop_columns(["__gpart"]), T, ids_m, mat_m)

@@ -323,3 +323,25 @@ def test_insert_into_graph_rejects_overlap(ray_session, clustered_embeddings):
         assert "overlap" in str(e)
     else:
         raise AssertionError("expected overlap rejection")
+
+
+def test_graph_build_join_mode_bitexact(ray_session, clustered_embeddings):
+    """verify_mode='join' (no broadcast matrix anywhere in construction)
+    must assemble the exact same index as the broadcast path — same edges,
+    same CSR arrays, same derived key tables — in both plain and div
+    selection modes."""
+    import ray
+
+    from lsh_apg_ray.stages.graph import build_graph
+
+    emb, ids, x = clustered_embeddings
+    for div in (False, True):
+        a = ray.get(build_graph(emb, div=div, verify_mode="broadcast"))
+        b = ray.get(build_graph(emb, div=div, verify_mode="join"))
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.nbr, b.nbr)
+        np.testing.assert_array_equal(a.keys_sorted, b.keys_sorted)
+        np.testing.assert_array_equal(a.rows_sorted, b.rows_sorted)
+        np.testing.assert_array_equal(a.hashes, b.hashes)
+        np.testing.assert_array_equal(a.mat, b.mat)
