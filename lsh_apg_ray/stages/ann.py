@@ -607,44 +607,68 @@ def e2lsh_knn(
         tb = get_e2lsh_tables(x.shape[1], **params)  # worker-global cache
         xkeys = tb.keys(x)  # (n, L)
         n = len(ids)
-        # per-table sorted key arrays, built once per batch (the flattened
-        # fastGraph layout, fastGraph.h:86-95: lower_bound over sorted pairs)
-        orders = [np.argsort(xkeys[:, l], kind="stable") for l in range(tb.L)]
-        skeys = [xkeys[orders[l], l] for l in range(tb.L)]
+        nq = len(qids)
+        if nq == 0:
+            return empty
         # per-(query, table) minimum probe width ~ budget/L with the
         # reference's 4*L*ln N total budget shape (divGraph.h:935)
         want = max(1, int(np.ceil(4 * np.log(n + 1)))) if probe_expand else 0
-        out_q, out_n, out_d = [], [], []
-        for qi in range(len(qids)):
-            parts = []
-            for l in range(tb.L):
-                sk = skeys[l]
-                lo = int(np.searchsorted(sk, qk[qi, l], "left"))
-                hi = int(np.searchsorted(sk, qk[qi, l], "right"))
-                if hi - lo < want:
-                    pad = (want - (hi - lo) + 1) // 2
-                    lo, hi = max(0, lo - pad), min(n, hi + pad)
-                if hi > lo:
-                    parts.append(orders[l][lo:hi])
-            if not parts:
+        # MULTI-QUERY VECTORIZED probe: per table, ONE sort of the batch
+        # keys (the flattened fastGraph layout, fastGraph.h:86-95), then
+        # one searchsorted over ALL query keys, range expansion and
+        # (query, row) pair flattening in numpy — no per-query Python loop.
+        qr_parts, rw_parts = [], []
+        arange_q = np.arange(nq, dtype=np.int64)
+        for l in range(tb.L):
+            order_l = np.argsort(xkeys[:, l], kind="stable")
+            sk = xkeys[order_l, l]
+            lo = np.searchsorted(sk, qk[:, l], "left").astype(np.int64)
+            hi = np.searchsorted(sk, qk[:, l], "right").astype(np.int64)
+            if want:
+                narrow = (hi - lo) < want
+                if narrow.any():
+                    pad = np.where(narrow, (want - (hi - lo) + 1) // 2, 0)
+                    lo = np.maximum(0, lo - pad)
+                    hi = np.minimum(n, hi + pad)
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot == 0:
                 continue
-            ci = np.unique(np.concatenate(parts))
-            ci = ci[ids[ci] != qids[qi]]
-            if not len(ci):
-                continue
-            d = ((x[ci] - qmat[qi]) ** 2).sum(axis=1)  # squared L2
-            kk = min(k, len(ci))
-            top = np.argpartition(d, kk - 1)[:kk]
-            out_q.append(np.full(kk, qids[qi], np.int64))
-            out_n.append(ids[ci[top]])
-            out_d.append(np.round(d[top], ROUND_DECIMALS))
-        if not out_q:
+            base = np.cumsum(lens) - lens
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(base, lens)
+            qr_parts.append(np.repeat(arange_q, lens))
+            rw_parts.append(order_l[np.repeat(lo, lens) + offs])
+        if not qr_parts:
             return empty
+        # dedupe candidates per query across tables, drop self-matches
+        uq = np.unique(np.concatenate(qr_parts) * n + np.concatenate(rw_parts))
+        qr, rw = uq // n, uq % n
+        keep = ids[rw] != qids[qr]
+        qr, rw = qr[keep], rw[keep]
+        if not len(qr):
+            return empty
+        # exact squared L2, gathered in bounded chunks (scratch stays small)
+        d = np.empty(len(qr), np.float64)
+        step = 1 << 18
+        for s in range(0, len(qr), step):
+            e = s + step
+            d[s:e] = ((x[rw[s:e]] - qmat[qr[s:e]]) ** 2).sum(axis=1)
+        # per-query top-k by (dist, neighbor_id) — the exact total order the
+        # final merge uses, so batch-level selection can never drop a row
+        # the merge would have kept at a distance tie
+        order = np.lexsort((ids[rw], d, qr))
+        qs = qr[order]
+        newrun = np.empty(len(qs), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = qs[1:] != qs[:-1]
+        starts = np.flatnonzero(newrun)
+        rank = np.arange(len(qs)) - starts[np.cumsum(newrun) - 1]
+        sel = order[rank < k]
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+                "query_id": pa.array(qids[qr[sel]], pa.int64()),
+                "neighbor_id": pa.array(ids[rw[sel]], pa.int64()),
+                "dist": pa.array(np.round(d[sel], ROUND_DECIMALS), pa.float64()),
             }
         )
 
