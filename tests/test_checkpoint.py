@@ -103,3 +103,82 @@ def test_fixup_stage_rewrites_in_place(tmp_path):
     assert ck.is_complete("bench", "fp1")
     again = ck.load("bench").to_pandas().sort_values("id")
     assert again["dist"].tolist() == [2.0, 3.0, 4.0]
+
+
+def test_cli_crash_resume_mid_pipeline(tmp_path):
+    """Kill `python -m lsh_apg_ray` AFTER the feats checkpoint lands (so
+    mid-edges/verify), re-run with the same --checkpoint-dir, and require
+    (a) the finished stage is skipped (manifest untouched), (b) the resumed
+    run's exported assignments are byte-identical to a fresh run's.
+    Reference analogue: divGraph warm load (divGraph.h:249-357)."""
+    import glob
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    from lsh_apg_ray.corpus import write_corpus
+
+    corpus = write_corpus("/tmp/lsh_cli_crash_corpus", n_files=6000, seed=19,
+                          shards=8)
+    ckpt = str(tmp_path / "ckpt")
+    out, out_gold = str(tmp_path / "out"), str(tmp_path / "gold")
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # each CLI run owns a private local session
+
+    def cli_args(output, ckpt_dir):
+        return [
+            sys.executable, "-m", "lsh_apg_ray", "--input", corpus,
+            "--output", output, "--checkpoint-dir", ckpt_dir,
+            "--num-cpus", "4", "--threshold", "0.7", "--export-buckets", "8",
+        ]
+
+    proc = subprocess.Popen(
+        cli_args(out, ckpt), cwd="/root/repo", env=env,
+        start_new_session=True,  # killpg must reap the raylets it spawns
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    feats_manifest = os.path.join(ckpt, "feats", "_lineage.json")
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.exists(feats_manifest):
+                break
+            time.sleep(0.05)
+        alive = proc.poll() is None
+        assert os.path.exists(feats_manifest), "feats never checkpointed"
+        assert alive, "pipeline finished before the kill — enlarge the corpus"
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+    proc.wait()
+    assert not os.path.exists(os.path.join(out, "metrics.json"))
+    mtime = os.path.getmtime(feats_manifest)
+
+    r2 = subprocess.run(cli_args(out, ckpt), cwd="/root/repo", env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert os.path.getmtime(feats_manifest) == mtime  # skipped, not rebuilt
+    with open(os.path.join(out, "metrics.json")) as f:
+        assert json.load(f)["n_docs"] == 6000
+
+    r3 = subprocess.run(cli_args(out_gold, str(tmp_path / "ckpt2")),
+                        cwd="/root/repo", env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+
+    def read_assignments(d):
+        files = sorted(glob.glob(os.path.join(d, "assignments", "bucket=*",
+                                              "part.parquet")))
+        assert files
+        import pyarrow as pa
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a, b = read_assignments(out), read_assignments(out_gold)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
