@@ -2334,6 +2334,137 @@ ORDER BY d.doc_id, g.fi
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data curation ops (stages/curation.py): PII redaction, token-window
+# chunking, OOV rate vs corpus top-V vocabulary
+# ---------------------------------------------------------------------------
+
+_PII_TAIL_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+def q_redact_pii(sf_dir: str):
+    """PII masking through the real RE2 kernels. Each doc's text is
+    augmented with a synthesized email + IPv4 derived from doc_id (so
+    every row has known positives), then redact_pii counts and masks both
+    classes; DuckDB replays the same staged regexp_replace pipeline —
+    both engines run RE2, so span semantics match byte-for-byte."""
+    from lsh_apg_ray.stages.curation import redact_pii
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tails = pa.array(
+            [
+                f" contact user{d}@example.com from 10.{d % 256}.0.{d % 100}"
+                for d in ids
+            ],
+            pa.string(),
+        )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.binary_join_element_wise(t["text"], tails, ""),
+            }
+        )
+
+    return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
+
+
+SQL_REDACT_PII = f"""
+WITH aug AS (
+  SELECT doc_id, text || {_PII_TAIL_SQL} AS text FROM documents
+), stage1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+      AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+      '<EMAIL>', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, n_email,
+  CAST(len(regexp_extract_all(t1,
+    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT)
+    AS n_ipv4,
+  regexp_replace(t1, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+    '<IP>', 'g') AS redacted
+FROM stage1 ORDER BY doc_id
+"""
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Token-window chunking (size 32, overlap 8) over the documents table:
+    the sequence-length-fitting flat_map, text reconstructed per chunk by
+    one Arrow take + binary_join."""
+    from lsh_apg_ray.stages.curation import chunk_tokens
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return chunk_tokens(docs, chunk_size=32, overlap=8)
+
+
+SQL_CHUNK_TOKENS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS tk
+  FROM documents
+), info AS (
+  SELECT doc_id, tk, len(tk) AS n,
+    CASE WHEN len(tk) = 0 THEN 0
+         WHEN len(tk) <= 32 THEN 1
+         ELSE 1 + (len(tk) - 32 + 23) // 24 END AS n_chunks
+  FROM toks
+)
+SELECT i.doc_id,
+  g.ci AS chunk_idx,
+  g.ci * 24 AS start_tok,
+  LEAST(32, i.n - g.ci * 24) AS n_tok,
+  array_to_string(i.tk[g.ci * 24 + 1 : g.ci * 24 + LEAST(32, i.n - g.ci * 24)],
+                  ' ') AS chunk_text
+FROM info i CROSS JOIN generate_series(0, 100000) AS g(ci)
+WHERE g.ci < i.n_chunks
+ORDER BY i.doc_id, g.ci
+"""
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-doc OOV counts vs the corpus top-256 vocabulary (count DESC,
+    token ASC boundary): census groupby + broadcast top-V, then one
+    membership scan."""
+    from lsh_apg_ray.stages.curation import oov_stats
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return oov_stats(docs, vocab_size=256)
+
+
+SQL_OOV_RATE = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY token)
+  ORDER BY c DESC, token ASC LIMIT 256
+), perdoc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -2385,6 +2516,9 @@ QUERIES = {
     "image_decode_stats": q_image_decode_stats,
     "audio_decode_stats": q_audio_decode_stats,
     "frame_sample": q_frame_sample,
+    "redact_pii": q_redact_pii,
+    "chunk_tokens": q_chunk_tokens,
+    "oov_rate": q_oov_rate,
 }
 
 ORACLE_SQL = {
@@ -2459,4 +2593,7 @@ ORACLE_SQL = {
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,
     "audio_decode_stats": SQL_AUDIO_DECODE_STATS,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "redact_pii": SQL_REDACT_PII,
+    "chunk_tokens": SQL_CHUNK_TOKENS,
+    "oov_rate": SQL_OOV_RATE,
 }

@@ -1,0 +1,215 @@
+"""Training-data curation operators: PII redaction, token-window chunking,
+and OOV-rate against a corpus-level top-V vocabulary.
+
+All three are single-scan batch transforms over zero-copy Arrow batches;
+the only exchange any of them performs is the OOV census (a pre-aggregated
+token-count groupby whose output is vocabulary-sized, broadcast back via
+one plasma object — the small-side-broadcast pattern, never a corpus
+shuffle). Regex kernels run in Arrow's RE2 (pyarrow.compute), the same
+engine DuckDB uses, so redaction/count semantics are bit-identical across
+the oracle boundary.
+
+Reference relationship: these extend the engine beyond LSH-APG's surface
+(task brief "operations a large-scale training-data pipeline would need");
+the census/broadcast shape mirrors M11 `showDataset`-style corpus scans
+(Preprocess.h:153-162) and the chunk flat_map mirrors the S1 loader's
+row-explode discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsh_apg_ray.hashing import arrow_token_index
+
+# (name, RE2 pattern, replacement) — applied IN ORDER, each count taken on
+# the text as left by the previous replacement (the SQL oracle mirrors the
+# staging). Patterns are RE2-safe and identical in DuckDB.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id",
+               patterns: list[tuple[str, str, str]] = PII_PATTERNS):
+    """Mask PII-shaped spans and count matches per class. Pure narrow map:
+    one vectorized RE2 count + replace per pattern per batch, no Python
+    row loop, no shuffle. Output: (id, n_<class>..., redacted)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out: dict = {id_col: t[id_col]}
+        for name, pat, repl in patterns:
+            out[f"n_{name}"] = pc.count_substring_regex(col, pattern=pat).cast(
+                pa.int64()
+            )
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+        out["redacted"] = col
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_tokens(ds, chunk_size: int, overlap: int, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 token_pattern: str = r"[a-z0-9_]+"):
+    """Split each document's token stream into fixed-size windows with
+    `overlap` shared tokens between consecutive chunks — the training-data
+    "fit to sequence length" op. flat_map shape: one doc row ->
+    ceil-many chunk rows; empty docs emit none.
+
+    Chunk rule (SQL-expressible, oracle-gated): stride = size - overlap;
+    n_chunks = 1 if n <= size else 1 + ceil((n - size) / stride); chunk i
+    covers tokens [i*stride, i*stride + min(size, n - i*stride)). The last
+    chunk is allowed short; no chunk is ever a subset of an earlier one.
+
+    Fully vectorized: one Arrow tokenize per batch, numpy repeat/arange
+    range flattening, one dictionary take + binary_join for chunk text.
+    Output: (id, chunk_idx, start_tok, n_tok, chunk_text)."""
+    if not (0 <= overlap < chunk_size):
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ti = arrow_token_index(t[text_col], token_pattern)
+        assert ti is not None, "chunk_tokens needs a char-class token pattern"
+        indices, offsets, dictionary = ti
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.diff(offsets)
+        nch = np.where(
+            ntok <= chunk_size,
+            (ntok > 0).astype(np.int64),
+            1 + (ntok - chunk_size + stride - 1) // stride,
+        )
+        total = int(nch.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), nch)
+        base = np.cumsum(nch) - nch
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(base, nch)
+        start = cidx * stride
+        length = np.minimum(chunk_size, ntok[doc_rep] - start)
+        # flatten token positions of every chunk: one gather, no loop
+        tot_tok = int(length.sum())
+        cbase = np.cumsum(length) - length
+        off = np.arange(tot_tok, dtype=np.int64) - np.repeat(cbase, length)
+        pos = np.repeat(offsets[:-1][doc_rep] + start, length) + off
+        toks = pc.take(
+            pa.array(dictionary, pa.string()),
+            pa.array(indices[pos], pa.int64()),
+        )
+        list_offsets = np.empty(total + 1, np.int64)
+        list_offsets[0] = 0
+        np.cumsum(length, out=list_offsets[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(list_offsets, pa.int64()), toks
+        )
+        chunk_text = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_rep], pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "n_tok": pa.array(length, pa.int64()),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def oov_stats(ds, vocab_size: int, text_col: str = "text",
+              id_col: str = "doc_id",
+              token_pattern: str = r"[a-z0-9_]+"):
+    """Per-doc out-of-vocabulary stats against the corpus top-`vocab_size`
+    tokens by term frequency (ties broken by token ascending — a total
+    order, so the V-boundary is deterministic on both engine sides).
+
+    Two-phase small-side-broadcast plan: (1) census = per-batch partial
+    term counts -> one vocabulary-sized groupby-sum -> top-V selected and
+    SORTED in a worker task, broadcast as one plasma object; (2) a second
+    scan maps each batch's token dictionary to membership with one
+    searchsorted and reduces per-doc counts via cumsum-diff. Exchange bytes
+    are O(vocabulary), never O(corpus). Output: (id, n_tokens, n_oov)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], token_pattern)
+        assert ti is not None
+        indices, _, dictionary = ti
+        if len(indices) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        counts = np.bincount(indices, minlength=len(dictionary))
+        used = np.flatnonzero(counts)
+        return pa.table(
+            {"token": pa.array([dictionary[i] for i in used], pa.string()),
+             "c": pa.array(counts[used], pa.int64())}
+        )
+
+    census = (
+        ds.select_columns([text_col])
+        .map_batches(partial_tf, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    @ray.remote
+    def top_v(*blocks):
+        toks, cs = [], []
+        for b in blocks:
+            if b.num_rows:
+                toks.append(np.asarray(b["token"].to_pylist(), dtype=str))
+                cs.append(b["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if not toks:
+            return np.empty(0, dtype="<U1")
+        tok = np.concatenate(toks)
+        c = np.concatenate(cs)
+        # count DESC, token ASC — tokens are lowercase ASCII so numpy
+        # code-point order == DuckDB binary varchar order
+        order = np.lexsort((tok, -c))
+        return np.sort(tok[order[:vocab_size]])
+
+    vocab_ref = top_v.remote(*census.to_arrow_refs())
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        ti = arrow_token_index(t[text_col], token_pattern)
+        assert ti is not None
+        indices, offsets, dictionary = ti
+        dic = np.asarray(dictionary, dtype=str)
+        if len(dic) and len(vocab):
+            i = np.minimum(np.searchsorted(vocab, dic), len(vocab) - 1)
+            known = vocab[i] == dic
+        else:
+            known = np.zeros(len(dic), dtype=bool)
+        oov_flat = ~known[indices] if len(indices) else np.empty(0, bool)
+        cs = np.zeros(len(oov_flat) + 1, np.int64)
+        np.cumsum(oov_flat, out=cs[1:])
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(np.diff(offsets), pa.int64()),
+                "n_oov": pa.array(cs[offsets[1:]] - cs[offsets[:-1]],
+                                  pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")

@@ -1,0 +1,113 @@
+"""Curation operators (stages/curation.py): PII redaction, token-window
+chunking, OOV stats — kernel semantics + parallelism invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.stages.curation import chunk_tokens, oov_stats, redact_pii
+
+
+def test_redact_pii_counts_and_masks(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a@b.co and c.d+x@e-f.org, server 10.0.0.1",
+                    "no pii here",
+                    "ip 192.168.1.255 twice 8.8.8.8",
+                ]
+            ),
+        }
+    )
+    out = redact_pii(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["n_email"].tolist() == [2, 0, 0]
+    assert out["n_ipv4"].tolist() == [1, 0, 2]
+    assert out["redacted"].tolist() == [
+        "mail <EMAIL> and <EMAIL>, server <IP>",
+        "no pii here",
+        "ip <IP> twice <IP>",
+    ]
+
+
+def test_chunk_tokens_windows(ray_session):
+    # 10 tokens, size 4, overlap 1 -> stride 3 -> chunks at 0,3,6
+    # (chunk 2 covers tokens 6..10, so coverage is complete with 3 chunks)
+    text = " ".join(f"t{i}" for i in range(10))
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 6], pa.int64()),
+            "text": pa.array([text, ""]),
+        }
+    )
+    out = (
+        chunk_tokens(rd.from_arrow(t), chunk_size=4, overlap=1)
+        .to_pandas()
+        .sort_values("chunk_idx")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].unique().tolist() == [5]  # empty doc emits nothing
+    assert out["start_tok"].tolist() == [0, 3, 6]
+    assert out["n_tok"].tolist() == [4, 4, 4]
+    assert out["chunk_text"][0] == "t0 t1 t2 t3"
+    assert out["chunk_text"][2] == "t6 t7 t8 t9"
+    # last chunk is never a subset of an earlier one
+    assert out["start_tok"].iloc[-1] + out["n_tok"].iloc[-1] == 10
+
+
+def test_chunk_tokens_validates_overlap():
+    with pytest.raises(ValueError):
+        chunk_tokens(None, chunk_size=4, overlap=4)
+
+
+def test_oov_stats_membership_and_boundary(ray_session):
+    # corpus: 'aa' x3, 'bb' x2, 'cc' x2, 'dd' x1; V=2 -> vocab {aa, bb}
+    # ('bb' beats 'cc' on the token ASC tie-break)
+    docs = ["aa bb cc", "aa cc dd", "aa bb", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    out = (
+        oov_stats(rd.from_arrow(t), vocab_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 3, 2, 0]
+    assert out["n_oov"].tolist() == [1, 2, 0, 0]
+
+
+def test_curation_parallelism_invariance(ray_session):
+    rng = np.random.default_rng(11)
+    docs = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "x1", "y2"], size=n))
+        for n in rng.integers(0, 40, size=60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": docs})
+
+    def run(par):
+        ds = rd.from_pandas(df).repartition(par)
+        c = (
+            chunk_tokens(ds, chunk_size=8, overlap=2)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        o = (
+            oov_stats(ds, vocab_size=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return c, o
+
+    c1, o1 = run(1)
+    c7, o7 = run(7)
+    pd.testing.assert_frame_equal(c1, c7)
+    pd.testing.assert_frame_equal(o1, o7)
