@@ -76,6 +76,72 @@ def collect_matrix_ref(embeddings, id_col: str = "vec_id",
     return assemble.remote(*refs)
 
 
+def sample_matrix_ref(embeddings, max_rows: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      oversample: float = 1.3):
+    """ObjectRef[(ids sorted, matrix)] of a DETERMINISTIC bounded sample —
+    the quantizer-training input that never requires full-matrix residency:
+
+      - n <= max_rows: every row kept, sorted by id — bit-identical to
+        `collect_matrix_ref` (so swapping it under a trainer changes
+        nothing at any tested scale);
+      - n > max_rows: rows with the smallest mix64(id) hashes survive
+        (an id-hash threshold prunes ~(1 - oversample*max_rows/n) of every
+        batch BEFORE collection, the remote task truncates exactly to
+        max_rows by hash order and re-sorts by id). Selection depends only
+        on ids — independent of partitioning and batch layout.
+
+    Collected bytes are O(max_rows * dim) regardless of corpus size; the
+    full matrix never exists anywhere."""
+    from lsh_apg_ray.hashing import mix64
+
+    n_total = embeddings.count()
+    if n_total <= max_rows:
+        thresh = np.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        p = min(1.0, oversample * max_rows / n_total)
+        thresh = np.uint64(min(int(p * 2.0 ** 64), 2 ** 64 - 1))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "_vec": pa.array([], pa.binary())})
+        keep = mix64(ids.view(np.uint64)) <= thresh
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "_vec": _encode_vec_binary(_to_matrix(t[vec_col])[keep]),
+            }
+        )
+
+    sample = embeddings.select_columns([id_col, vec_col]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+    @ray.remote
+    def assemble(*blocks):
+        ids_parts, mats = [], []
+        for b in blocks:
+            if b.num_rows:
+                ids_parts.append(
+                    b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                mats.append(_bin_to_matrix(b["_vec"]))
+        if not ids_parts:
+            return np.empty(0, np.int64), np.empty((0, 0))
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(mats)
+        if len(ids) > max_rows:
+            # mix64 is a bijection, so hash order is a total order on ids
+            sel = np.argsort(mix64(ids.view(np.uint64)), kind="stable")[:max_rows]
+            ids, mat = ids[sel], mat[sel]
+        order = np.argsort(ids, kind="stable")
+        return ids[order], np.ascontiguousarray(mat[order])
+
+    return assemble.remote(*sample.to_arrow_refs())
+
+
 def knn_cosine(
     embeddings,
     query_ids: np.ndarray,
@@ -730,6 +796,7 @@ def ivf_knn(
     n_centroids: int = 64,
     nprobe: int = 8,
     kmeans_iters: int = 10,
+    train_max_rows: int = 200_000,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -747,8 +814,10 @@ def ivf_knn(
     rank, dist [squared L2])."""
     q = np.asarray(query_matrix, dtype=np.float64)
 
-    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
-    cent_ref = train_kmeans_ref(mat_ref, n_centroids, kmeans_iters, seed)
+    # bounded training sample, never the full matrix (bit-identical to the
+    # old collect_matrix_ref path whenever the corpus fits under the cap)
+    pack_ref = sample_matrix_ref(embeddings, train_max_rows, id_col, vec_col)
+    cent_ref = train_kmeans_ref(pack_ref, n_centroids, kmeans_iters, seed)
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
 
     def probe(t: pa.Table) -> pa.Table:
@@ -839,17 +908,13 @@ def pq_knn(
     final top-k is taken over the merged candidate set. Returns
     (query_id, neighbor_id, rank, dist [squared L2, exact])."""
     q = np.asarray(query_matrix, dtype=np.float64)
-    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
+    pack_ref = sample_matrix_ref(embeddings, train_max_rows, id_col, vec_col)
     rerank = max(int(rerank), k)
 
     @ray.remote
     def train(pack):
-        _, mat = pack
+        _, mat = pack  # <= train_max_rows id-sorted sampled rows
         n, dim = mat.shape
-        if n > train_max_rows:  # deterministic sample: ids are pre-sorted
-            step = n // train_max_rows + 1
-            mat = mat[::step]
-            n = mat.shape[0]
         m = min(m_subspaces, dim) or 1
         dsub = -(-dim // m)  # ceil; zero-pad the tail subspace
         if dim < m * dsub:
@@ -862,7 +927,7 @@ def pq_knn(
             )
         return books
 
-    book_ref = train.remote(mat_ref)
+    book_ref = train.remote(pack_ref)
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
 
     def probe(t: pa.Table) -> pa.Table:
@@ -974,6 +1039,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     n_centroids: int = 32,
     kmeans_iters: int = 10,
+    train_max_rows: int = 200_000,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -993,8 +1059,8 @@ def semantic_dedup(
     O(|bucket|^2) — at corpus scale grow n_centroids ~ sqrt(N) (SemDeDup
     itself uses 50k clusters at 440M rows) so buckets stay ~1e4 and each
     group task is one small GEMM."""
-    mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
-    cent_ref = train_kmeans_ref(mat_ref, n_centroids, kmeans_iters, seed)
+    pack_ref = sample_matrix_ref(embeddings, train_max_rows, id_col, vec_col)
+    cent_ref = train_kmeans_ref(pack_ref, n_centroids, kmeans_iters, seed)
 
     def assign(t: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)

@@ -263,3 +263,45 @@ def test_semantic_dedup_matches_naive(emb_ds):
         .reset_index(drop=True)
     )
     assert got.equals(got2)
+
+
+def test_sample_matrix_ref_identity_and_bound(ray_session):
+    """Under the cap the sampled pack is bit-identical to
+    collect_matrix_ref; over the cap it is exactly max_rows rows, chosen by
+    id hash only — independent of partitioning."""
+    import ray
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.ann import collect_matrix_ref, sample_matrix_ref
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 8
+    x = rng.standard_normal((n, dim))
+    ids = rng.permutation(n).astype(np.int64) * 7  # non-contiguous ids
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    ids_full, mat_full = ray.get(collect_matrix_ref(ds))
+    ids_s, mat_s = ray.get(sample_matrix_ref(ds, max_rows=400))
+    np.testing.assert_array_equal(ids_full, ids_s)
+    np.testing.assert_array_equal(mat_full, mat_s)
+
+    packs = []
+    for par in (1, 13):
+        ids_b, mat_b = ray.get(
+            sample_matrix_ref(ds.repartition(par), max_rows=100)
+        )
+        assert len(ids_b) == 100
+        assert (np.diff(ids_b) > 0).all()
+        packs.append((ids_b, mat_b))
+    np.testing.assert_array_equal(packs[0][0], packs[1][0])
+    np.testing.assert_array_equal(packs[0][1], packs[1][1])
+    # the bounded sample is a subset of the corpus rows
+    pos = np.searchsorted(ids_full, packs[0][0])
+    np.testing.assert_array_equal(ids_full[pos], packs[0][0])
+    np.testing.assert_array_equal(mat_full[pos], packs[0][1])
