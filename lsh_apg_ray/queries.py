@@ -2465,6 +2465,60 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Greedy in-order sequence packing (budget 256 tokens, grouped by
+    lang): per-doc token counts from one scan, then the per-group
+    O(#packs log n) packer. The oracle replays the same greedy recurrence
+    as a recursive CTE."""
+    from lsh_apg_ray.stages.packing import pack_sequences
+
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.config import DedupConfig
+        from lsh_apg_ray.hashing import arrow_token_index
+
+        ti = arrow_token_index(t["text"], DedupConfig().token_pattern)
+        assert ti is not None
+        _, offsets, _ = ti
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
+
+    counted = docs.map_batches(tok_counts, batch_format="pyarrow")
+    return pack_sequences(counted, budget=256, group_col="lang")
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE d AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT lang, doc_id, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.doc_id, d.rn, d.n_tokens,
+         CASE WHEN p.acc + d.n_tokens > 256
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + d.n_tokens > 256
+              THEN d.n_tokens ELSE p.acc + d.n_tokens END
+  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+)
+SELECT lang, doc_id, n_tokens, pack_id,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang, pack_id) AS BIGINT)
+         AS pack_tokens
+FROM p ORDER BY lang, doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -2519,6 +2573,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "chunk_tokens": q_chunk_tokens,
     "oov_rate": q_oov_rate,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -2596,4 +2651,5 @@ ORACLE_SQL = {
     "redact_pii": SQL_REDACT_PII,
     "chunk_tokens": SQL_CHUNK_TOKENS,
     "oov_rate": SQL_OOV_RATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

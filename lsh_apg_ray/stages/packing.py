@@ -1,0 +1,82 @@
+"""Sequence packing: greedy first-fit-in-order binning of documents into
+fixed token budgets — the training-batch assembly op (each pack becomes one
+training sequence; docs are never split).
+
+Semantics (SQL-expressible; the oracle replays it as a recursive CTE):
+within each group, docs are visited in ascending id order and appended to
+the current pack while the pack's token total stays <= budget; otherwise a
+new pack starts. A single doc larger than the budget gets a pack of its
+own. This is the standard greedy packer (cf. T5 / GPT-style "example
+packing"); the one-pass in-order rule makes the output a pure function of
+(group, id order, token counts).
+
+Ray shape: packing is sequential BY DEFINITION within a group, so the
+operator's partitioning assumption is explicit — one `groupby(group_col)`
+co-locates each group, and the per-group kernel runs in O(#packs * log n)
+via searchsorted over the token cumsum (NOT a per-doc Python loop; each
+iteration closes one pack). Groups are the parallelism unit: at corpus
+scale, group by shard/language/domain so packs never span a shuffle
+boundary. A groupless corpus can use a hash-bucketed pseudo-group at the
+cost of pack-boundary determinism ACROSS buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_sequences(ds, budget: int, group_col: str = "lang",
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens"):
+    """-> (group_col, id_col, n_tokens, pack_id, pack_tokens): pack_id is
+    0-based within group; pack_tokens is the finished pack's total (every
+    row of a pack carries it, so downstream can filter underfull packs)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type
+                                        if group_col in t.schema.names
+                                        else pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    tokens_col: pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    "pack_tokens": pa.array([], pa.int64()),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, w = ids[order], w[order]
+        n = len(ids)
+        cs = np.zeros(n + 1, np.int64)
+        np.cumsum(w, out=cs[1:])
+        # one iteration per PACK: the next boundary is the largest j with
+        # cs[j] - cs[i] <= budget (searchsorted on the monotone cumsum)
+        bounds = [0]
+        i = 0
+        while i < n:
+            j = int(np.searchsorted(cs, cs[i] + budget, side="right")) - 1
+            if j <= i:  # oversize doc: its own pack
+                j = i + 1
+            bounds.append(j)
+            i = j
+        bounds = np.asarray(bounds, np.int64)
+        sizes = np.diff(bounds)
+        pack_id = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        pack_tokens = np.repeat(cs[bounds[1:]] - cs[bounds[:-1]], sizes)
+        grp = t[group_col].take(pa.array(order[:1].repeat(n), pa.int64()))
+        return pa.table(
+            {
+                group_col: grp,
+                id_col: pa.array(ids, pa.int64()),
+                tokens_col: pa.array(w, pa.int64()),
+                "pack_id": pa.array(pack_id, pa.int64()),
+                "pack_tokens": pa.array(pack_tokens, pa.int64()),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(pack_group, batch_format="pyarrow")

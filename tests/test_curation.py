@@ -111,3 +111,53 @@ def test_curation_parallelism_invariance(ray_session):
     c7, o7 = run(7)
     pd.testing.assert_frame_equal(c1, c7)
     pd.testing.assert_frame_equal(o1, o7)
+
+
+def test_pack_sequences_greedy_rule(ray_session):
+    from lsh_apg_ray.stages.packing import pack_sequences
+
+    # group A: 60+50 fit in 128, +30 overflows -> packs {60,50},{30}
+    # group B: oversize 300 alone, then 10+10
+    t = pa.table(
+        {
+            "lang": pa.array(["a", "a", "a", "b", "b", "b"]),
+            "doc_id": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+            "n_tokens": pa.array([60, 50, 30, 300, 10, 10], pa.int64()),
+        }
+    )
+    out = (
+        pack_sequences(rd.from_arrow(t), budget=128)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert out["pack_id"].tolist() == [0, 0, 1, 0, 1, 1]
+    assert out["pack_tokens"].tolist() == [110, 110, 30, 300, 20, 20]
+
+
+def test_pack_sequences_parallelism_invariance(ray_session):
+    from lsh_apg_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(list("xyz"), 200),
+            "doc_id": np.arange(200, dtype=np.int64),
+            "n_tokens": rng.integers(0, 120, 200).astype(np.int64),
+        }
+    )
+
+    def run(par):
+        return (
+            pack_sequences(rd.from_pandas(df).repartition(par), budget=256)
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(9))
+    # every pack respects the budget unless it is a single oversize doc
+    out = run(3)
+    per_pack = out.groupby(["lang", "pack_id"])
+    for (_, _), g in per_pack:
+        assert g["pack_tokens"].iloc[0] <= 256 or len(g) == 1
