@@ -161,3 +161,91 @@ def test_pack_sequences_parallelism_invariance(ray_session):
     per_pack = out.groupby(["lang", "pack_id"])
     for (_, _), g in per_pack:
         assert g["pack_tokens"].iloc[0] <= 256 or len(g) == 1
+
+
+def test_chunk_tokens_property_vs_naive(ray_session):
+    """Random docs: chunk output must equal the naive per-doc reference
+    (same rule: stride windows, last chunk short, full coverage)."""
+    import re
+
+    rng = np.random.default_rng(37)
+    words = ["aa", "b1", "c_2", "dd", "e"]
+    docs = [
+        " ".join(rng.choice(words, size=n)) for n in rng.integers(0, 90, 40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+    size, overlap = 7, 3
+    stride = size - overlap
+    out = (
+        chunk_tokens(rd.from_pandas(df), chunk_size=size, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for d, text in zip(df["doc_id"], df["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        nch = 1 if n <= size else 1 + -(-(n - size) // stride)
+        for ci in range(nch):
+            s = ci * stride
+            ln = min(size, n - s)
+            rows.append((d, ci, s, ln, " ".join(toks[s : s + ln])))
+    ref = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_idx", "start_tok", "n_tok",
+                       "chunk_text"]
+    ).astype({"doc_id": np.int64, "chunk_idx": np.int64,
+              "start_tok": np.int64, "n_tok": np.int64})
+    pd.testing.assert_frame_equal(out, ref)
+    # coverage: every token of every non-empty doc is in some chunk
+    cov = out.groupby("doc_id").apply(
+        lambda g: (g["start_tok"] + g["n_tok"]).max(), include_groups=False
+    )
+    ntok = ref.groupby("doc_id")["start_tok"].max() + ref.groupby("doc_id")["n_tok"].last()
+    for d in cov.index:
+        assert cov[d] == ntok[d]
+
+
+def test_pack_sequences_property_vs_naive(ray_session):
+    from lsh_apg_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(list("pq"), 120),
+            "doc_id": np.arange(120, dtype=np.int64),
+            "n_tokens": rng.integers(0, 300, 120).astype(np.int64),
+        }
+    )
+    budget = 200
+    out = (
+        pack_sequences(rd.from_pandas(df).repartition(5), budget=budget)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # naive greedy reference
+    ref_rows = []
+    for lang, g in df.sort_values("doc_id").groupby("lang"):
+        pid, acc = 0, 0
+        first = True
+        for _, r in g.iterrows():
+            w = int(r["n_tokens"])
+            if not first and acc + w > budget:
+                pid += 1
+                acc = w
+            else:
+                acc += w
+                first = False
+            ref_rows.append((lang, int(r["doc_id"]), w, pid))
+    ref = pd.DataFrame(ref_rows, columns=["lang", "doc_id", "n_tokens",
+                                          "pack_id"]).sort_values(
+        ["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["lang", "doc_id", "n_tokens", "pack_id"]], ref
+    )
+    tot = ref.groupby(["lang", "pack_id"])["n_tokens"].sum()
+    got = out.groupby(["lang", "pack_id"])["pack_tokens"].first()
+    pd.testing.assert_series_equal(got, tot, check_names=False)
