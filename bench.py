@@ -25,7 +25,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_FILES_PER_SF = 300_000  # sf0.1 -> 30_000 files
 BENCH_QUERIES = ["doc_stats", "exact_dedup", "minhash_lsh_dedup",
-                 "ngram_jaccard_pairs", "knn_cosine", "graph_knn"]
+                 "ngram_jaccard_pairs", "knn_cosine", "graph_knn",
+                 "e2lsh_knn"]
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -2519,6 +2519,91 @@ FROM p ORDER BY lang, doc_id
 """
 
 
+def q_video_near_dup(sf_dir: str):
+    """Multimodal near-duplicate detection END TO END: real y4m decode in an
+    actor pool -> per-frame 8-bit luma feature -> the flagship's banding
+    machinery (candidate_pairs over (frame_idx, luma) buckets) -> pairs
+    sharing >= 2 of 4 sampled frame slots. Payloads synthesize 25 collision
+    classes (frame t of doc d is solid luma ((d%25)*17 + t*29) % 251 on an
+    8x8 raster; frame counts 4 + d%3 vary, so classes overlap PARTIALLY
+    after sampling) and DuckDB replays the slot-equality self-join
+    analytically. The band key (frame_idx*256 + luma8) is a bijection of
+    the matched feature — exact, not probabilistic; buckets run uncapped
+    (max_bucket lifted) so the pair set is complete."""
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.multimodal import encode_y4m, sample_frames
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+
+    def build_payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            total = 4 + d % 3
+            ys = [((d % 25) * 17 + t_ * 29) % 251 for t_ in range(total)]
+            payloads.append(encode_y4m(8, 8, np.array(ys, np.uint8)))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    frames = sample_frames(
+        docs.map_batches(build_payloads, batch_format="pyarrow"), n_frames=4
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        luma8 = np.round(
+            t["mean_y"].to_numpy(zero_copy_only=False) * 255.0
+        ).astype(np.int64)
+        fi = t["frame_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "band_hash": pa.array(fi * 256 + luma8, pa.int64()),
+                "doc_id": t["item_id"].cast(pa.int64()),
+            }
+        )
+
+    bands = frames.map_batches(to_bands, batch_format="pyarrow")
+    cfg = DedupConfig(threshold=0.5, max_bucket=1 << 40, join_partitions=8)
+    pairs = candidate_pairs(bands, cfg)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(t["n_bands"], 2)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "n_shared": t["n_bands"],
+            }
+        )
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_VIDEO_NEAR_DUP = """
+WITH f AS (
+  SELECT doc_id, g.fi AS frame_idx,
+         ((doc_id % 25) * 17
+          + ((g.fi * (4 + doc_id % 3)) // 4) * 29) % 251 AS y
+  FROM documents CROSS JOIN generate_series(0, 3) AS g(fi)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b
+  ON a.frame_idx = b.frame_idx AND a.y = b.y AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -2574,6 +2659,7 @@ QUERIES = {
     "chunk_tokens": q_chunk_tokens,
     "oov_rate": q_oov_rate,
     "pack_sequences": q_pack_sequences,
+    "video_near_dup": q_video_near_dup,
 }
 
 ORACLE_SQL = {
@@ -2652,4 +2738,5 @@ ORACLE_SQL = {
     "chunk_tokens": SQL_CHUNK_TOKENS,
     "oov_rate": SQL_OOV_RATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "video_near_dup": SQL_VIDEO_NEAR_DUP,
 }
