@@ -142,6 +142,22 @@ def sample_matrix_ref(embeddings, max_rows: int,
     return assemble.remote(*sample.to_arrow_refs())
 
 
+def _merge_topk_fn(k: int, order_col: str = "dist", ascending: bool = True):
+    """Per-query merge of partial candidates — the module's ONE
+    deterministic tie-break contract: sort by (order_col, neighbor_id asc),
+    head k, 1-based rank. Shared by every partial-topk/groupby-merge tier
+    so the contract cannot drift between operators."""
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, "neighbor_id"],
+                          ascending=[ascending, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return merge_topk
+
+
 def knn_cosine(
     embeddings,
     query_ids: np.ndarray,
@@ -157,7 +173,7 @@ def knn_cosine(
     neighbor_id ascending.
     """
     q = np.asarray(query_matrix, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
 
     def score_batch(t: pa.Table) -> pa.Table:
@@ -211,13 +227,10 @@ def knn_cosine(
 
     partials = embeddings.map_batches(score_batch, batch_format="pyarrow")
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_fn(k, order_col="sim", ascending=False),
+        batch_format="pandas",
+    )
 
 
 def knn_l2(
@@ -272,13 +285,9 @@ def knn_l2(
 
     partials = embeddings.map_batches(score_batch, batch_format="pyarrow")
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pandas"
+    )
 
 
 def embedding_near_dup_bruteforce(
@@ -355,20 +364,20 @@ def _bin_to_matrix(col) -> np.ndarray:
     return data[off[0] : off[-1]].view(np.float64).reshape(n, width // 8)
 
 
-def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
-                       vec_col: str, join_partitions: int):
-    """Exact-cosine verify with NO broadcast: attach each endpoint's vector
-    to the candidate pair by partitioned hash join (2 shuffles whose bytes
-    scale with the pair count, never the corpus), then one vectorized
-    normalize+dot per batch. The 100-TB fallback behind
-    embedding_near_dup(verify_mode="join"); output is identical to the
-    broadcast verify (same rounding, same threshold filter)."""
+def join_pair_vectors(pairs, embeddings, id_col: str, vec_col: str,
+                      join_partitions: int):
+    """Attach each endpoint's vector to a candidate pair by partitioned hash
+    join: -> Dataset(id_a, id_b, _vec_a, _vec_b). Two shuffles whose bytes
+    scale with the PAIR count, never the corpus — the shared scaffolding
+    under every no-broadcast exact-verify dataflow (cosine near-dup verify
+    here, squared-L2 graph construction in stages/graph.py).
+
+    Acero hash joins reject nested/tensor payload columns, so the vector
+    rides through the two joins as a variable-length binary column (raw
+    float64 bytes) — encoded vectorized here, decoded zero-copy from the
+    Arrow buffers by the caller's score kernel."""
     from lsh_apg_ray.joins import hash_join, out_schema
 
-    # Acero hash joins reject nested/tensor payload columns, so the vector
-    # rides through the two joins as a variable-length binary column (raw
-    # float64 bytes) — encoded vectorized here, decoded zero-copy from the
-    # Arrow buffers in `score`.
     def encode_side(id_out: str, vec_out: str):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -393,7 +402,7 @@ def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
         left_schema=pair_schema,
         right_schema=schema_a,
     )
-    j2 = hash_join(
+    return hash_join(
         j1,
         emb.map_batches(encode_side("id_b", "_vec_b"), batch_format="pyarrow"),
         "id_b",
@@ -401,6 +410,16 @@ def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
         left_schema=out_schema(pair_schema, schema_a, "id_a"),
         right_schema=schema_b,
     )
+
+
+def _verify_pairs_join(pairs, embeddings, threshold: float, id_col: str,
+                       vec_col: str, join_partitions: int):
+    """Exact-cosine verify with NO broadcast: `join_pair_vectors` + one
+    vectorized normalize+dot per batch. The 100-TB fallback behind
+    embedding_near_dup(verify_mode="join"); output is identical to the
+    broadcast verify (same rounding, same threshold filter)."""
+    j2 = join_pair_vectors(pairs, embeddings, id_col, vec_col,
+                           join_partitions)
 
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -740,13 +759,9 @@ def e2lsh_knn(
 
     partials = embeddings.map_batches(probe, batch_format="pyarrow")
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pandas"
+    )
 
 
 def _lloyd(mat: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
@@ -867,13 +882,9 @@ def ivf_knn(
 
     partials = embeddings.map_batches(probe, batch_format="pyarrow")
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pandas"
+    )
 
 
 def pq_knn(

@@ -22,7 +22,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from lsh_apg_ray.hashing import arrow_token_index
+from lsh_apg_ray.hashing import _split_pattern_of, arrow_token_index
+
+
+def _require_char_class(token_pattern: str, op: str) -> None:
+    """Eager call-time validation (a worker-side assert would surface as a
+    remote-task death instead of a ValueError at the call site)."""
+    if _split_pattern_of(token_pattern) is None:
+        raise ValueError(
+            f"{op} needs a plain char-class token pattern like [a-z0-9_]+, "
+            f"got {token_pattern!r}"
+        )
 
 # (name, RE2 pattern, replacement) — applied IN ORDER, each count taken on
 # the text as left by the previous replacement (the SQL oracle mirrors the
@@ -73,6 +83,7 @@ def chunk_tokens(ds, chunk_size: int, overlap: int, text_col: str = "text",
     Output: (id, chunk_idx, start_tok, n_tok, chunk_text)."""
     if not (0 <= overlap < chunk_size):
         raise ValueError("need 0 <= overlap < chunk_size")
+    _require_char_class(token_pattern, "chunk_tokens")
     stride = chunk_size - overlap
 
     def fn(t: pa.Table) -> pa.Table:
@@ -149,6 +160,8 @@ def oov_stats(ds, vocab_size: int, text_col: str = "text",
     are O(vocabulary), never O(corpus). Output: (id, n_tokens, n_oov)."""
     import ray
     from ray.data.aggregate import Sum
+
+    _require_char_class(token_pattern, "oov_stats")
 
     def partial_tf(t: pa.Table) -> pa.Table:
         ti = arrow_token_index(t[text_col], token_pattern)

@@ -40,10 +40,10 @@ from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.stages.ann import (
     ROUND_DECIMALS,
     _bin_to_matrix,
-    _encode_vec_binary,
     _to_matrix,
     collect_matrix_ref,
     get_e2lsh_tables,
+    join_pair_vectors,
 )
 from lsh_apg_ray.stages.pairs import candidate_pairs
 
@@ -217,40 +217,8 @@ def _pair_dists_join(pairs, embeddings, id_col: str, vec_col: str,
     vector (`_vec_dst`, raw float64 bytes) into the selection shuffle so
     `chooseNN_div`'s candidate-candidate occlusion distances are computable
     in-group without the matrix; costs dim*8 bytes per edge."""
-    from lsh_apg_ray.joins import hash_join, out_schema
-
-    def encode_side(id_out: str, vec_out: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    id_out: t[id_col].cast(pa.int64()),
-                    vec_out: _encode_vec_binary(_to_matrix(t[vec_col])),
-                }
-            )
-
-        return fn
-
-    pair_keys = pairs.select_columns(["id_a", "id_b"])
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    emb = embeddings.select_columns([id_col, vec_col])
-    schema_a = pa.schema([("id_a", pa.int64()), ("_vec_a", pa.binary())])
-    schema_b = pa.schema([("id_b", pa.int64()), ("_vec_b", pa.binary())])
-    j1 = hash_join(
-        pair_keys,
-        emb.map_batches(encode_side("id_a", "_vec_a"), batch_format="pyarrow"),
-        "id_a",
-        num_partitions=join_partitions,
-        left_schema=pair_schema,
-        right_schema=schema_a,
-    )
-    j2 = hash_join(
-        j1,
-        emb.map_batches(encode_side("id_b", "_vec_b"), batch_format="pyarrow"),
-        "id_b",
-        num_partitions=join_partitions,
-        left_schema=out_schema(pair_schema, schema_a, "id_a"),
-        right_schema=schema_b,
-    )
+    j2 = join_pair_vectors(pairs, embeddings, id_col, vec_col,
+                           join_partitions)
 
     def score(t: pa.Table) -> pa.Table:
         cols = {
@@ -607,12 +575,11 @@ def insert_into_graph(
         # --- untouched old nodes keep their (remapped) slices verbatim ---
         touched_mask = np.zeros(len(ids_new), dtype=bool)
         touched_mask[t_src] = True
-        keep_old = ~touched_mask[remap_old[
+        old_src = remap_old[
             np.repeat(np.arange(len(ix.ids)), np.diff(ix.indptr))
-        ]]
-        u_src = remap_old[
-            np.repeat(np.arange(len(ix.ids)), np.diff(ix.indptr))
-        ][keep_old]
+        ]  # one per base-graph edge — computed once, it is the big array here
+        keep_old = ~touched_mask[old_src]
+        u_src = old_src[keep_old]
         u_dst = remap_old[ix.nbr][keep_old]
         a_src = np.concatenate([t_src, u_src])
         a_dst = np.concatenate([t_dst, u_dst])

@@ -330,19 +330,26 @@ class FrameSample:
     def _sample_one(self, p: bytes):
         """-> list of (frame_idx, src_frame, mean_y, frame_hash)."""
         if p[:9] == b"YUV4MPEG2":
-            _, _, planes = _decode_y4m(p)
-            total = len(planes)
-            n = min(self.n_frames, total)
-            out = []
-            for fi in range(n):
-                src = (fi * total) // n
-                y = planes[src]
-                fh = int.from_bytes(
-                    hashlib.blake2b(y.tobytes(), digest_size=8).digest(),
-                    "little",
-                ) >> 1
-                out.append((fi, src, float(y.mean() / 255.0), fh))
-            return out
+            # truncated/malformed stream falls through to the deterministic
+            # fake instead of killing the batch (ImageDecode/AudioDecode
+            # make the same choice for their raw formats)
+            try:
+                _, _, planes = _decode_y4m(p)
+            except (ValueError, IndexError):
+                planes = None
+            if planes:
+                total = len(planes)
+                n = min(self.n_frames, total)
+                out = []
+                for fi in range(n):
+                    src = (fi * total) // n
+                    y = planes[src]
+                    fh = int.from_bytes(
+                        hashlib.blake2b(y.tobytes(), digest_size=8).digest(),
+                        "little",
+                    ) >> 1
+                    out.append((fi, src, float(y.mean() / 255.0), fh))
+                return out
         feats = _stable_floats(p, self.n_frames, b"video")
         return [
             (fi, fi, float(feats[fi]), int(feats[fi] * 2**62))
