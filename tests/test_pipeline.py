@@ -192,3 +192,31 @@ def test_file_prefilter_unit(ray_session, tmp_path):
     assert sorted(hits) == [False, True]
     none = ray.put(np.empty(0, np.int64))
     assert ray.get(file_has_involved_docs.remote(f1, none)) is False
+
+
+def test_flagship_all_identical_corpus(ray_session, test_cfg):
+    """Worst-case skew: EVERY doc has the same content. The exact tier must
+    collapse the corpus to one representative before the LSH tier, so no
+    band bucket ever sees more than one distinct content and the pair stage
+    cannot go quadratic; the result is a single cluster."""
+    import pyarrow as pa
+
+    n = 2000
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 7}" for i in range(n)]),
+            "path": pa.array([f"f{i}.c" for i in range(n)]),
+            "commit": pa.array(["c0"] * n),
+            "lang": pa.array(["c"] * n),
+            "content": pa.array(["int main() { return 0; }"] * n),
+        }
+    )
+    res = dedup_pipeline(rd.from_arrow(t), test_cfg, collect_metrics=True)
+    a = res.assignments.to_pandas()
+    assert len(a) == n
+    assert a["cluster_id"].nunique() == 1
+    assert a["rep_id"].nunique() == 1
+    # the LSH tier saw ONE distinct content: every band bucket is singleton
+    stats = res.candidate_metrics.iloc[0]
+    assert int(stats["max_bucket"]) == 1
+    assert int(stats["overflow_buckets"]) == 0
