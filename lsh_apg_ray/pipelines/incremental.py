@@ -41,40 +41,21 @@ import pyarrow.compute as pc
 import ray
 
 from ray.data import Dataset
-from ray.data.aggregate import Min
 
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.pipelines.dedup import DedupResult
 from lsh_apg_ray.stages.bands import band_explode_precomputed
 from lsh_apg_ray.stages.cc import attach_clusters
 from lsh_apg_ray.stages.minhash import make_fused_prep_fn, make_shingle_payload_fn
-from lsh_apg_ray.stages.pairs import candidate_pairs
+from lsh_apg_ray.stages.pairs import OverflowCounter, candidate_pairs
+from lsh_apg_ray.stages.reptier import (
+    attach_rep as attach_rep_shared,
+    band_source,
+    pack_sorted_map,
+    rep_table,
+)
 from lsh_apg_ray.stages.verify import collect_pair_ids, verify_pairs
 from lsh_apg_ray.state.checkpoint import StageCheckpointer, config_fingerprint
-
-
-@ray.remote
-def _pack_sorted(*blocks, key: str, val: str):
-    kp, vp = [], []
-    for b in blocks:
-        if b.num_rows == 0:
-            continue
-        kp.append(b[key].to_numpy(zero_copy_only=False).astype(np.int64))
-        vp.append(b[val].to_numpy(zero_copy_only=False).astype(np.int64))
-    k = np.concatenate(kp) if kp else np.empty(0, np.int64)
-    v = np.concatenate(vp) if vp else np.empty(0, np.int64)
-    order = np.argsort(k)
-    return k[order], v[order]
-
-
-@ray.remote
-def _uniq_col(*blocks, col: str):
-    parts = [
-        b[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        for b in blocks
-        if b.num_rows
-    ]
-    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
 
 def _lookup(keys_sorted: np.ndarray, vals: np.ndarray, x: np.ndarray,
@@ -113,32 +94,22 @@ def dedup_delta(
     ).materialize()
     feats = old_feats.union(delta_feats).materialize()
 
-    # ---- 2. combined exact tier (rep map over two int columns) --------------
+    # ---- 2. combined exact tier: the SHARED reptier machinery (same scale
+    # fallbacks as the flagship — sorted-array / dict broadcast under
+    # cfg.broadcast_max_ids, partitioned hash join above; exact_sha_grouping
+    # supported, round-4 review fix) ------------------------------------------
     group_key = "sha" if cfg.exact_sha_grouping else "sha_key"
-    rep_by_key = (
-        feats.select_columns([group_key, "doc_id"])
-        .groupby(group_key)
-        .aggregate(Min("doc_id", alias_name="rep_id"))
-    ).materialize()
-    rep_blocks = rep_by_key.to_arrow_refs()
-    rep_map_ref = _pack_sorted.remote(*rep_blocks, key=group_key, val="rep_id")
-    rep_ids_ref = _uniq_col.remote(*rep_blocks, col="rep_id")
-
-    def attach_rep(t: pa.Table) -> pa.Table:
-        k, r = ray.get(rep_map_ref)
-        sk = t[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(k, sk), 0, max(0, len(k) - 1))
-        return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
-
+    rep_by_key = rep_table(feats, group_key)
+    n_unique = rep_by_key.count()
     meta_cols = ["doc_id", "sha", "sha_key", "nbytes", *keep_cols]
-    docs = feats.select_columns(meta_cols).map_batches(
-        attach_rep, batch_format="pyarrow"
-    )
-    docs_schema = pa.schema(
+    meta_schema = pa.schema(
         [("doc_id", pa.int64()), ("sha", pa.binary(32)), ("sha_key", pa.int64()),
          ("nbytes", pa.int64())]
         + [(c, pa.string()) for c in keep_cols]
-        + [("rep_id", pa.int64())]
+    )
+    docs, docs_schema = attach_rep_shared(
+        feats.select_columns(meta_cols), rep_by_key, group_key, cfg,
+        meta_schema, n_unique,
     )
 
     # ---- 3. remap old edge endpoints where a delta doc displaced a rep ------
@@ -149,27 +120,33 @@ def dedup_delta(
         *old_edges.select_columns(["id_a", "id_b"]).to_arrow_refs()
     )
 
-    @ray.remote
-    def _rep_remap(old_eps, *old_feat_blocks):
-        k, r = ray.get(rep_map_ref)
-        ids_p, key_p = [], []
-        for b in old_feat_blocks:
-            if b.num_rows == 0:
-                continue
-            d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            g = b[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
-            m = np.isin(d, old_eps)
-            ids_p.append(d[m])
-            key_p.append(g[m])
-        ids = np.concatenate(ids_p) if ids_p else np.empty(0, np.int64)
-        gk = np.concatenate(key_p) if key_p else np.empty(0, np.int64)
-        pos = np.clip(np.searchsorted(k, gk), 0, max(0, len(k) - 1))
-        new_rep = r[pos] if len(k) else ids
-        order = np.argsort(ids)
-        return ids[order], new_rep[order]
+    # endpoint rows (small: bounded by the old edge set) hash-join the
+    # combined rep table on the group key — one dataflow for BOTH key dtypes
+    # (int64 sha_key / 32-byte sha) at ANY rep-table size (round-4 review:
+    # the old broadcast-array remap crashed under exact_sha_grouping and
+    # assumed a broadcastable map)
+    def _ep_filter(t: pa.Table) -> pa.Table:
+        eps = ray.get(old_ep_ref)  # sorted endpoint ids, zero-copy plasma
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(eps):
+            return t.filter(pa.array(np.zeros(len(d), bool)))
+        pos = np.clip(np.searchsorted(eps, d), 0, len(eps) - 1)
+        return t.filter(pa.array(eps[pos] == d))
 
-    remap_ref = _rep_remap.remote(
-        old_ep_ref, *old_feats.select_columns(["doc_id", group_key]).to_arrow_refs()
+    from lsh_apg_ray.joins import hash_join
+
+    key_type = pa.binary(32) if cfg.exact_sha_grouping else pa.int64()
+    ep_feats = old_feats.select_columns(["doc_id", group_key]).map_batches(
+        _ep_filter, batch_format="pyarrow"
+    )
+    remap_ds = hash_join(
+        ep_feats, rep_by_key, group_key,
+        num_partitions=cfg.join_partitions,
+        left_schema=pa.schema([("doc_id", pa.int64()), (group_key, key_type)]),
+        right_schema=pa.schema([(group_key, key_type), ("rep_id", pa.int64())]),
+    )
+    remap_ref = pack_sorted_map.remote(
+        *remap_ds.to_arrow_refs(), key="doc_id", val="rep_id"
     )
 
     def remap_edges(t: pa.Table) -> pa.Table:
@@ -204,21 +181,11 @@ def dedup_delta(
     old_edges_remapped = old_edges.map_batches(remap_edges, batch_format="pyarrow")
 
     # ---- 4. candidate pairs from delta-touched buckets only ------------------
-    def rep_band_filter(t: pa.Table) -> pa.Table:
-        w = ray.get(rep_ids_ref)
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(w, d), 0, max(0, len(w) - 1))
-        mask = (w[pos] == d) if len(w) else np.zeros(len(d), bool)
-        mask &= t["n_shingles"].to_numpy(zero_copy_only=False) > 0
-        return t.filter(pa.array(mask))
-
-    band_cols = ["doc_id", "n_shingles", "bands"]
-    delta_bands = band_explode_precomputed(
-        delta_feats.select_columns(band_cols).map_batches(
-            rep_band_filter, batch_format="pyarrow"
-        ),
-        cfg,
-    )
+    # rep membership via the shared band_source (broadcast id set under the
+    # 256x window, partitioned semi-join above — same fallbacks as the
+    # flagship, round-4 review fix)
+    delta_band_src, _ = band_source(delta_feats, rep_by_key, cfg, n_unique)
+    delta_bands = band_explode_precomputed(delta_band_src, cfg)
 
     @ray.remote
     def _bucket_keys(*blocks):
@@ -236,12 +203,8 @@ def dedup_delta(
     delta_bands = delta_bands.materialize()
     touched_ref = _bucket_keys.remote(*delta_bands.to_arrow_refs())
 
-    all_bands = band_explode_precomputed(
-        feats.select_columns(band_cols).map_batches(
-            rep_band_filter, batch_format="pyarrow"
-        ),
-        cfg,
-    )
+    all_band_src, _ = band_source(feats, rep_by_key, cfg, n_unique)
+    all_bands = band_explode_precomputed(all_band_src, cfg)
 
     def touched_filter(t: pa.Table) -> pa.Table:
         touched = ray.get(touched_ref)
@@ -251,11 +214,19 @@ def dedup_delta(
         pos = np.clip(np.searchsorted(touched, key), 0, len(touched) - 1)
         return t.filter(pa.array(touched[pos] == key))
 
+    overflow = OverflowCounter.remote()
     pairs = candidate_pairs(
-        all_bands.map_batches(touched_filter, batch_format="pyarrow"), cfg
+        all_bands.map_batches(touched_filter, batch_format="pyarrow"), cfg,
+        overflow_counter=overflow,
     ).materialize()
-    pair_ids_ref = collect_pair_ids.remote(
-        *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
+    # pair-involved id set: range-chunked above the 16x broadcast budget,
+    # plain sorted-array ref below it (same structure as the flagship —
+    # no single-object ceiling, round-4 review fix)
+    from lsh_apg_ray.stages.idset import build_pair_idset
+
+    pair_idset = build_pair_idset(pairs, 16 * cfg.broadcast_max_ids)
+    pair_ids_ref = (
+        pair_idset.single_ref() if pair_idset.n_chunks == 1 else pair_idset
     )
 
     # ---- payload: pair-involved docs from base ∪ delta sources (column-
@@ -329,6 +300,12 @@ def dedup_delta(
     ).map_batches(sha_hex_df, batch_format="pandas")
     assignments = ckpt.save("assignments", assignments, new_fp)
     ckpt.write_metrics()
+    # never-silent-truncation contract: the star+chain bucket cap's delta-run
+    # footprint is surfaced on every run (round-4 review fix)
+    import pandas as pd
+
+    metrics = pd.DataFrame([ray.get(overflow.get.remote())])
     return DedupResult(
-        assignments=assignments, duplicate_edges=edges_ck, candidate_metrics=None
+        assignments=assignments, duplicate_edges=edges_ck,
+        candidate_metrics=metrics,
     )

@@ -455,16 +455,20 @@ def cc_distributed(edges, cfg: DedupConfig):
         .aggregate(Min("doc_id", alias_name="cluster_id"))
     ).materialize()  # (doc_id, cluster_id=doc_id)
 
+    before = _label_checksum(labels)
     for _ in range(cfg.cc_max_rounds):
         propagated = half_round(sym, labels)
         # pointer jump: label <- label(label); requests built from the
         # propagated labels themselves (label(x) <= x always resolves)
         jump_req = propagated.map_batches(req_rows, batch_format="pyarrow")
         new_labels = half_round(jump_req, propagated)
-        before, after = _label_checksum(labels), _label_checksum(new_labels)
+        # round k+1's "before" IS round k's "after" — one checksum pass per
+        # round, not two
+        after = _label_checksum(new_labels)
         labels = new_labels
         if before == after:
             return labels
+        before = after
     raise RuntimeError(
         f"connected components did not converge in {cfg.cc_max_rounds} rounds"
     )

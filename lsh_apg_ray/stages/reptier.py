@@ -1,0 +1,174 @@
+"""Shared exact-tier (representative) machinery for the flagship and the
+incremental delta pipeline.
+
+One representative per distinct content (`groupby(group_key).min(doc_id)` —
+the reference's visited-set dedup D1, e2lsh.cpp:141), then two consumers:
+
+  - `attach_rep`: every doc row gets its rep_id. Three dataflows by scale
+    and key dtype — sorted-array broadcast (int64 sha_key under the cap),
+    dict broadcast (full 32-byte sha under the cap, exact at any key), and
+    a partitioned hash join above cfg.broadcast_max_ids (no single-object
+    residency).
+  - `band_source`: band rows restricted to representatives with >= 1
+    shingle. Broadcast id-set filter up to 256x the cap, partitioned
+    LEFT-SEMI join above it.
+
+Hoisted from pipelines/dedup.py so pipelines/incremental.py runs the SAME
+scale fallbacks instead of a private broadcast-only copy (round-4 review
+findings: the delta path crashed under exact_sha_grouping and ignored
+cfg.broadcast_max_ids entirely).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ray.data.aggregate import Min
+
+from lsh_apg_ray.config import DedupConfig
+
+
+@ray.remote
+def pack_sorted_map(*blocks, key: str, val: str):
+    """Sorted (key:int64, val:int64) arrays for broadcast lookup — assembled
+    and plasma-stored in a worker task; rows never pass through the driver."""
+    kp, vp = [], []
+    for b in blocks:
+        if b.num_rows == 0:
+            continue
+        kp.append(b[key].to_numpy(zero_copy_only=False).astype(np.int64))
+        vp.append(b[val].to_numpy(zero_copy_only=False).astype(np.int64))
+    k = np.concatenate(kp) if kp else np.empty(0, np.int64)
+    v = np.concatenate(vp) if vp else np.empty(0, np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+@ray.remote
+def uniq_int_column(*blocks, col: str):
+    parts = [
+        b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in blocks
+        if b.num_rows
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+def rep_table(feats, group_key: str):
+    """-> materialized (group_key, rep_id=min doc_id) Dataset."""
+    return (
+        feats.select_columns([group_key, "doc_id"])
+        .groupby(group_key)
+        .aggregate(Min("doc_id", alias_name="rep_id"))
+    ).materialize()
+
+
+def attach_rep(meta, rep_by_key, group_key: str, cfg: DedupConfig,
+               meta_schema: pa.Schema, n_unique: int):
+    """-> (docs Dataset with rep_id column, docs_schema). Scale paths:
+    sorted-array broadcast / dict broadcast (full sha) / hash join."""
+    if n_unique <= cfg.broadcast_max_ids and group_key != "sha":
+        rep_map_ref = pack_sorted_map.remote(
+            *rep_by_key.to_arrow_refs(), key=group_key, val="rep_id"
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            k, r = ray.get(rep_map_ref)  # zero-copy plasma views
+            sk = t[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(k, sk), 0, max(0, len(k) - 1))
+            return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
+
+        return (
+            meta.map_batches(attach, batch_format="pyarrow"),
+            meta_schema.append(pa.field("rep_id", pa.int64())),
+        )
+    if n_unique <= cfg.broadcast_max_ids:
+        # exact full-sha mode: dict broadcast (exact at any scale per key);
+        # keys are the raw 32-byte digests
+        rep_map: dict[bytes, int] = {}
+        for b in rep_by_key.iter_batches(batch_size=1 << 16,
+                                         batch_format="pandas"):
+            rep_map.update(zip(b["sha"], b["rep_id"]))
+        rep_map_ref = ray.put(rep_map)
+
+        def attach_sha(t: pa.Table) -> pa.Table:
+            m = ray.get(rep_map_ref)
+            reps = np.fromiter(
+                (m[s] for s in t["sha"].to_pylist()), np.int64,
+                count=t.num_rows,
+            )
+            return t.append_column("rep_id", pa.array(reps, pa.int64()))
+
+        return (
+            meta.map_batches(attach_sha, batch_format="pyarrow"),
+            meta_schema.append(pa.field("rep_id", pa.int64())),
+        )
+    # scale fallback: partitioned hash-join rep attachment — identical
+    # semantics, rep rows shuffle instead of broadcasting
+    from lsh_apg_ray.joins import hash_join, out_schema
+
+    key_type = pa.binary(32) if group_key == "sha" else pa.int64()
+    rep_schema = pa.schema([(group_key, key_type), ("rep_id", pa.int64())])
+    docs = hash_join(
+        meta, rep_by_key, group_key,
+        num_partitions=cfg.join_partitions,
+        left_schema=meta_schema, right_schema=rep_schema,
+    )
+    return docs, out_schema(meta_schema, rep_schema, group_key)
+
+
+def band_source(feats, rep_by_key, cfg: DedupConfig, n_unique: int):
+    """Band rows (doc_id, n_shingles, bands) restricted to representatives
+    with >= 1 shingle. -> (band_src Dataset, rep_ids_ref | None).
+
+    rep_ids_ref (sorted unique representative ids, one plasma array) is
+    returned for callers that need rep membership elsewhere; None above the
+    256x broadcast window, where membership resolves via a partitioned
+    LEFT-SEMI join instead (no single-object residency — reference
+    analogue: the bucketed index is never one resident object either,
+    e2lsh.h:162)."""
+    src = feats.select_columns(["doc_id", "n_shingles", "bands"])
+    if n_unique <= 256 * cfg.broadcast_max_ids:
+        rep_ids_ref = uniq_int_column.remote(
+            *rep_by_key.to_arrow_refs(), col="rep_id"
+        )
+
+        def rep_band_filter(t: pa.Table) -> pa.Table:
+            w = ray.get(rep_ids_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(w, d), 0, max(0, len(w) - 1))
+            mask = (w[pos] == d) if len(w) else np.zeros(len(d), bool)
+            mask &= t["n_shingles"].to_numpy(zero_copy_only=False) > 0
+            return t.filter(pa.array(mask))
+
+        return (
+            src.map_batches(rep_band_filter, batch_format="pyarrow"),
+            rep_ids_ref,
+        )
+    # scale path: partitioned semi-join — only (doc_id, bands) band rows
+    # and 8-byte rep ids cross the shuffle; membership is resolved
+    # partition-locally. The n_shingles>0 cut runs BEFORE the join so
+    # empty docs never ship.
+    from lsh_apg_ray.joins import hash_join
+
+    nonzero = src.map_batches(
+        lambda t: t.filter(
+            pc.greater(t["n_shingles"], pa.scalar(0, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    band_feats_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+         ("bands", pa.large_binary())]
+    )
+    band_src = hash_join(
+        nonzero, rep_by_key.select_columns(["rep_id"]),
+        "doc_id", "rep_id", how="semi",
+        num_partitions=cfg.join_partitions,
+        left_schema=band_feats_schema,
+        right_schema=pa.schema([("rep_id", pa.int64())]),
+    )
+    return band_src, None

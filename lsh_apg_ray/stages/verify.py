@@ -36,40 +36,20 @@ PAIRS_SCHEMA = pa.schema(
 _BIN = pa.large_binary()
 
 
-def _semi_filter_payload(pairs, payload, cfg: DedupConfig):
-    """Broadcast semi-join: keep only payload rows whose doc_id occurs in a
-    candidate pair. Returns the filtered payload (or the original when the id
-    set is too large to broadcast).
-
-    Cap: 16x cfg.broadcast_max_ids — this path only runs AFTER the main
-    broadcast-verify path hit its cap, and an id array is 8 bytes/doc (far
-    cheaper than the shingle payloads the main path would broadcast), so the
-    semi-filter stays useful well past the point the full index does not."""
-    cap = cfg.broadcast_max_ids * 16
-    ids = set()
-    too_big = False
-    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
-        batch_size=1 << 16, batch_format="numpy"
-    ):
-        ids.update(b["id_a"].tolist())
-        ids.update(b["id_b"].tolist())
-        if len(ids) > cap:
-            too_big = True
-            break
-    if too_big:
-        return payload
-    arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
-    arr.sort()
-    ref = ray.put(arr)
+def _semi_filter_payload(payload, pair_ids_ref):
+    """Worker-side semi-join: keep only payload rows whose doc_id occurs in
+    a candidate pair. Membership comes from the SAME pair-id structure the
+    caller already collected — a plain sorted-array ObjectRef or a
+    ChunkedIdSet — so there is no driver-side id collection and no size
+    ceiling (the old implementation streamed every pair block through the
+    driver into a Python set, the exact non-scaling pattern round 2
+    removed elsewhere)."""
 
     def keep(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ref)
+        from lsh_apg_ray.stages.idset import membership_mask
+
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(wanted) == 0:
-            return t.filter(pa.array(np.zeros(len(d), bool)))
-        pos = np.searchsorted(wanted, d)
-        pos[pos >= len(wanted)] = 0
-        return t.filter(pa.array(wanted[pos] == d))
+        return t.filter(pa.array(membership_mask(pair_ids_ref, d)))
 
     return payload.map_batches(keep, batch_format="pyarrow")
 
@@ -313,6 +293,6 @@ def verify_pairs(pairs, features, cfg: DedupConfig,
         from dataclasses import replace
 
         join_cfg = replace(cfg, join_partitions=adaptive)
-    payload = _semi_filter_payload(pairs, features, join_cfg)
+    payload = _semi_filter_payload(features, pair_ids_ref)
     joined = _attach_payloads(pairs, pairs_schema, payload, join_cfg)
     return joined.map_batches(exact_jaccard_fn, batch_format="pyarrow")

@@ -182,3 +182,25 @@ def test_cli_crash_resume_mid_pipeline(tmp_path):
     a, b = read_assignments(out), read_assignments(out_gold)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_skips_lsh_tier_work(small_corpus, ckpt_dir):
+    """A resumed run with a finished 'edges' checkpoint must not rebuild the
+    LSH tier: no candidate-pair shuffle, no pass-C id collection (observable
+    through the stage-metrics keys only the live path writes)."""
+    ds = rd.from_arrow(small_corpus)
+    cfg = _cfg()
+    st1: dict = {}
+    r1 = dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir,
+                        input_fingerprint="v1", stage_times=st1)
+    a1 = r1.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert "pair_ids_n" in st1  # live path collected the pair-id set
+
+    st2: dict = {}
+    r2 = dedup_pipeline(ds, cfg, checkpoint_dir=ckpt_dir,
+                        input_fingerprint="v1", stage_times=st2)
+    a2 = r2.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert "pair_ids_n" not in st2      # LSH tier skipped entirely
+    assert st2["pairs"] < 0.05          # the mark is a no-op timestamp
+    import pandas as pd
+    pd.testing.assert_frame_equal(a1, a2)

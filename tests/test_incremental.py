@@ -106,3 +106,38 @@ def test_empty_delta_is_identity(ray_session, tmp_path):
     a1 = inc.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
     cols = ["doc_id", "sha", "rep_id", "cluster_id"]
     assert a0[cols].equals(a1[cols])
+
+
+def test_delta_exact_sha_grouping_and_tiny_broadcast_cap(ray_session, tmp_path):
+    """Round-4 review fixes: (a) exact_sha_grouping=True must work in the
+    delta path (the old int64-array rep map crashed on the 32-byte sha key);
+    (b) with broadcast_max_ids forced to 1 every scale fallback (hash-join
+    rep attach, semi-join band membership, chunked pair-id set, join-path
+    verify) runs through the delta — results must equal a full recompute."""
+    full_table = generate_corpus(600, seed=51)
+    base_t = full_table.slice(0, 400)
+    delta_t = full_table.slice(400, 200)
+    base_p = str(tmp_path / "base.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(base_t, base_p)
+    pq.write_table(delta_t, delta_p)
+
+    for cfg in (
+        DedupConfig(threshold=0.7, join_partitions=4, signer_concurrency=2,
+                    batch_size=256, exact_sha_grouping=True),
+        DedupConfig(threshold=0.7, join_partitions=4, signer_concurrency=2,
+                    batch_size=256, broadcast_max_ids=1),
+    ):
+        ck = str(tmp_path / f"ck_{cfg.exact_sha_grouping}_{cfg.broadcast_max_ids}")
+        dedup_pipeline(rd.read_parquet(base_p), cfg, checkpoint_dir=ck,
+                       input_fingerprint="base")
+        inc = dedup_delta(rd.read_parquet(base_p), rd.read_parquet(delta_p),
+                          cfg, checkpoint_dir=ck, input_fingerprint="base")
+        full = dedup_pipeline(rd.read_parquet([base_p, delta_p]), cfg)
+        a_inc = inc.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        a_full = full.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        cols = ["doc_id", "sha", "rep_id", "cluster_id"]
+        assert a_inc[cols].equals(a_full[cols]), cfg
+        # the overflow contract is now surfaced on every delta run
+        m = inc.candidate_metrics
+        assert {"buckets_capped", "skipped_pairs_ub"} <= set(m.columns)
