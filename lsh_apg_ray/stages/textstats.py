@@ -10,8 +10,8 @@ are text-shaped.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import ray
 
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.hashing import (
@@ -295,14 +295,35 @@ def containment_pairs(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
     from lsh_apg_ray.joins import hash_join, out_schema
     from lsh_apg_ray.stages.pairs import candidate_pairs
 
+    from lsh_apg_ray.hashing import arrow_token_hashes
+    from lsh_apg_ray.stages.pairs import OverflowCounter
+
     hasher = TokenHasher(cfg.token_pattern)
 
     def fp_rows(batch: pa.Table) -> pa.Table:
+        """ONE vectorized tokenize+hash per batch (the kgram_rows idiom —
+        per-token work happens once per unique dictionary token), then the
+        per-doc winnow window-min over offset slices; the old per-row
+        hasher.tokenize loop allocated per-token PyObjects, the pattern the
+        module header flags as catastrophic on memory-ballooned hosts."""
+        ids_in = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids_out, fps_out = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            fps = winnow_fingerprints(hasher.token_hashes(hasher.tokenize(t)), k, w)
-            ids_out.append(np.full(len(fps), i, np.int64))
-            fps_out.append(fps.view(np.int64))
+        tok = arrow_token_hashes(batch[text_col], hasher, cfg.token_pattern)
+        if tok is not None:
+            flat_h, offsets = tok
+            for i in range(len(ids_in)):
+                fps = winnow_fingerprints(
+                    flat_h[offsets[i]: offsets[i + 1]], k, w
+                )
+                ids_out.append(np.full(len(fps), ids_in[i], np.int64))
+                fps_out.append(fps.view(np.int64))
+        else:  # non-char-class pattern: per-row fallback
+            for i, t in zip(ids_in, batch[text_col].to_pylist()):
+                fps = winnow_fingerprints(
+                    hasher.token_hashes(hasher.tokenize(t)), k, w
+                )
+                ids_out.append(np.full(len(fps), i, np.int64))
+                fps_out.append(fps.view(np.int64))
         ids_cat = np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
         fps_cat = np.concatenate(fps_out) if fps_out else np.empty(0, np.int64)
         return pa.table(
@@ -316,7 +337,22 @@ def containment_pairs(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
     from ray.data.aggregate import Count
 
     sizes = fp_ds.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
-    shared = rename_ds(candidate_pairs(fp_ds, cfg), {"n_bands": "n_shared"})
+    overflow = OverflowCounter.remote()
+    shared = rename_ds(
+        candidate_pairs(fp_ds, cfg, overflow_counter=overflow),
+        {"n_bands": "n_shared"},
+    ).materialize()
+    # the docstring promises n_shared = |F_A ∩ F_B| EXACTLY; a capped bucket
+    # would silently undercount it, so enforce the precondition (the SimHash
+    # stage makes the same choice) instead of degrading quietly
+    oc = ray.get(overflow.get.remote())
+    if oc["buckets_capped"]:
+        raise RuntimeError(
+            f"containment_pairs: {oc['buckets_capped']} fingerprint bucket(s) "
+            f"exceeded cfg.max_bucket={cfg.max_bucket} (>= {oc['skipped_pairs_ub']} "
+            f"pair-count contributions dropped) — n_shared would undercount. "
+            f"Raise cfg.max_bucket, or drop boilerplate fingerprints first."
+        )
     i64 = pa.int64()
     ps = pa.schema([("id_a", i64), ("id_b", i64), ("n_shared", i64)])
     sa = pa.schema([("id_a", i64), ("na", i64)])
@@ -354,17 +390,27 @@ def fingerprint_dataset(ds, cfg: DedupConfig, k: int = 5, w: int = 4,
     """(id, n_fingerprints, fp_xor): winnowing fingerprints per doc; fp_xor is
     an order-independent xor digest of the selected hashes (compact column
     for equality/containment screening)."""
+    from lsh_apg_ray.hashing import arrow_token_hashes
+
     hasher = TokenHasher(cfg.token_pattern)
 
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
+        n = batch.num_rows
         counts = np.empty(n, np.int64)
         xors = np.empty(n, np.int64)
-        for i, t in enumerate(texts):
-            th = hasher.token_hashes(hasher.tokenize(t))
-            fps = winnow_fingerprints(th, k, w)
+        tok = arrow_token_hashes(batch[text_col], hasher, cfg.token_pattern)
+
+        def per_doc_hashes(i):
+            if tok is not None:
+                flat_h, offsets = tok
+                return flat_h[offsets[i]: offsets[i + 1]]
+            return hasher.token_hashes(
+                hasher.tokenize(batch[text_col][i].as_py())
+            )
+
+        for i in range(n):
+            fps = winnow_fingerprints(per_doc_hashes(i), k, w)
             counts[i] = len(fps)
             x = np.uint64(0)
             if len(fps):
@@ -398,10 +444,17 @@ def repetition_stats(ds, cfg: DedupConfig | None = None,
     int64); in-doc collisions are the only divergence from string identity
     (~len^2/2^64, negligible) and the string-comparing SQL oracle gates it.
     """
-    from lsh_apg_ray.hashing import _GOLDEN
+    from lsh_apg_ray.hashing import _GOLDEN, _split_pattern_of
 
     cfg = cfg or DedupConfig()
     pattern = cfg.token_pattern
+    if _split_pattern_of(pattern) is None:
+        # eager call-time validation: the worker-side assert would surface
+        # as an opaque remote-task death (and vanish under python -O)
+        raise ValueError(
+            f"repetition_stats needs a plain char-class token pattern like "
+            f"[a-z0-9_]+, got {pattern!r}"
+        )
 
     def run_counts(doc_of: np.ndarray, key: np.ndarray):
         """(run_doc, run_count) for equal (doc, key) runs."""

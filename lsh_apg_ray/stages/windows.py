@@ -14,7 +14,6 @@ aggregate: fully vectorized, no map_groups.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -124,13 +123,18 @@ def hopping_aggregate(events, key: str, ts_col: str, width_s: int, hop_s: int,
 
 
 def sessionize(events, key: str, ts_col: str, gap_s: int,
-               num_partitions: int = 16):
+               num_partitions: int = 16, tie_col: str = "event_id"):
     """Session windows: a new session starts when the gap to the previous
     event of the same key exceeds gap_s seconds.
 
+    Input contract: `events` must carry `key`, `ts_col` and `tie_col` — a
+    unique per-event column (default "event_id") that breaks equal-timestamp
+    ties so the sort order, and therefore the session boundaries, are
+    deterministic across block layouts.
+
     Physical plan: hash-partition by key into `num_partitions` COARSE
     partitions (all events of one key co-locate), then ONE vectorized pass
-    per partition: lexsort by (key, ts, event_id), detect session boundaries
+    per partition: lexsort by (key, ts, tie_col), detect session boundaries
     across all keys of the partition at once (key-change OR gap), and reduce
     per-session aggregates with run-length numpy. No per-key Python — the
     round-1 groupby(key).map_groups version invoked pandas once per user,
@@ -150,9 +154,12 @@ def sessionize(events, key: str, ts_col: str, gap_s: int,
     def per_partition(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
+            # key column keeps the INPUT type (a hardcoded int64 here would
+            # produce a schema that diverges from non-empty blocks whenever
+            # the key is a string)
             return pa.table(
                 {
-                    key: pa.array([], pa.int64()),
+                    key: pa.array([], t.schema.field(key).type),
                     "session_seq": pa.array([], pa.int64()),
                     "session_start": pa.array([], pa.timestamp("us")),
                     "session_end": pa.array([], pa.timestamp("us")),
@@ -161,7 +168,7 @@ def sessionize(events, key: str, ts_col: str, gap_s: int,
             )
         keys = t[key].to_numpy(zero_copy_only=False)
         us = _epoch_us(t[ts_col])
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        eid = t[tie_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, us, keys))
         keys, us = keys[order], us[order]
         key_change = np.empty(n, dtype=bool)
