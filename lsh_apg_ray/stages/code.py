@@ -1,0 +1,536 @@
+"""Code-corpus curation operators over the BASELINE.json input_hint shape
+(repo, path, commit, lang, content): line-level boilerplate dedup,
+repo-level fork detection, license scanning, and per-file shape stats.
+
+These are the dedup engine's payload-specific tier — the operations a user
+running LSH-APG-style dedup over source-code repositories needs *around*
+the document-level near-dup pipeline (the reference dedups whole vectors /
+whole files; real code corpora also need sub-document and super-document
+granularities):
+
+  - `line_dedup`: remove lines duplicated across >= min_df documents
+    (license headers, generated banners, include blocks) — the line-level
+    analogue of the flagship's exact tier. Two source scans, ONE
+    vocabulary-sized exchange (the line census, pre-aggregated per batch),
+    hot-line set broadcast once (decontam's small-side pattern,
+    SURVEY.md ST6). Content never shuffles.
+  - `repo_fork_pairs`: repo granularity — Jaccard over each repo's set of
+    distinct file-content keys, restricted to contents present in at most
+    `max_sha_df` repos (a file in every repo is boilerplate, not fork
+    evidence — and the restriction is also what bounds pair blowup, the
+    same role cfg.max_bucket plays in `candidate_pairs`, pairs.py). The
+    pair machinery IS `candidate_pairs` with (band_hash=content key,
+    doc_id=repo id): the reference's bucket self-probe (e2lsh.cpp:131-200)
+    reused at repository granularity.
+  - `license_scan`: per-file first-match license classification (RE2, the
+    engine DuckDB also uses) -> per-(repo, license) census, pre-aggregated
+    per batch so the exchange is census-sized.
+  - `code_shape_stats`: per-file line-shape integers (showDataset-style
+    M11 scan, Preprocess.h:153-162 analogue) — one vectorized pass.
+
+Exactness: lines/contents are compared as 64-bit blake2b hashes inside the
+engine while every SQL oracle compares true strings — a cross-string
+collision is the only divergence (~n^2/2^64; the oracle gate would catch
+one at test scale). Same contract as stages/decontam.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ray.data.aggregate import Count, Sum
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import hash64_bytes, segment_sums
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# shared: vectorized line splitting (Arrow-native; parity with DuckDB's
+# string_split(content, chr(10)) — '' -> [''], trailing \n -> trailing '')
+# ---------------------------------------------------------------------------
+
+def _line_split(col) -> tuple[pa.ListArray, np.ndarray]:
+    """content column -> (list<string> of lines, offsets[n+1] int64)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sp = pc.split_pattern(col, pattern="\n")
+    return sp, np.asarray(sp.offsets, dtype=np.int64)
+
+
+def _line_hashes(sp: pa.ListArray) -> np.ndarray:
+    """u64 hash per flattened line; each UNIQUE line hashed once (dictionary
+    encode first — the arrow_token_index discipline, hashing.py)."""
+    de = pc.dictionary_encode(sp.values)
+    dict_h = np.fromiter(
+        (hash64_bytes(s.encode()) for s in de.dictionary.to_pylist()),
+        dtype=_U64,
+        count=len(de.dictionary),
+    )
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return dict_h[idx] if len(idx) else np.empty(0, _U64)
+
+
+@ray.remote
+def _pack_sorted_u64(*blocks):
+    """Union + sort int64 single-column blocks into one u64 membership array
+    (worker-task small-side pack — the driver never holds the bytes)."""
+    parts = [
+        b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in blocks
+        if b.num_rows
+    ]
+    if not parts:
+        return np.empty(0, _U64)
+    return np.unique(np.concatenate(parts).view(_U64))
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup
+# ---------------------------------------------------------------------------
+
+def hot_lines_ref(ds, min_df: int, content_col: str = "content"):
+    """ObjectRef[sorted u64 hashes of lines present in >= min_df docs].
+
+    Census exchange: each batch emits (line_hash, partial_df) with per-doc
+    dedupe done batch-locally — every doc lives in exactly one batch row, so
+    summing partials over the groupby gives the exact distinct-doc count.
+    The post-filter hot set is boilerplate-sized; it is packed in ONE remote
+    task from the filtered block refs and broadcast by ObjectRef."""
+
+    def census(t: pa.Table) -> pa.Table:
+        sp, offsets = _line_split(t[content_col])
+        h = _line_hashes(sp)
+        n_docs = len(offsets) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        order = np.lexsort((h, doc_of))
+        d_s, h_s = doc_of[order], h[order]
+        keep = np.ones(len(h_s), bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        uh, counts = np.unique(h_s[keep], return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64), pa.int64()),
+                         "df": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["df"], pa.scalar(int(min_df), pa.int64()))
+        ).select(["h"])
+
+    hot = (
+        ds.select_columns([content_col])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(only_hot, batch_format="pyarrow")
+    )
+    return _pack_sorted_u64.remote(*hot.to_arrow_refs())
+
+
+def line_dedup(ds, min_df: int = 3, content_col: str = "content",
+               id_col: str = "doc_id"):
+    """Remove lines appearing in >= min_df distinct documents.
+
+    Output: (id, n_lines, n_dup_lines, cleaned) — n_dup_lines counts line
+    INSTANCES whose text is corpus-hot; `cleaned` is the document with those
+    lines deleted (surviving lines re-joined with \\n, '' when none survive).
+
+    Two scans of the source (census, then clean — the flagship's pass-A/
+    pass-C shape, pipelines/dedup.py); the only exchange is the pre-
+    aggregated census groupby. 100-TB stance: the broadcast is the HOT set
+    (df >= min_df boilerplate), not the line vocabulary — bounded by
+    duplicated-content volume; shard by hash prefix if it ever isn't."""
+    hot_ref = hot_lines_ref(ds, min_df, content_col)
+
+    def clean(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)  # plasma read, zero-copy, once per task
+        sp, offsets = _line_split(t[content_col])
+        h = _line_hashes(sp)
+        pos = np.searchsorted(hot, h)
+        is_hot = (pos < len(hot)) & (hot[np.minimum(pos, max(len(hot) - 1, 0))] == h) \
+            if len(hot) else np.zeros(len(h), bool)
+        n_lines = np.diff(offsets)
+        n_dup = segment_sums(is_hot.astype(np.int64), offsets)
+        keep = ~is_hot
+        cs = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(keep, out=cs[1:])
+        new_offsets = cs[offsets]
+        kept_vals = sp.values.filter(pa.array(keep)) if len(keep) else sp.values
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_vals
+        )
+        cleaned = pc.binary_join(la, "\n")
+        # docs whose every line was hot: join over [] yields '' already
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dup_lines": pa.array(n_dup, pa.int64()),
+                "cleaned": cleaned,
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repo-level fork detection
+# ---------------------------------------------------------------------------
+
+def _content_repo_keys(t: pa.Table, content_col: str, repo_col: str) -> pa.Table:
+    """Per batch: batch-deduped (band_hash=content key, doc_id=repo id).
+    Content key = first 8 bytes of sha256 (MetaPrep's sha_key contract,
+    prep.py) so fork detection composes with the exact tier's keys."""
+    texts = t[content_col].to_pylist()
+    repos = t[repo_col]
+    if isinstance(repos, pa.ChunkedArray):
+        repos = repos.combine_chunks()
+    rde = pc.dictionary_encode(repos)
+    rdict_h = np.fromiter(
+        (hash64_bytes(s.encode()) & 0x7FFF_FFFF_FFFF_FFFF
+         for s in rde.dictionary.to_pylist()),
+        dtype=np.int64,
+        count=len(rde.dictionary),
+    )
+    rid = rdict_h[rde.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    sha = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(x.encode()).digest()[:8], "little",
+                           signed=True)
+            for x in texts
+        ),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    order = np.lexsort((rid, sha))
+    sha, rid = sha[order], rid[order]
+    keep = np.ones(len(sha), bool)
+    keep[1:] = (sha[1:] != sha[:-1]) | (rid[1:] != rid[:-1])
+    return pa.table(
+        {
+            "band_hash": pa.array(sha[keep], pa.int64()),
+            "doc_id": pa.array(rid[keep], pa.int64()),
+        }
+    )
+
+
+def _repo_dim(ds, repo_col: str, num_partitions: int):
+    """Distinct (repo_id, repo) — coarse-partitioned distinct, never one
+    group per repo (pairs.py's partition-layout note)."""
+
+    def keys(t: pa.Table) -> pa.Table:
+        repos = t[repo_col]
+        if isinstance(repos, pa.ChunkedArray):
+            repos = repos.combine_chunks()
+        u = pc.unique(repos)
+        rid = np.fromiter(
+            (hash64_bytes(s.encode()) & 0x7FFF_FFFF_FFFF_FFFF
+             for s in u.to_pylist()),
+            dtype=np.int64,
+            count=len(u),
+        )
+        return pa.table(
+            {
+                "repo_id": pa.array(rid, pa.int64()),
+                repo_col: u,
+                "__dpart": pa.array(rid % np.int64(num_partitions), pa.int64()),
+            }
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.select(["repo_id", repo_col]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates("repo_id"), preserve_index=False
+        )
+
+    return (
+        ds.select_columns([repo_col])
+        .map_batches(keys, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
+                    max_sha_df: int = 64, content_col: str = "content",
+                    repo_col: str = "repo"):
+    """Repo pairs sharing a >= theta Jaccard of distinct file contents
+    (fork / heavy-vendoring detection).
+
+    Universe restriction: contents present in > max_sha_df repos are
+    excluded from BOTH the intersection and each repo's set size (a file in
+    every repo is boilerplate, not fork evidence) — this is also what keeps
+    per-content pair emission bounded at C(max_sha_df, 2), so no bucket cap
+    ever truncates and the counts stay exact.
+
+    Output: (repo_a, repo_b, n_shared, na, nb, jaccard), repo_a < repo_b in
+    STRING order. Plan: batch-deduped (content_key, repo_id) -> global
+    distinct + df census [groupby] -> hot keys broadcast -> eligible rows ->
+    `candidate_pairs` at repo granularity (n_bands == |shared contents|
+    exactly, allpairs.py's raw-key property) -> two size joins + one name
+    join per side (hash_join; every side ids-only)."""
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.joins import hash_join, out_schema
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+
+    from lsh_apg_ray.hashing import mix64
+
+    cfg = cfg or DedupConfig()
+    jp = cfg.join_partitions
+
+    def with_fpart(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (mix64(bh.view(_U64)) % _U64(jp)).astype(np.int64)
+        return t.append_column("__fpart", pa.array(part, pa.int64()))
+
+    # global distinct via COARSE partitions (all rows of one content key
+    # co-locate; never one group per key — pairs.py's layout discipline)
+    fr = (
+        ds.select_columns([repo_col, content_col])
+        .map_batches(
+            lambda t: _content_repo_keys(t, content_col, repo_col),
+            batch_format="pyarrow",
+        )
+        .map_batches(with_fpart, batch_format="pyarrow")
+        .groupby("__fpart")
+        .map_groups(_distinct_rows, batch_format="pyarrow")
+        .materialize()  # ids only (16 B/row); feeds census + pairs + sizes
+    )
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t["df"], pa.scalar(int(max_sha_df), pa.int64()))
+        ).select(["band_hash"])
+
+    hot = (
+        fr.groupby("band_hash")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(only_hot, batch_format="pyarrow")
+    )
+    hot_ref = _pack_sorted_u64.remote(*hot.to_arrow_refs())
+
+    def eligible(t: pa.Table) -> pa.Table:
+        hotk = ray.get(hot_ref)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(hotk):
+            return t
+        u = bh.view(_U64)
+        pos = np.searchsorted(hotk, u)
+        is_hot = (pos < len(hotk)) & (hotk[np.minimum(pos, len(hotk) - 1)] == u)
+        return t.filter(pa.array(~is_hot))
+
+    elig = fr.map_batches(eligible, batch_format="pyarrow").materialize()
+    # max_bucket >= max_sha_df -> no star/chain truncation, counts exact
+    pcfg = DedupConfig(
+        threshold=cfg.threshold,
+        join_partitions=cfg.join_partitions,
+        max_bucket=max(cfg.max_bucket, max_sha_df + 1),
+    )
+    pairs = rename_ds(candidate_pairs(elig, pcfg), {"n_bands": "n_shared"})
+    sizes = elig.groupby("doc_id").aggregate(Count(alias_name="n"))
+
+    i64 = pa.int64()
+    ps = pa.schema([("id_a", i64), ("id_b", i64), ("n_shared", i64)])
+    sa = pa.schema([("id_a", i64), ("na", i64)])
+    sb = pa.schema([("id_b", i64), ("nb", i64)])
+    j1 = hash_join(
+        pairs,
+        rename_ds(sizes, {"doc_id": "id_a", "n": "na"}),
+        "id_a",
+        num_partitions=cfg.join_partitions,
+        left_schema=ps,
+        right_schema=sa,
+    )
+    j2 = hash_join(
+        j1,
+        rename_ds(sizes, {"doc_id": "id_b", "n": "nb"}),
+        "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(ps, sa, "id_a"),
+        right_schema=sb,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        sh = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = sh / (na + nb - sh)
+        t = t.append_column("jaccard", pa.array(j, pa.float64()))
+        return t.filter(pa.array(j >= theta))
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    dim = _repo_dim(ds, repo_col, cfg.join_partitions)
+    ss = out_schema(out_schema(ps, sa, "id_a"), sb, "id_b").append(
+        pa.field("jaccard", pa.float64())
+    )
+    da = pa.schema([("id_a", i64), ("repo_a", pa.string())])
+    db = pa.schema([("id_b", i64), ("repo_b", pa.string())])
+    n1 = hash_join(
+        scored,
+        rename_ds(dim, {"repo_id": "id_a", repo_col: "repo_a"}),
+        "id_a",
+        num_partitions=cfg.join_partitions,
+        left_schema=ss,
+        right_schema=da,
+    )
+    n2 = hash_join(
+        n1,
+        rename_ds(dim, {"repo_id": "id_b", repo_col: "repo_b"}),
+        "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(ss, da, "id_a"),
+        right_schema=db,
+    )
+
+    def canonical(t: pa.Table) -> pa.Table:
+        """(repo_a < repo_b) in STRING order — swap names AND sizes."""
+        ra = np.asarray(t["repo_a"].to_pylist(), dtype=object)
+        rb = np.asarray(t["repo_b"].to_pylist(), dtype=object)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        swap = ra > rb
+        ra2 = np.where(swap, rb, ra)
+        rb2 = np.where(swap, ra, rb)
+        na2 = np.where(swap, nb, na)
+        nb2 = np.where(swap, na, nb)
+        return pa.table(
+            {
+                "repo_a": pa.array(ra2.tolist(), pa.string()),
+                "repo_b": pa.array(rb2.tolist(), pa.string()),
+                "n_shared": t["n_shared"],
+                "na": pa.array(na2, pa.int64()),
+                "nb": pa.array(nb2, pa.int64()),
+                "jaccard": t["jaccard"],
+            }
+        )
+
+    return n2.map_batches(canonical, batch_format="pyarrow")
+
+
+def _distinct_rows(g: pa.Table) -> pa.Table:
+    """Distinct (band_hash, doc_id) within one group block (vectorized)."""
+    bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(bh):
+        return g.select(["band_hash", "doc_id"])
+    order = np.lexsort((did, bh))
+    bh, did = bh[order], did[order]
+    keep = np.ones(len(bh), bool)
+    keep[1:] = (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
+    return pa.table(
+        {
+            "band_hash": pa.array(bh[keep], pa.int64()),
+            "doc_id": pa.array(did[keep], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# license scanning
+# ---------------------------------------------------------------------------
+
+# (label, RE2 pattern) — FIRST match in this order classifies the file; both
+# engines (pyarrow.compute and DuckDB) run RE2, so semantics match exactly.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("apache-2.0", r"licensed under the apache license"),
+    ("mit", r"permission is hereby granted, free of charge"),
+    ("gpl", r"gnu general public license"),
+]
+
+
+def license_scan(ds, content_col: str = "content", repo_col: str = "repo",
+                 patterns: list[tuple[str, str]] | None = None):
+    """Per-(repo, license) file census; license is the first matching class
+    (priority = list order), 'none' otherwise. One vectorized RE2 match per
+    class per batch, counts pre-aggregated per batch so the groupby exchange
+    is census-sized (#repos x #classes), never row-sized."""
+    patterns = patterns if patterns is not None else LICENSE_PATTERNS
+
+    def classify(t: pa.Table) -> pa.Table:
+        col = t[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        label_idx = np.full(n, len(patterns), np.int64)  # default: none
+        for i, (_, pat) in reversed(list(enumerate(patterns))):
+            m = pc.match_substring_regex(col, pattern=pat).to_numpy(
+                zero_copy_only=False
+            )
+            label_idx[m] = i
+        labels = np.array([name for name, _ in patterns] + ["none"], object)
+        repos = t[repo_col]
+        if isinstance(repos, pa.ChunkedArray):
+            repos = repos.combine_chunks()
+        rde = pc.dictionary_encode(repos)
+        ridx = rde.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        combo = ridx * (len(patterns) + 1) + label_idx
+        uc, counts = np.unique(combo, return_counts=True)
+        rdict = rde.dictionary.to_pylist()
+        return pa.table(
+            {
+                repo_col: pa.array(
+                    [rdict[c // (len(patterns) + 1)] for c in uc], pa.string()
+                ),
+                "license": pa.array(
+                    [labels[c % (len(patterns) + 1)] for c in uc], pa.string()
+                ),
+                "n_files": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([repo_col, content_col])
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby([repo_col, "license"])
+        .aggregate(Sum("n_files", alias_name="n_files"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-file shape stats
+# ---------------------------------------------------------------------------
+
+def code_shape_stats(ds, content_col: str = "content",
+                     id_col: str = "doc_id"):
+    """(id, n_chars, n_lines, max_line_len, total_line_len): one vectorized
+    pass — line split, flattened utf8_length, segmented max/sum. The M11
+    showDataset scan (Preprocess.h:153-162) in code shape."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        sp, offsets = _line_split(t[content_col])
+        lens = pc.utf8_length(sp.values).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_lines = np.diff(offsets)
+        # every doc has >= 1 line ('' splits to ['']), so reduceat is safe
+        max_len = (
+            np.maximum.reduceat(lens, offsets[:-1])
+            if len(lens)
+            else np.empty(0, np.int64)
+        )
+        total = segment_sums(lens, offsets)
+        col = t[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_chars = pc.utf8_length(col).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": n_chars,
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "max_line_len": pa.array(max_len, pa.int64()),
+                "total_line_len": pa.array(total, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -42,6 +42,16 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 
+# committed-credential scanning over code corpora — same staged count+mask
+# kernel (redact_pii), code-shaped pattern classes. RE2-safe, identical in
+# DuckDB (the oracle replays the staging verbatim).
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("gh_token", r"\bghp_[A-Za-z0-9]{36}\b", "<GH_TOKEN>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ("hex_secret", r"\b[0-9a-f]{40}\b", "<HEX_SECRET>"),
+]
+
 
 def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id",
                patterns: list[tuple[str, str, str]] = PII_PATTERNS):
