@@ -1,0 +1,284 @@
+"""Cross-corpus dedup filter: flag every DELTA document that duplicates a
+BASE corpus — exact tier (content sha) then near tier (MinHash banding +
+exact-Jaccard verify), without ever comparing delta docs to each other.
+
+This is the "dedupe the new crawl against the training set" operation — the
+third face of the flagship machinery (dedup_pipeline = within-corpus;
+incremental.dedup_delta = fold delta INTO the state; dedup_against = FILTER
+delta BY the base). The reference's analogue is probing a built index with
+held-out queries (e2lsh.cpp:131-200 knn probe vs the construction-time
+self-probe J4), re-expressed side-tagged: base rows enter the band shuffle
+with negated ids, so a candidate pair is cross-side iff its ids differ in
+sign, and the canonical (id_a < id_b) pair order puts the base doc first —
+no membership structure is ever needed to tell the sides apart.
+
+Dataflow (all shared machinery):
+  fused single scan per side (minhash.make_fused_prep_fn — sha + bands, no
+  shingle payload) -> base rep table (reptier.rep_table) -> exact tier =
+  sorted-map lookup / left hash join of delta sha_key into base reps ->
+  near tier over representatives of BOTH sides (base reps negated) ->
+  candidate_pairs cross-filtered -> verify on a pass-C payload re-derived
+  per SIDE from each source, restricted to pair-involved ids
+  (minhash.make_shingle_payload_fn) -> per-delta-doc assembly through the
+  delta's own rep map.
+
+Exactness contract: a capped band bucket preserves connectivity, not direct
+pair coverage — enough for the flagship's connected components, NOT for a
+direct match filter. Buckets here hold unique-content representatives only,
+so caps never fire on realistic corpora; if one does, this pipeline RAISES
+with remediation instead of silently losing recall (the containment_pairs /
+SimHash contract).
+
+100-TB stance: every lookup map has a broadcast path under
+cfg.broadcast_max_ids and a partitioned left-join path above it; the
+shingle payload exists only for pair-involved docs per side; nothing
+delta- or base-sized is ever driver-resident.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ray.data.aggregate import Min
+
+from lsh_apg_ray.config import DedupConfig
+
+_NEG = np.int64(-1)
+
+
+@ray.remote(num_returns=2)
+def _split_signed(ids: np.ndarray):
+    """Sign-encoded sorted pair-id set -> (sorted base natural ids,
+    sorted delta natural ids). Encoding: base' = -(base+1)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    neg = ids[ids < 0]
+    pos = ids[ids >= 0]
+    return np.sort(-neg - 1), pos  # pos already ascending
+
+
+def _attach_lookup(ds, key_col: str, out_col: str, map_ds, map_key: str,
+                   map_val: str, cfg: DedupConfig, n_map: int,
+                   ds_schema: pa.Schema):
+    """Attach map[key] (or -1 on miss) as `out_col`. Broadcast sorted-array
+    lookup under cfg.broadcast_max_ids; partitioned LEFT hash join above it
+    (reptier.attach_rep's two dataflows, miss-tolerant)."""
+    from lsh_apg_ray.stages.reptier import pack_sorted_map
+
+    if n_map <= cfg.broadcast_max_ids:
+        ref = pack_sorted_map.remote(
+            *map_ds.to_arrow_refs(), key=map_key, val=map_val
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)  # zero-copy plasma views
+            x = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(k) == 0 or len(x) == 0:
+                out = np.full(len(x), _NEG)
+            else:
+                pos = np.clip(np.searchsorted(k, x), 0, len(k) - 1)
+                out = np.where(k[pos] == x, v[pos], _NEG)
+            return t.append_column(out_col, pa.array(out, pa.int64()))
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.joins import hash_join
+
+    joined = hash_join(
+        ds,
+        rename_ds(map_ds.select_columns([map_key, map_val]),
+                  {map_key: key_col, map_val: out_col}),
+        key_col,
+        how="left",
+        num_partitions=cfg.join_partitions,
+        left_schema=ds_schema,
+        right_schema=pa.schema([(key_col, pa.int64()), (out_col, pa.int64())]),
+    )
+    return joined.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index(out_col), out_col,
+            pc.fill_null(t[out_col], pa.scalar(-1, pa.int64())),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_against(
+    base_ds,
+    delta_ds,
+    cfg: DedupConfig,
+    content_col: str = "content",
+    id_col: str | None = None,
+):
+    """-> Dataset with one row per DELTA doc: (doc_id, base_id, tier).
+
+    tier: 'exact' (content sha equals some base doc), 'near' (exact shingle
+    Jaccard >= cfg.threshold against some base content), or 'none'.
+    base_id: the MINIMUM matching base doc_id for the winning tier, -1 for
+    'none' — deterministic under any execution order.
+    """
+    from lsh_apg_ray.stages.bands import band_explode_precomputed
+    from lsh_apg_ray.stages.minhash import (
+        make_fused_prep_fn,
+        make_shingle_payload_fn,
+    )
+    from lsh_apg_ray.stages.pairs import OverflowCounter, candidate_pairs
+    from lsh_apg_ray.stages.reptier import band_source, rep_table
+    from lsh_apg_ray.stages.verify import collect_pair_ids, verify_pairs
+
+    def feats_of(src):
+        return src.map_batches(
+            make_fused_prep_fn(cfg, content_col=content_col, id_col=id_col),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        ).materialize()
+
+    base_feats = feats_of(base_ds)
+    delta_feats = feats_of(delta_ds)
+
+    # ---- exact tier: delta sha_key -> min base doc_id (or -1) ----
+    base_reps = rep_table(base_feats, "sha_key")  # (sha_key, rep_id)
+    n_base_unique = base_reps.count()
+    delta_meta = delta_feats.select_columns(["doc_id", "sha_key"])
+    meta_schema = pa.schema([("doc_id", pa.int64()), ("sha_key", pa.int64())])
+    exact = _attach_lookup(
+        delta_meta, "sha_key", "exact_base", base_reps, "sha_key", "rep_id",
+        cfg, n_base_unique, meta_schema,
+    ).materialize()  # (doc_id, sha_key, exact_base); consumed twice
+
+    # ---- near tier inputs: representatives of both sides ----
+    # delta side: only contents NOT resolved by the exact tier probe on
+    # (same shingle sets as their base twin -> nothing new to learn)
+    delta_open = exact.map_batches(
+        lambda t: t.filter(pc.equal(t["exact_base"], pa.scalar(-1, pa.int64()))),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "sha_key"])
+    from lsh_apg_ray.joins import hash_join
+
+    open_feats = hash_join(
+        delta_feats.select_columns(["doc_id", "sha_key", "n_shingles", "bands"]),
+        delta_open.select_columns(["doc_id"]),
+        "doc_id",
+        how="semi",
+        num_partitions=cfg.join_partitions,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("sha_key", pa.int64()),
+             ("n_shingles", pa.int64()), ("bands", pa.large_binary())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).materialize()
+    delta_reps = rep_table(open_feats, "sha_key")
+    n_delta_unique = delta_reps.count()
+
+    base_band_src, _ = band_source(base_feats, base_reps, cfg, n_base_unique)
+    delta_band_src, _ = band_source(open_feats, delta_reps, cfg, n_delta_unique)
+
+    def negate_ids(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(-d - 1, pa.int64()),
+        )
+
+    bands = band_explode_precomputed(
+        base_band_src.map_batches(negate_ids, batch_format="pyarrow"), cfg
+    ).union(band_explode_precomputed(delta_band_src, cfg))
+
+    overflow = OverflowCounter.remote()
+    raw_pairs = candidate_pairs(bands, cfg, overflow_counter=overflow)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((a < 0) & (b >= 0)))
+
+    pairs = raw_pairs.map_batches(cross_only, batch_format="pyarrow").materialize()
+    oc = ray.get(overflow.get.remote())
+    if oc["buckets_capped"]:
+        raise RuntimeError(
+            f"dedup_against: {oc['buckets_capped']} band bucket(s) exceeded "
+            f"cfg.max_bucket={cfg.max_bucket} — a capped bucket preserves "
+            f"connectivity, not direct cross-side pair coverage, so the "
+            f"filter could silently miss matches. Raise cfg.max_bucket (the "
+            f"buckets hold unique-content representatives, so this indicates "
+            f"heavy boilerplate: consider line_dedup first)."
+        )
+
+    # ---- pass-C payload per side (pair-involved docs only) ----
+    pair_ids_ref = collect_pair_ids.remote(
+        *pairs.select_columns(["id_a", "id_b"]).to_arrow_refs()
+    )
+    base_ids_ref, delta_ids_ref = _split_signed.remote(pair_ids_ref)
+    payload_base = base_ds.map_batches(
+        make_shingle_payload_fn(cfg, base_ids_ref, content_col=content_col,
+                                id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).map_batches(negate_ids, batch_format="pyarrow")
+    payload_delta = delta_ds.map_batches(
+        make_shingle_payload_fn(cfg, delta_ids_ref, content_col=content_col,
+                                id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    payload = payload_base.union(payload_delta)
+
+    verified = verify_pairs(pairs, payload, cfg, pair_ids_ref=pair_ids_ref)
+    edges = verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.threshold)),
+        batch_format="pyarrow",
+    )
+
+    # per delta REP: min matching base natural id (id_a is the base side by
+    # the sign trick: id_a < 0 <= id_b after canonical ordering)
+    def decode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "rep_id": t["id_b"],
+                "bnat": pa.array(-a - 1, pa.int64()),
+            }
+        )
+
+    near_by_rep = (
+        edges.map_batches(decode, batch_format="pyarrow")
+        .groupby("rep_id")
+        .aggregate(Min("bnat", alias_name="near_base"))
+    ).materialize()
+    n_near = near_by_rep.count()
+
+    # ---- assemble per delta doc ----
+    # attach the delta-rep id to every open delta doc (its own content
+    # class), then the rep's near result; exact-tier docs pass through
+    open_with_rep = _attach_lookup(
+        exact, "sha_key", "rep", delta_reps, "sha_key", "rep_id", cfg,
+        n_delta_unique,
+        pa.schema([("doc_id", pa.int64()), ("sha_key", pa.int64()),
+                   ("exact_base", pa.int64())]),
+    )
+    with_near = _attach_lookup(
+        open_with_rep, "rep", "near_base", near_by_rep, "rep_id", "near_base",
+        cfg, n_near,
+        pa.schema([("doc_id", pa.int64()), ("sha_key", pa.int64()),
+                   ("exact_base", pa.int64()), ("rep", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ex = t["exact_base"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = t["near_base"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base_id = np.where(ex >= 0, ex, nr)
+        tier = np.where(
+            ex >= 0, "exact", np.where(nr >= 0, "near", "none")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "base_id": pa.array(base_id, pa.int64()),
+                "tier": pa.array(tier.tolist(), pa.string()),
+            }
+        )
+
+    return with_near.map_batches(finish, batch_format="pyarrow")

@@ -2865,6 +2865,79 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def q_dedup_against(sf_dir: str):
+    """Cross-corpus dedup filter ("dedupe the new crawl against the training
+    set"): delta docs (doc_id % 5 == 3) are flagged against the base corpus
+    — exact tier (content sha) then near tier (banding + exact Jaccard >=
+    0.7), never comparing delta docs to each other. Same recall-1.0 config
+    contract as corpus_dedup, so the EXACT cross-side SQL gates it."""
+    from lsh_apg_ray.pipelines.crossdedup import dedup_against
+
+    corpus, _, _ = _corpus_and_dump(sf_dir)
+    cid = corpus.map_batches(_with_doc_id, batch_format="pyarrow")
+
+    def side(want_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (ids % 5) == 3
+            return t.filter(pa.array(m if want_delta else ~m))
+
+        return cid.map_batches(f, batch_format="pyarrow")
+
+    return dedup_against(side(False), side(True), _cfg(),
+                         content_col="content", id_col="doc_id")
+
+
+SQL_DEDUP_AGAINST = f"""
+WITH corpus AS (
+  SELECT doc_id, content
+  FROM read_parquet('{_dump_path(_SQL_SF, "corpus_ids")}/*.parquet')
+),
+delta AS (SELECT * FROM corpus WHERE doc_id % 5 = 3),
+base  AS (SELECT * FROM corpus WHERE doc_id % 5 <> 3),
+exact AS (
+  SELECT d.doc_id, min(b.doc_id) AS bid
+  FROM delta d JOIN base b ON d.content = b.content GROUP BY d.doc_id
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(content), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ws
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(ws) - 2)) g(i)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+cross_inter AS (
+  SELECT dd.doc_id AS did, bb.doc_id AS bid,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh ds JOIN sh bs ON ds.s = bs.s
+  JOIN delta dd ON dd.doc_id = ds.doc_id
+  JOIN base bb ON bb.doc_id = bs.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT did, min(bid) AS bid
+  FROM cross_inter
+  JOIN sizes sa ON sa.doc_id = did
+  JOIN sizes sb ON sb.doc_id = bid
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {THETA}
+    AND did NOT IN (SELECT doc_id FROM exact)
+  GROUP BY did
+)
+SELECT d.doc_id,
+       COALESCE(e.bid, n.bid, -1) AS base_id,
+       CASE WHEN e.bid IS NOT NULL THEN 'exact'
+            WHEN n.bid IS NOT NULL THEN 'near' ELSE 'none' END AS tier
+FROM delta d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.did = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -2926,6 +2999,7 @@ QUERIES = {
     "license_scan": q_license_scan,
     "code_stats": q_code_stats,
     "scan_secrets": q_scan_secrets,
+    "dedup_against": q_dedup_against,
 }
 
 ORACLE_SQL = {
@@ -3013,4 +3087,5 @@ ORACLE_SQL = {
     "license_scan": SQL_LICENSE_SCAN,
     "code_stats": SQL_CODE_STATS,
     "scan_secrets": SQL_SCAN_SECRETS,
+    "dedup_against": SQL_DEDUP_AGAINST,
 }

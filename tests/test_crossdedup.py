@@ -1,0 +1,135 @@
+"""Cross-corpus dedup filter (pipelines/crossdedup.py) vs a naive reference
+and across its two lookup dataflows (broadcast vs partitioned left join)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.hashing import TokenHasher, shingle_hashes
+from lsh_apg_ray.pipelines.crossdedup import dedup_against
+
+
+def _mk(words_list):
+    return [" ".join(w) for w in words_list]
+
+
+def _corpora():
+    """Base/delta with planted exact + near + novel delta docs."""
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(60)]
+
+    def doc(n, seed):
+        r = np.random.default_rng(seed)
+        return " ".join(vocab[int(i)] for i in r.integers(0, len(vocab), n))
+
+    base_docs = {100 + i: doc(40, 1000 + i) for i in range(8)}
+    # a second base doc sharing content with base 100 (rep = min id)
+    base_docs[150] = base_docs[100]
+    delta_docs = {
+        3: base_docs[102],                       # exact dup of base 102
+        8: base_docs[150],                       # exact dup of contents 100/150
+        13: base_docs[103] + " tok0 tok1",       # near dup of base 103
+        18: doc(40, 99),                          # novel
+        23: doc(40, 98),                          # novel
+        28: base_docs[103] + " tok0 tok1",       # same content as delta 13
+    }
+    return base_docs, delta_docs
+
+
+def _naive(base_docs, delta_docs, cfg: DedupConfig):
+    hasher = TokenHasher(cfg.token_pattern)
+
+    def sh(t):
+        return set(
+            shingle_hashes(
+                hasher.token_hashes(hasher.tokenize(t)), cfg.shingle_k
+            ).tolist()
+        )
+
+    bsh = {i: sh(t) for i, t in base_docs.items()}
+    out = {}
+    for d, t in delta_docs.items():
+        exact = [i for i, bt in base_docs.items() if bt == t]
+        if exact:
+            out[d] = (min(exact), "exact")
+            continue
+        ds_ = sh(t)
+        near = []
+        for i, bs in bsh.items():
+            un = len(ds_ | bs)
+            if un and len(ds_ & bs) / un >= cfg.threshold:
+                near.append(i)
+        out[d] = (min(near), "near") if near else (-1, "none")
+    return out
+
+
+def _tables(base_docs, delta_docs):
+    def tab(d):
+        return pa.table(
+            {
+                "doc_id": pa.array(list(d.keys()), pa.int64()),
+                "content": pa.array(list(d.values()), pa.string()),
+            }
+        )
+
+    return tab(base_docs), tab(delta_docs)
+
+
+@pytest.mark.parametrize("broadcast_max_ids", [5_000_000, 1])
+def test_dedup_against_matches_naive(broadcast_max_ids):
+    """broadcast_max_ids=1 forces every lookup/rep/band/verify stage onto
+    its partitioned-join scale path; results must be identical."""
+    cfg = DedupConfig(
+        threshold=0.7,
+        join_partitions=4,
+        signer_concurrency=2,
+        batch_size=64,
+        broadcast_max_ids=broadcast_max_ids,
+    )
+    base_docs, delta_docs = _corpora()
+    bt, dt = _tables(base_docs, delta_docs)
+    got = (
+        dedup_against(
+            rd.from_arrow(bt).repartition(3),
+            rd.from_arrow(dt).repartition(2),
+            cfg,
+            id_col="doc_id",
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _naive(base_docs, delta_docs, cfg)
+    assert len(got) == len(want)
+    for d, (bid, tier) in want.items():
+        assert (got.loc[d, "base_id"], got.loc[d, "tier"]) == (bid, tier), d
+    # planted facts hold (guards the generator, not just self-consistency)
+    assert want[3] == (102, "exact")
+    assert want[8][1] == "exact" and want[8][0] == 100  # min id of content
+    assert want[13][1] == "near" and want[13][0] == 103
+    assert want[28] == want[13]  # same delta content -> same result
+    assert want[18] == (-1, "none")
+
+
+def test_dedup_against_never_pairs_delta_with_delta():
+    """Two identical NOVEL delta docs must both come back 'none' — the
+    filter compares delta to base only."""
+    cfg = DedupConfig(threshold=0.7, join_partitions=4, batch_size=64)
+    base_docs, _ = _corpora()
+    twin = " ".join(f"zz{i}" for i in range(50))
+    delta = {1: twin, 6: twin}
+    bt, dt = _tables(base_docs, delta)
+    got = (
+        dedup_against(rd.from_arrow(bt), rd.from_arrow(dt), cfg,
+                      id_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (got["tier"] == "none").all()
+    assert (got["base_id"] == -1).all()
