@@ -2938,6 +2938,48 @@ ORDER BY d.doc_id
 """
 
 
+def q_quota_sample(sf_dir: str):
+    """Per-group quota (mixture) sampling over documents: 25 docs per lang
+    (the whole group where smaller — 'de' gets an effectively-unbounded
+    override to exercise the clamp), selected by rank over a seeded
+    identity hash. The keyed table is dumped; the oracle re-runs the
+    SELECTION itself with a window rank, so the value hash gates the
+    bounded-heap plan, not just the hashing."""
+    from lsh_apg_ray.stages.grouped import quota_key, quota_sample
+
+    docs = read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"],
+                "h": pa.array(quota_key(ids), pa.int64()),
+            }
+        )
+
+    kd = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    _dump_ds(kd, sf_dir, "quota_keys")
+    return quota_sample(kd, "lang", "doc_id", 25,
+                        overrides={"de": 1_000_000_000}, key_col="h")
+
+
+SQL_QUOTA_SAMPLE = f"""
+WITH keyed AS (
+  SELECT * FROM read_parquet('{_dump_path(_SQL_SF, "quota_keys")}/*.parquet')
+),
+ranked AS (
+  SELECT lang, doc_id, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+  FROM keyed
+)
+SELECT lang, doc_id, h, rank FROM ranked
+WHERE rank <= CASE WHEN lang = 'de' THEN 1000000000 ELSE 25 END
+ORDER BY lang, rank
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3000,6 +3042,7 @@ QUERIES = {
     "code_stats": q_code_stats,
     "scan_secrets": q_scan_secrets,
     "dedup_against": q_dedup_against,
+    "quota_sample": q_quota_sample,
 }
 
 ORACLE_SQL = {
@@ -3088,4 +3131,5 @@ ORACLE_SQL = {
     "code_stats": SQL_CODE_STATS,
     "scan_secrets": SQL_SCAN_SECRETS,
     "dedup_against": SQL_DEDUP_AGAINST,
+    "quota_sample": SQL_QUOTA_SAMPLE,
 }

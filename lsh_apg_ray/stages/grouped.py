@@ -126,3 +126,96 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
         .groupby("__qpart")
         .map_groups(_quant, batch_format="pyarrow")
     )
+
+
+def quota_key(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    """The selection key quota_sample ranks by: mix64(id ^ seed') as int64.
+    Exposed so callers (and oracle dumps) can re-derive it."""
+    from lsh_apg_ray.hashing import hash64_bytes, mix64
+
+    seed64 = np.uint64(hash64_bytes(f"quota_sample:{seed}".encode()))
+    return mix64(
+        np.asarray(ids, dtype=np.int64).view(np.uint64) ^ seed64
+    ).view(np.int64)
+
+
+def quota_sample(ds, group_col: str, id_col: str, default_quota: int,
+                 overrides: dict | None = None, seed: int = 42,
+                 key_col: str | None = None):
+    """Deterministic per-group QUOTA sampling — the domain-mixing op:
+    select quota(g) rows from every group, uniform over row identity,
+    reproducible across runs / shard layouts / cluster sizes (the
+    sampling.py row-identity contract, per stratum).
+
+    Selection rule: rank rows within a group by (h, id) ascending where
+    h = mix64(id ^ seed'); keep rank <= quota(g). quota(g) =
+    overrides.get(g, default_quota); groups smaller than their quota are
+    taken whole. Output: (group, id, h, rank).
+
+    Physical plan = grouped_topk's bounded-heap shape with a PER-GROUP k:
+    each batch pre-selects its own per-group quota survivors (one lexsort
+    + run-length positions), so the shuffle moves <= quota * n_groups *
+    n_blocks rows; a final per-group pass re-ranks the survivors. h rides
+    along so an external auditor (or the SQL oracle) can re-derive the
+    selection with a window rank over the dumped keyed table.
+    """
+    overrides = overrides or {}
+
+    def _pass(t: pa.Table, final: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        empty_cols = {
+            group_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+        }
+        if n == 0:
+            if final:
+                empty_cols["rank"] = pa.array([], pa.int64())
+            return pa.table(empty_cols)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "h" in t.column_names:
+            h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        elif key_col is not None:
+            h = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            h = quota_key(ids, seed)
+        gcol = t[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        de = pc.dictionary_encode(gcol)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gdict = de.dictionary.to_pylist()
+        quota = np.array(
+            [int(overrides.get(g, default_quota)) for g in gdict], np.int64
+        )
+        # ascending (h, id) within group — h as SIGNED int64, the same
+        # total order the SQL oracle's ORDER BY h applies to the dump
+        order = np.lexsort((ids, h, codes))
+        c_s = codes[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = c_s[1:] != c_s[:-1]
+        run_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        pos = np.arange(n) - run_start
+        keep = pos < quota[c_s]
+        sel = order[keep]
+        out = pa.table(
+            {
+                group_col: gcol.take(pa.array(sel, pa.int64())),
+                id_col: pa.array(ids[sel], pa.int64()),
+                "h": pa.array(h[sel], pa.int64()),
+            }
+        )
+        if final:
+            out = out.append_column("rank", pa.array(pos[keep] + 1, pa.int64()))
+        return out
+
+    in_cols = [group_col, id_col] + ([key_col] if key_col else [])
+    survivors = ds.select_columns(in_cols).map_batches(
+        lambda t: _pass(t, final=False), batch_format="pyarrow"
+    )
+    return survivors.groupby(group_col).map_groups(
+        lambda t: _pass(t, final=True), batch_format="pyarrow"
+    )

@@ -163,3 +163,54 @@ def test_grouped_topk_extreme_and_unsigned_dtypes(ray_session):
                          tie_cols=["doc_id"]).to_pandas()
     got = sorted(out_u["n_chars"].tolist(), reverse=True)
     assert got == [np.iinfo(np.uint64).max, 3]
+
+
+def test_quota_sample_matches_naive_and_layouts():
+    """quota_sample vs a naive per-group rank; identical across block
+    layouts; quota > group size takes the whole group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.grouped import quota_key, quota_sample
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ids = rng.permutation(n).astype(np.int64) * 7 + 1
+    groups = np.array(["g%d" % (i % 5) for i in range(n)], object)
+    tbl = pa.table(
+        {
+            "grp": pa.array(groups.tolist(), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }
+    )
+    quotas = {"g0": 3, "g3": 10_000}
+    default = 17
+
+    h = quota_key(ids)
+    naive = {}
+    for g in set(groups.tolist()):
+        q = quotas.get(g, default)
+        members = [(h[i], ids[i]) for i in range(n) if groups[i] == g]
+        members.sort()
+        naive[g] = [(d, r + 1) for r, (_, d) in enumerate(members[:q])]
+
+    frames = []
+    for parts in (1, 7):
+        got = (
+            quota_sample(rd.from_arrow(tbl).repartition(parts), "grp",
+                         "doc_id", default, overrides=quotas)
+            .to_pandas()
+            .sort_values(["grp", "rank"])
+            .reset_index(drop=True)
+        )
+        frames.append(got)
+        by_g = {
+            g: list(zip(sub["doc_id"], sub["rank"]))
+            for g, sub in got.groupby("grp")
+        }
+        assert by_g == naive
+    assert frames[0].equals(frames[1])
+    # g3 (80 members, quota 10k) comes back whole; g0 exactly 3
+    sizes = frames[0].groupby("grp").size().to_dict()
+    assert sizes["g3"] == 80 and sizes["g0"] == 3 and sizes["g1"] == 17
