@@ -157,19 +157,49 @@ def dedup_against(
         batch_format="pyarrow",
     ).select_columns(["doc_id", "sha_key"])
     from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.stages.reptier import uniq_int_column
 
-    open_feats = hash_join(
-        delta_feats.select_columns(["doc_id", "sha_key", "n_shingles", "bands"]),
-        delta_open.select_columns(["doc_id"]),
-        "doc_id",
-        how="semi",
-        num_partitions=cfg.join_partitions,
-        left_schema=pa.schema(
-            [("doc_id", pa.int64()), ("sha_key", pa.int64()),
-             ("n_shingles", pa.int64()), ("bands", pa.large_binary())]
-        ),
-        right_schema=pa.schema([("doc_id", pa.int64())]),
-    ).materialize()
+    n_delta = delta_feats.count()
+    delta_sel = delta_feats.select_columns(
+        ["doc_id", "sha_key", "n_shingles", "bands"]
+    )
+    if n_delta <= 16 * cfg.broadcast_max_ids:
+        # broadcast the MATCHED id set (delta-sized upper bound) and filter
+        # in place — no shuffle; the semi join below is the ceilingless path
+        matched_ref = uniq_int_column.remote(
+            *exact.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t["exact_base"], pa.scalar(0, pa.int64()))
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            ).to_arrow_refs(),
+            col="doc_id",
+        )
+
+        def drop_matched(t: pa.Table) -> pa.Table:
+            w = ray.get(matched_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(w):
+                return t
+            pos = np.clip(np.searchsorted(w, d), 0, len(w) - 1)
+            return t.filter(pa.array(w[pos] != d))
+
+        open_feats = delta_sel.map_batches(
+            drop_matched, batch_format="pyarrow"
+        ).materialize()
+    else:
+        open_feats = hash_join(
+            delta_sel,
+            delta_open.select_columns(["doc_id"]),
+            "doc_id",
+            how="semi",
+            num_partitions=cfg.join_partitions,
+            left_schema=pa.schema(
+                [("doc_id", pa.int64()), ("sha_key", pa.int64()),
+                 ("n_shingles", pa.int64()), ("bands", pa.large_binary())]
+            ),
+            right_schema=pa.schema([("doc_id", pa.int64())]),
+        ).materialize()
     delta_reps = rep_table(open_feats, "sha_key")
     n_delta_unique = delta_reps.count()
 

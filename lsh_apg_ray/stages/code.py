@@ -95,14 +95,19 @@ def _pack_sorted_u64(*blocks):
 # line-level boilerplate dedup
 # ---------------------------------------------------------------------------
 
-def hot_lines_ref(ds, min_df: int, content_col: str = "content"):
+def hot_lines_ref(ds, min_df: int, content_col: str = "content",
+                  num_partitions: int = 16):
     """ObjectRef[sorted u64 hashes of lines present in >= min_df docs].
 
     Census exchange: each batch emits (line_hash, partial_df) with per-doc
     dedupe done batch-locally — every doc lives in exactly one batch row, so
-    summing partials over the groupby gives the exact distinct-doc count.
-    The post-filter hot set is boilerplate-sized; it is packed in ONE remote
-    task from the filtered block refs and broadcast by ObjectRef."""
+    summing partials gives the exact distinct-doc count. The partials are
+    summed in COARSE hash partitions with one vectorized run-length pass
+    each (pairs.py's layout discipline — a per-line-key Dataset aggregate
+    measured ~4x slower at 700k distinct lines). The post-filter hot set is
+    boilerplate-sized; it is packed in ONE remote task from the filtered
+    block refs and broadcast by ObjectRef."""
+    from lsh_apg_ray.hashing import mix64
 
     def census(t: pa.Table) -> pa.Table:
         sp, offsets = _line_split(t[content_col])
@@ -111,26 +116,41 @@ def hot_lines_ref(ds, min_df: int, content_col: str = "content"):
         doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
         if not len(h):
             return pa.table({"h": pa.array([], pa.int64()),
-                             "df": pa.array([], pa.int64())})
+                             "df": pa.array([], pa.int64()),
+                             "__cpart": pa.array([], pa.int64())})
         order = np.lexsort((h, doc_of))
         d_s, h_s = doc_of[order], h[order]
         keep = np.ones(len(h_s), bool)
         keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
         uh, counts = np.unique(h_s[keep], return_counts=True)
+        part = (mix64(uh) % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({"h": pa.array(uh.view(np.int64), pa.int64()),
-                         "df": pa.array(counts.astype(np.int64), pa.int64())})
+                         "df": pa.array(counts.astype(np.int64), pa.int64()),
+                         "__cpart": pa.array(part, pa.int64())})
 
-    def only_hot(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater_equal(t["df"], pa.scalar(int(min_df), pa.int64()))
-        ).select(["h"])
+    def sum_hot(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64())})
+        order = np.argsort(h, kind="stable")
+        h_s, df_s = h[order], df[order]
+        change = np.empty(len(h_s), bool)
+        change[0] = True
+        change[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(change)
+        cs = np.zeros(len(df_s) + 1, np.int64)
+        np.cumsum(df_s, out=cs[1:])
+        bounds = np.append(starts, len(h_s))
+        totals = cs[bounds[1:]] - cs[bounds[:-1]]
+        hot = h_s[starts][totals >= min_df]
+        return pa.table({"h": pa.array(hot, pa.int64())})
 
     hot = (
         ds.select_columns([content_col])
         .map_batches(census, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("df", alias_name="df"))
-        .map_batches(only_hot, batch_format="pyarrow")
+        .groupby("__cpart")
+        .map_groups(sum_hot, batch_format="pyarrow")
     )
     return _pack_sorted_u64.remote(*hot.to_arrow_refs())
 
@@ -274,16 +294,18 @@ def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
     ever truncates and the counts stay exact.
 
     Output: (repo_a, repo_b, n_shared, na, nb, jaccard), repo_a < repo_b in
-    STRING order. Plan: batch-deduped (content_key, repo_id) -> global
-    distinct + df census [groupby] -> hot keys broadcast -> eligible rows ->
+    STRING order. Plan: batch-deduped (content_key, repo_id) -> ONE coarse
+    hash-partition shuffle whose per-partition pass emits global-distinct
+    rows WITH each content's df already counted (all rows of one content
+    co-locate, so the census is free — no second key-space shuffle, no hot
+    set broadcast; the df <= max_sha_df cut is a plain row filter) ->
     `candidate_pairs` at repo granularity (n_bands == |shared contents|
-    exactly, allpairs.py's raw-key property) -> two size joins + one name
-    join per side (hash_join; every side ids-only)."""
-    from lsh_apg_ray.arrowutil import rename_ds
-    from lsh_apg_ray.joins import hash_join, out_schema
-    from lsh_apg_ray.stages.pairs import candidate_pairs
-
+    exactly, allpairs.py's raw-key property) -> repo sizes via the same
+    coarse-count pattern -> size/name attachment broadcast from two remote-
+    task packs when the repo dimension fits cfg.broadcast_max_ids, four
+    partitioned hash joins above it."""
     from lsh_apg_ray.hashing import mix64
+    from lsh_apg_ray.stages.pairs import candidate_pairs
 
     cfg = cfg or DedupConfig()
     jp = cfg.join_partitions
@@ -293,8 +315,8 @@ def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
         part = (mix64(bh.view(_U64)) % _U64(jp)).astype(np.int64)
         return t.append_column("__fpart", pa.array(part, pa.int64()))
 
-    # global distinct via COARSE partitions (all rows of one content key
-    # co-locate; never one group per key — pairs.py's layout discipline)
+    # ONE shuffle: global distinct (content, repo) + per-content df, both
+    # from the same per-partition vectorized pass
     fr = (
         ds.select_columns([repo_col, content_col])
         .map_batches(
@@ -303,46 +325,78 @@ def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
         )
         .map_batches(with_fpart, batch_format="pyarrow")
         .groupby("__fpart")
-        .map_groups(_distinct_rows, batch_format="pyarrow")
-        .materialize()  # ids only (16 B/row); feeds census + pairs + sizes
+        .map_groups(_distinct_rows_with_df, batch_format="pyarrow")
+        .materialize()  # ids only (24 B/row); feeds pairs + sizes
     )
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater(t["df"], pa.scalar(int(max_sha_df), pa.int64()))
-        ).select(["band_hash"])
-
-    hot = (
-        fr.groupby("band_hash")
-        .aggregate(Count(alias_name="df"))
-        .map_batches(only_hot, batch_format="pyarrow")
+    elig = fr.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t["df"], pa.scalar(int(max_sha_df), pa.int64()))
+        ).select(["band_hash", "doc_id"]),
+        batch_format="pyarrow",
     )
-    hot_ref = _pack_sorted_u64.remote(*hot.to_arrow_refs())
-
-    def eligible(t: pa.Table) -> pa.Table:
-        hotk = ray.get(hot_ref)
-        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(hotk):
-            return t
-        u = bh.view(_U64)
-        pos = np.searchsorted(hotk, u)
-        is_hot = (pos < len(hotk)) & (hotk[np.minimum(pos, len(hotk) - 1)] == u)
-        return t.filter(pa.array(~is_hot))
-
-    elig = fr.map_batches(eligible, batch_format="pyarrow").materialize()
     # max_bucket >= max_sha_df -> no star/chain truncation, counts exact
     pcfg = DedupConfig(
         threshold=cfg.threshold,
         join_partitions=cfg.join_partitions,
         max_bucket=max(cfg.max_bucket, max_sha_df + 1),
     )
-    pairs = rename_ds(candidate_pairs(elig, pcfg), {"n_bands": "n_shared"})
-    sizes = elig.groupby("doc_id").aggregate(Count(alias_name="n"))
+    pairs = candidate_pairs(elig, pcfg)
+    sizes = _count_by_key(elig, "doc_id", "n", jp).materialize()
+    n_repos = sizes.count()
+    dim = _repo_dim(ds, repo_col, jp)
+
+    if n_repos <= cfg.broadcast_max_ids:
+        from lsh_apg_ray.stages.reptier import pack_sorted_map
+
+        sizes_ref = pack_sorted_map.remote(
+            *sizes.to_arrow_refs(), key="doc_id", val="n"
+        )
+        names_ref = _pack_str_map.remote(
+            *dim.to_arrow_refs(), key="repo_id", val=repo_col
+        )
+
+        def attach_all(t: pa.Table) -> pa.Table:
+            k, v = ray.get(sizes_ref)
+            names = ray.get(names_ref)
+            a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = t["n_bands"].to_numpy(zero_copy_only=False).astype(np.int64)
+            na = v[np.searchsorted(k, a)]
+            nb = v[np.searchsorted(k, b)]
+            j = sh / (na + nb - sh)
+            keep = j >= theta
+            a, b, sh, na, nb, j = a[keep], b[keep], sh[keep], na[keep], nb[keep], j[keep]
+            ra = np.array([names[x] for x in a.tolist()], object)
+            rb = np.array([names[x] for x in b.tolist()], object)
+            swap = ra > rb
+            return pa.table(
+                {
+                    "repo_a": pa.array(np.where(swap, rb, ra).tolist(), pa.string()),
+                    "repo_b": pa.array(np.where(swap, ra, rb).tolist(), pa.string()),
+                    "n_shared": pa.array(sh, pa.int64()),
+                    "na": pa.array(np.where(swap, nb, na), pa.int64()),
+                    "nb": pa.array(np.where(swap, na, nb), pa.int64()),
+                    "jaccard": pa.array(j, pa.float64()),
+                }
+            )
+
+        return pairs.map_batches(attach_all, batch_format="pyarrow")
+
+    return _fork_attach_joins(pairs, sizes, dim, cfg, theta, repo_col)
+
+
+def _fork_attach_joins(pairs, sizes, dim, cfg: DedupConfig, theta: float,
+                       repo_col: str):
+    """Scale path above cfg.broadcast_max_ids repos: size/name attachment
+    via four partitioned hash joins (ids-only payloads)."""
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.joins import hash_join, out_schema
 
     i64 = pa.int64()
     ps = pa.schema([("id_a", i64), ("id_b", i64), ("n_shared", i64)])
     sa = pa.schema([("id_a", i64), ("na", i64)])
     sb = pa.schema([("id_b", i64), ("nb", i64)])
+    pairs = rename_ds(pairs, {"n_bands": "n_shared"})
     j1 = hash_join(
         pairs,
         rename_ds(sizes, {"doc_id": "id_a", "n": "na"}),
@@ -369,7 +423,6 @@ def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
         return t.filter(pa.array(j >= theta))
 
     scored = j2.map_batches(score, batch_format="pyarrow")
-    dim = _repo_dim(ds, repo_col, cfg.join_partitions)
     ss = out_schema(out_schema(ps, sa, "id_a"), sb, "id_b").append(
         pa.field("jaccard", pa.float64())
     )
@@ -393,23 +446,18 @@ def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
     )
 
     def canonical(t: pa.Table) -> pa.Table:
-        """(repo_a < repo_b) in STRING order — swap names AND sizes."""
         ra = np.asarray(t["repo_a"].to_pylist(), dtype=object)
         rb = np.asarray(t["repo_b"].to_pylist(), dtype=object)
         na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
         nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
         swap = ra > rb
-        ra2 = np.where(swap, rb, ra)
-        rb2 = np.where(swap, ra, rb)
-        na2 = np.where(swap, nb, na)
-        nb2 = np.where(swap, na, nb)
         return pa.table(
             {
-                "repo_a": pa.array(ra2.tolist(), pa.string()),
-                "repo_b": pa.array(rb2.tolist(), pa.string()),
+                "repo_a": pa.array(np.where(swap, rb, ra).tolist(), pa.string()),
+                "repo_b": pa.array(np.where(swap, ra, rb).tolist(), pa.string()),
                 "n_shared": t["n_shared"],
-                "na": pa.array(na2, pa.int64()),
-                "nb": pa.array(nb2, pa.int64()),
+                "na": pa.array(np.where(swap, nb, na), pa.int64()),
+                "nb": pa.array(np.where(swap, na, nb), pa.int64()),
                 "jaccard": t["jaccard"],
             }
         )
@@ -417,20 +465,74 @@ def repo_fork_pairs(ds, cfg: DedupConfig | None = None, theta: float = 0.25,
     return n2.map_batches(canonical, batch_format="pyarrow")
 
 
-def _distinct_rows(g: pa.Table) -> pa.Table:
-    """Distinct (band_hash, doc_id) within one group block (vectorized)."""
+@ray.remote
+def _pack_str_map(*blocks, key: str, val: str):
+    """{int64 key -> string} dict assembled in a worker task (broadcast
+    small-side pattern; falls back to hash joins above the id cap)."""
+    out = {}
+    for b in blocks:
+        if b.num_rows:
+            out.update(zip(b[key].to_pylist(), b[val].to_pylist()))
+    return out
+
+
+def _count_by_key(ds, key: str, out_col: str, num_partitions: int):
+    """(key, count) via coarse hash partitions + one vectorized run-length
+    pass each — never a per-key Dataset aggregate (pairs.py discipline)."""
+    from lsh_apg_ray.hashing import mix64
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (mix64(k.view(_U64)) % _U64(num_partitions)).astype(np.int64)
+        return pa.table({key: t[key], "__kpart": pa.array(p, pa.int64())})
+
+    def count(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(k):
+            return pa.table({key: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        uk, counts = np.unique(k, return_counts=True)
+        return pa.table({key: pa.array(uk, pa.int64()),
+                         out_col: pa.array(counts.astype(np.int64), pa.int64())})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__kpart")
+        .map_groups(count, batch_format="pyarrow")
+    )
+
+
+def _distinct_rows_with_df(g: pa.Table) -> pa.Table:
+    """Distinct (band_hash, doc_id) within one coarse partition, PLUS each
+    content key's repo df — all rows of one key co-locate here, so the
+    census rides on the rows for free (no second shuffle)."""
     bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
     did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {
+            "band_hash": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
     if not len(bh):
-        return g.select(["band_hash", "doc_id"])
+        return empty
     order = np.lexsort((did, bh))
     bh, did = bh[order], did[order]
     keep = np.ones(len(bh), bool)
     keep[1:] = (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
+    bh, did = bh[keep], did[keep]
+    change = np.empty(len(bh), bool)
+    change[0] = True
+    change[1:] = bh[1:] != bh[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(bh)))
+    df = np.repeat(counts, counts)
     return pa.table(
         {
-            "band_hash": pa.array(bh[keep], pa.int64()),
-            "doc_id": pa.array(did[keep], pa.int64()),
+            "band_hash": pa.array(bh, pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "df": pa.array(df, pa.int64()),
         }
     )
 

@@ -132,12 +132,21 @@ def _naive_fork_pairs(repos: dict, theta: float, max_df: int):
     return out
 
 
-@pytest.mark.parametrize("max_df", [3, 64])
-def test_repo_fork_pairs_matches_naive(max_df):
+@pytest.mark.parametrize(
+    "max_df,broadcast_max_ids",
+    [(3, 5_000_000), (64, 5_000_000), (64, 1)],
+)
+def test_repo_fork_pairs_matches_naive(max_df, broadcast_max_ids):
+    """broadcast_max_ids=1 forces the _fork_attach_joins scale path
+    (partitioned hash joins); the default runs the broadcast attach."""
+    from lsh_apg_ray.config import DedupConfig
+
     tbl, repos = _fork_table()
+    cfg = DedupConfig(broadcast_max_ids=broadcast_max_ids)
     got = (
         repo_fork_pairs(
-            rd.from_arrow(tbl).repartition(2), theta=0.2, max_sha_df=max_df
+            rd.from_arrow(tbl).repartition(2), cfg=cfg, theta=0.2,
+            max_sha_df=max_df
         )
         .to_pandas()
         .set_index(["repo_a", "repo_b"])
