@@ -2980,6 +2980,147 @@ ORDER BY lang, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# paragraph-level first-occurrence dedup (curation.para_dedup): the
+# sub-document analogue of the flagship exact tier's keep-first rule
+# ---------------------------------------------------------------------------
+
+_PARA_SEP_SQL = "chr(10) || chr(10)"
+
+
+def q_para_dedup(sf_dir: str):
+    """Corpus-wide keep-first paragraph dedup. The driver tables carry no
+    paragraph structure, so paragraph-structured docs are synthesized
+    deterministically from doc_id (the scan_secrets injection pattern):
+    p1 = the doc's own text (unique), p2 = one of 17 shared boilerplate
+    paragraphs (cross-doc duplicates), p3 = p2 again on every fifth doc
+    (in-doc repeat) else a solo paragraph. DuckDB replays the identical
+    construction and the window-based keep-first rule over true strings,
+    so the value hash gates ownership, in-doc first-occurrence AND the
+    reconstructed text."""
+    from lsh_apg_ray.stages.curation import para_dedup
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shared = [f"shared {d % 17}" for d in ids]
+        third = [
+            shared[i] if d % 5 == 0 else f"solo {d}"
+            for i, d in enumerate(ids)
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(shared, pa.string()),
+                    pa.array(third, pa.string()), "\n\n"
+                ),
+            }
+        )
+
+    return para_dedup(docs.map_batches(synth, batch_format="pyarrow"))
+
+
+SQL_PARA_DEDUP = f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || {_PARA_SEP_SQL} || 'shared ' || CAST(doc_id % 17 AS VARCHAR)
+              || {_PARA_SEP_SQL} ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN 'shared ' || CAST(doc_id % 17 AS VARCHAR)
+                   ELSE 'solo ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+ps AS (
+  SELECT doc_id,
+         unnest(string_split(text, {_PARA_SEP_SQL})) AS para,
+         unnest(generate_series(1, len(string_split(text, {_PARA_SEP_SQL}))))
+           AS i
+  FROM synth
+),
+own AS (SELECT para, min(doc_id) AS own_doc FROM ps GROUP BY para),
+fid AS (SELECT doc_id, para, min(i) AS fi FROM ps GROUP BY doc_id, para),
+marked AS (
+  SELECT p.doc_id, p.i, p.para,
+         (p.doc_id = o.own_doc AND p.i = f.fi) AS keep
+  FROM ps p
+  JOIN own o USING (para)
+  JOIN fid f ON f.doc_id = p.doc_id AND f.para = p.para
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(para, {_PARA_SEP_SQL} ORDER BY i)
+                FILTER (WHERE keep), '') AS cleaned
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test splits: every near-dup CLUSTER lands in one
+# split, so no near-duplicate pair straddles train/test (eval leakage)
+# ---------------------------------------------------------------------------
+
+def q_split_leak_safe(sf_dir: str):
+    """Cluster-keyed split assignment: connected components over the exact
+    Jaccard>=theta near-dup graph (the dup_clusters machinery), then the
+    deterministic integer-hash bucket of split_assign applied to CLUSTER_ID
+    instead of doc_id — same-cluster docs provably share a split. The SQL
+    oracle replays the recursive CC and the identical bucket arithmetic."""
+    from lsh_apg_ray.stages.cc import attach_clusters
+    from lsh_apg_ray.stages.sampling import assign_splits
+
+    cfg = _cfg(max_bucket=1_000_000)
+    pairs, feats = _exact_pairs(sf_dir)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    docs = feats.select_columns(["doc_id"])
+    clustered = attach_clusters(
+        docs, edges, cfg, id_col="doc_id",
+        docs_schema=pa.schema([("doc_id", pa.int64())]),
+    ).select_columns(["doc_id", "cluster_id"])
+    return assign_splits(
+        clustered, "cluster_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+def _sql_split_leak_safe() -> str:
+    from lsh_apg_ray.stages.sampling import split_thresholds, sql_bucket_expr
+
+    bounds = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    b = sql_bucket_expr("cluster_id")
+    t1, t2 = bounds[0][1], bounds[1][1]
+    return f"""
+WITH RECURSIVE {_SQL_PAIRS_CTE},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {b} < {t1} THEN 'train'
+            WHEN {b} < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM cl ORDER BY doc_id
+"""
+
+
+SQL_SPLIT_LEAK_SAFE = _sql_split_leak_safe()
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3043,6 +3184,8 @@ QUERIES = {
     "scan_secrets": q_scan_secrets,
     "dedup_against": q_dedup_against,
     "quota_sample": q_quota_sample,
+    "para_dedup": q_para_dedup,
+    "split_leak_safe": q_split_leak_safe,
 }
 
 ORACLE_SQL = {
@@ -3132,4 +3275,6 @@ ORACLE_SQL = {
     "scan_secrets": SQL_SCAN_SECRETS,
     "dedup_against": SQL_DEDUP_AGAINST,
     "quota_sample": SQL_QUOTA_SAMPLE,
+    "para_dedup": SQL_PARA_DEDUP,
+    "split_leak_safe": SQL_SPLIT_LEAK_SAFE,
 }

@@ -236,3 +236,155 @@ def oov_stats(ds, vocab_size: int, text_col: str = "text",
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level first-occurrence dedup
+# ---------------------------------------------------------------------------
+
+def para_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n\n", num_partitions: int = 16):
+    """Global first-occurrence dedup of `sep`-delimited spans (paragraphs):
+    an instance (doc, position) survives iff its doc is the MINIMUM doc_id
+    containing that paragraph AND it is the first occurrence within that
+    doc. The sub-document analogue of the flagship's exact tier keep-first
+    rule (pipelines/dedup.py rep selection) — the op that removes repeated
+    boilerplate paragraphs from a crawl while keeping exactly one copy
+    corpus-wide.
+
+    Output: (id, n_paras, n_dropped, cleaned); `cleaned` re-joins surviving
+    paragraphs with `sep` ('' when none survive).
+
+    Plan (line_dedup's two-scan shape, stages/code.py): pass 1 census —
+    per-batch per-doc-distinct (para_hash, doc_id) rows, ONE coarse
+    hash-partition exchange, per-partition vectorized run-length pass
+    emitting (hash, min_doc) for hashes in >= 2 distinct docs; ownership
+    packed to sorted arrays in a worker task and broadcast by ObjectRef.
+    Pass 2 re-derives paragraphs per batch and keeps via one searchsorted
+    (cross-doc rule) + one lexsort (first-in-doc rule); text reconstruction
+    is list-offset surgery + binary_join, content never shuffles. 100-TB
+    stance: the broadcast is the DUPLICATED-paragraph ownership map,
+    bounded by duplicate volume (not the paragraph vocabulary); shard the
+    map by hash prefix if it ever isn't boilerplate-sized.
+
+    Exactness contract: paragraphs are compared as 64-bit blake2b hashes
+    inside the engine while the SQL oracle compares true strings
+    (stages/code.py's contract — a collision would fail the value hash)."""
+    import ray
+
+    from lsh_apg_ray.hashing import mix64, segment_sums
+    from lsh_apg_ray.stages.code import _line_hashes
+
+    _U64 = np.uint64
+
+    def _split(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sp = pc.split_pattern(col, pattern=sep)
+        return sp, np.asarray(sp.offsets, dtype=np.int64)
+
+    def census(t: pa.Table) -> pa.Table:
+        sp, offsets = _split(t[text_col])
+        h = _line_hashes(sp).view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(offsets))
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "__ppart": pa.array([], pa.int64())})
+        if not len(h):
+            return empty
+        # per-doc distinct (each doc lives in exactly one batch row, so
+        # batch-local distinct is globally distinct)
+        order = np.lexsort((h, doc))
+        d_s, h_s = doc[order], h[order]
+        keep = np.ones(len(h_s), bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        h_u, d_u = h_s[keep], d_s[keep]
+        part = (mix64(h_u.view(_U64)) % _U64(num_partitions)).astype(np.int64)
+        return pa.table({"h": pa.array(h_u, pa.int64()),
+                         "doc": pa.array(d_u, pa.int64()),
+                         "__ppart": pa.array(part, pa.int64())})
+
+    def owners(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "own": pa.array([], pa.int64())})
+        if not len(h):
+            return empty
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        change = np.empty(len(h_s), bool)
+        change[0] = True
+        change[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(h_s)))
+        dup = counts >= 2  # rows are (h, doc)-distinct -> count == df
+        return pa.table({"h": pa.array(h_s[starts][dup], pa.int64()),
+                         "own": pa.array(d_s[starts][dup], pa.int64())})
+
+    @ray.remote
+    def pack(*blocks):
+        hs = [b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+              for b in blocks if b.num_rows]
+        os_ = [b["own"].to_numpy(zero_copy_only=False).astype(np.int64)
+               for b in blocks if b.num_rows]
+        if not hs:
+            return np.empty(0, _U64), np.empty(0, np.int64)
+        h = np.concatenate(hs).view(_U64)
+        o = np.concatenate(os_)
+        order = np.argsort(h)
+        return h[order], o[order]
+
+    own_ref = pack.remote(
+        *ds.select_columns([id_col, text_col])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(owners, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        hot_h, hot_own = ray.get(own_ref)
+        sp, offsets = _split(t[text_col])
+        h = _line_hashes(sp)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(offsets))
+        n = len(h)
+        keep = np.ones(n, bool)
+        if n:
+            # cross-doc rule: drop every instance whose paragraph is owned
+            # by a smaller doc
+            if len(hot_h):
+                pos = np.searchsorted(hot_h, h)
+                hit = (pos < len(hot_h)) & (
+                    hot_h[np.minimum(pos, len(hot_h) - 1)] == h
+                )
+                keep &= ~hit | (hot_own[np.minimum(pos, len(hot_h) - 1)] == doc)
+            # first-in-doc rule: within (doc, hash), only the first position
+            # survives (lexsort is stable -> order within runs is position)
+            order = np.lexsort((h.view(np.int64), doc))
+            first = np.ones(n, bool)
+            d_s, h_s = doc[order], h[order]
+            dup_run = (d_s[1:] == d_s[:-1]) & (h_s[1:] == h_s[:-1])
+            first[order[1:][dup_run]] = False
+            keep &= first
+        n_paras = np.diff(offsets)
+        n_drop = n_paras - segment_sums(keep.astype(np.int64), offsets)
+        cs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(keep, out=cs[1:])
+        new_offsets = cs[offsets]
+        kept_vals = sp.values.filter(pa.array(keep)) if n else sp.values
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_vals
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_dropped": pa.array(n_drop, pa.int64()),
+                "cleaned": pc.binary_join(la, sep),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -249,3 +249,91 @@ def test_pack_sequences_property_vs_naive(ray_session):
     tot = ref.groupby(["lang", "pack_id"])["n_tokens"].sum()
     got = out.groupby(["lang", "pack_id"])["pack_tokens"].first()
     pd.testing.assert_series_equal(got, tot, check_names=False)
+
+
+def _naive_para_dedup(docs: list[tuple[int, str]], sep: str = "\n\n"):
+    """Keep instance (doc, i) iff doc == min doc containing the paragraph
+    and i == first position within that doc."""
+    owner: dict[str, int] = {}
+    for d, text in docs:
+        for p in text.split(sep):
+            owner[p] = min(owner.get(p, d), d)
+    out = {}
+    for d, text in docs:
+        paras = text.split(sep)
+        seen: set[str] = set()
+        kept = []
+        for p in paras:
+            if owner[p] == d and p not in seen:
+                kept.append(p)
+            seen.add(p)
+        out[d] = (len(paras), len(paras) - len(kept), sep.join(kept))
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_para_dedup_matches_naive(ray_session, nblocks):
+    from lsh_apg_ray.stages.curation import para_dedup
+
+    docs = [
+        (5, "alpha\n\nshared one\n\nsolo five"),
+        (2, "beta\n\nshared one\n\nshared one"),   # owner of 'shared one';
+                                                    # in-doc repeat dropped
+        (9, "shared one\n\ngamma\n\nshared two"),
+        (4, "shared two\n\nshared two\n\ndelta"),   # owner of 'shared two'
+        (7, ""),                                    # '' -> [''] one para
+        (8, ""),                                    # '' duplicated across docs
+        (3, "\n\n"),                                # ['', ''] — '' owner is 3?
+    ]
+    # note: '' paragraphs participate like any other paragraph
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    got = (
+        para_dedup(rd.from_arrow(tbl).repartition(nblocks), num_partitions=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _naive_para_dedup(docs)
+    assert set(got.index) == set(want)
+    for d, (n, nd, cleaned) in want.items():
+        row = got.loc[d]
+        assert (row["n_paras"], row["n_dropped"], row["cleaned"]) == (
+            n, nd, cleaned
+        ), f"doc {d}"
+
+
+def test_para_dedup_property_vs_naive(ray_session):
+    from lsh_apg_ray.stages.curation import para_dedup
+
+    rng = np.random.default_rng(123)
+    pool = [f"p{i}" for i in range(12)]
+    docs = []
+    for d in range(40):
+        k = int(rng.integers(1, 6))
+        paras = [pool[int(rng.integers(0, len(pool)))] for _ in range(k)]
+        docs.append((d * 13 % 97, "\n\n".join(paras)))
+    # doc ids must be unique
+    assert len({d for d, _ in docs}) == len(docs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    got = (
+        para_dedup(rd.from_arrow(tbl).repartition(5), num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _naive_para_dedup(docs)
+    for d, (n, nd, cleaned) in want.items():
+        row = got.loc[d]
+        assert (row["n_paras"], row["n_dropped"], row["cleaned"]) == (
+            n, nd, cleaned
+        ), f"doc {d}"
