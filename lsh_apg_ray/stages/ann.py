@@ -472,7 +472,8 @@ def embedding_near_dup(
     seed: int = 42,
     max_bucket: int = 1 << 20,
     join_partitions: int = 8,
-    verify_mode: str = "broadcast",
+    verify_mode: str = "auto",
+    broadcast_max_bytes: int = 8 << 30,
 ):
     """Near-duplicate pairs (id_a, id_b, sim >= theta) via hyperplane-sign
     LSH banding — the SCALE PATH (the round-1 brute force is kept as the
@@ -489,7 +490,11 @@ def embedding_near_dup(
     shuffle; vectors never do.
 
     verify_mode picks the exact-verify dataflow:
-      - "broadcast" (default): one normalized corpus matrix assembled
+      - "auto" (default): "broadcast" while the estimated f64 corpus matrix
+        (rows x dim x 8) fits under `broadcast_max_bytes`, else "join" —
+        so the operator is scale-safe by default and still takes the fast
+        single-object path whenever one node's object store can hold it.
+      - "broadcast": one normalized corpus matrix assembled
         off-driver and read from plasma by every verify task — fastest, but
         bounded by one node's object store (~1e8 x 64 f64). The right choice
         whenever the corpus matrix fits.
@@ -504,8 +509,19 @@ def embedding_near_dup(
     from lsh_apg_ray.config import DedupConfig
     from lsh_apg_ray.stages.pairs import candidate_pairs
 
-    if verify_mode not in ("broadcast", "join"):
-        raise ValueError(f"verify_mode must be 'broadcast' or 'join', got {verify_mode!r}")
+    if verify_mode not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"verify_mode must be 'auto', 'broadcast' or 'join', got {verify_mode!r}"
+        )
+    if verify_mode == "auto":
+        n_rows = embeddings.count()
+        first = embeddings.take(1)
+        dim = len(first[0][vec_col]) if first else 0
+        verify_mode = (
+            "broadcast"
+            if n_rows * dim * 8 <= broadcast_max_bytes
+            else "join"
+        )
     bands = nbits // band_rows
     assert bands * band_rows == nbits
     ref = (

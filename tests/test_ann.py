@@ -113,6 +113,28 @@ def test_embedding_near_dup_join_verify_matches_broadcast(emb_ds):
     assert len(got) > 0
 
 
+def test_embedding_near_dup_auto_selects_join_above_cap(emb_ds):
+    """verify_mode="auto" with a 1-byte broadcast cap must route through
+    the join verify and still produce the broadcast-identical result."""
+    ds, X = emb_ds
+    theta = 0.9
+    want = (
+        embedding_near_dup(ds, theta, verify_mode="broadcast")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        embedding_near_dup(ds, theta, verify_mode="auto",
+                           broadcast_max_bytes=1)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
 def test_e2lsh_weighted_key_mode():
     """M6 parity: the RANDOM_MAP_HASHTABLE weighted key map
     (e2lsh.cpp:202-246) — deterministic, same-point-same-key, and a
