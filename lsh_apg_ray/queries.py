@@ -3121,6 +3121,53 @@ FROM cl ORDER BY doc_id
 SQL_SPLIT_LEAK_SAFE = _sql_split_leak_safe()
 
 
+# ---------------------------------------------------------------------------
+# duplicated-span coverage (textstats.dup_span_stats): per-doc fraction of
+# tokens covered by k-grams shared with >= 1 other document
+# ---------------------------------------------------------------------------
+
+def q_dup_span_stats(sf_dir: str):
+    """Lee-et-al-style duplicated-text coverage. The oracle boundary is the
+    same dumped (doc_id, pos, kh) k-gram table the winnowing queries use
+    (token/gram hashing is not SQL-expressible); DuckDB independently
+    recomputes the df >= 2 dup set and the sorted-interval union coverage
+    via a lead() window — the closed form sum(min(next_pos - pos, k))."""
+    from lsh_apg_ray.stages.textstats import dup_span_stats, kgram_rows
+
+    cfg = _cfg()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    _dump_ds(kgram_rows(ds, cfg, k=5), sf_dir, "kgrams_k5")
+    return dup_span_stats(ds, cfg, k=5)
+
+
+SQL_DUP_SPAN_STATS = f"""
+WITH g AS (
+  SELECT * FROM read_parquet('{_dump_path(_SQL_SF, "kgrams_k5")}/*.parquet')
+),
+dupg AS (SELECT kh FROM g GROUP BY kh HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (kh)),
+cov AS (
+  SELECT doc_id, pos,
+         least(COALESCE(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos, 5), 5) AS c
+  FROM d
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         CAST(sum(c) AS BIGINT) AS dup_covered
+  FROM cov GROUP BY doc_id
+),
+lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
+SELECT l.doc_id,
+       l.n_grams + 4 AS n_tokens,
+       l.n_grams,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(p.dup_covered, 0) AS dup_covered,
+       CAST(COALESCE(p.dup_covered, 0) AS DOUBLE) / (l.n_grams + 4) AS dup_frac
+FROM lens l LEFT JOIN per p USING (doc_id) ORDER BY l.doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3186,6 +3233,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "para_dedup": q_para_dedup,
     "split_leak_safe": q_split_leak_safe,
+    "dup_span_stats": q_dup_span_stats,
 }
 
 ORACLE_SQL = {
@@ -3277,4 +3325,5 @@ ORACLE_SQL = {
     "quota_sample": SQL_QUOTA_SAMPLE,
     "para_dedup": SQL_PARA_DEDUP,
     "split_leak_safe": SQL_SPLIT_LEAK_SAFE,
+    "dup_span_stats": SQL_DUP_SPAN_STATS,
 }

@@ -511,3 +511,150 @@ def repetition_stats(ds, cfg: DedupConfig | None = None,
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better"-style metric): per doc, the token span
+# covered by k-grams that appear in >= 2 distinct documents
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(ds, cfg: DedupConfig, k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_partitions: int = 16):
+    """Per-doc duplicated-text coverage: a k-gram is DUP if >= 2 distinct
+    docs contain it; a doc's covered-token count is the size of the union
+    of [pos, pos+k) intervals over its dup-gram positions. The curation
+    signal behind substring-level dedup decisions — docs with high
+    `dup_frac` are template/boilerplate even when no single near-dup pair
+    fires.
+
+    Output (docs with >= 1 k-gram only): (id, n_tokens, n_grams,
+    n_dup_grams, dup_covered, dup_frac = dup_covered / n_tokens).
+
+    Plan (line_dedup's two-scan shape): census = per-batch per-doc-distinct
+    gram hashes pre-aggregated to (kh, partial_df) -> ONE coarse
+    hash-partition exchange -> per-partition run-length sum -> df >= 2 set
+    packed sorted in a worker task, broadcast by ref (bounded by duplicated
+    gram volume). Second scan recomputes each doc's gram sequence, marks
+    membership with one searchsorted, and reduces interval-union coverage
+    per doc fully vectorized: for in-doc ascending dup positions p,
+    coverage = sum(min(next_p - p, k)) with k for each doc's last — the
+    sorted-interval union closed form. Content never shuffles."""
+    from lsh_apg_ray.hashing import arrow_token_hashes
+    from lsh_apg_ray.stages.code import _pack_sorted_u64
+
+    _U64 = np.uint64
+    hasher = TokenHasher(cfg.token_pattern)
+
+    def _batch_grams(batch: pa.Table):
+        """(doc ids, flat gram hashes in position order, gram offsets,
+        n_tokens per doc)."""
+        ids_in = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = arrow_token_hashes(batch[text_col], hasher, cfg.token_pattern)
+        ghs, glens, ntoks = [], [], []
+        if tok is not None:
+            flat_h, offsets = tok
+            for i in range(len(ids_in)):
+                h = kgram_hashes(flat_h[offsets[i]: offsets[i + 1]], k)
+                ghs.append(h)
+                glens.append(len(h))
+                ntoks.append(offsets[i + 1] - offsets[i])
+        else:
+            for t in batch[text_col].to_pylist():
+                th = hasher.token_hashes(hasher.tokenize(t))
+                h = kgram_hashes(th, k)
+                ghs.append(h)
+                glens.append(len(h))
+                ntoks.append(len(th))
+        flat = (np.concatenate(ghs) if ghs else np.empty(0, _U64))
+        goff = np.zeros(len(ids_in) + 1, np.int64)
+        np.cumsum(np.asarray(glens, np.int64), out=goff[1:])
+        return ids_in, flat, goff, np.asarray(ntoks, np.int64)
+
+    def census(batch: pa.Table) -> pa.Table:
+        ids_in, flat, goff, _ = _batch_grams(batch)
+        empty = pa.table({"kh": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "__gpart": pa.array([], pa.int64())})
+        if not len(flat):
+            return empty
+        doc_of = np.repeat(np.arange(len(ids_in), dtype=np.int64),
+                           np.diff(goff))
+        order = np.lexsort((flat.view(np.int64), doc_of))
+        d_s, h_s = doc_of[order], flat.view(np.int64)[order]
+        keep = np.ones(len(h_s), bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        uh, df = np.unique(h_s[keep], return_counts=True)
+        part = (mix64(uh.view(_U64)) % _U64(num_partitions)).astype(np.int64)
+        return pa.table({"kh": pa.array(uh, pa.int64()),
+                         "df": pa.array(df.astype(np.int64), pa.int64()),
+                         "__gpart": pa.array(part, pa.int64())})
+
+    def dup_only(g: pa.Table) -> pa.Table:
+        h = g["kh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(h):
+            return pa.table({"kh": pa.array([], pa.int64())})
+        order = np.argsort(h, kind="stable")
+        h_s, df_s = h[order], df[order]
+        change = np.empty(len(h_s), bool)
+        change[0] = True
+        change[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(change)
+        cs = np.zeros(len(df_s) + 1, np.int64)
+        np.cumsum(df_s, out=cs[1:])
+        bounds = np.append(starts, len(h_s))
+        totals = cs[bounds[1:]] - cs[bounds[:-1]]
+        return pa.table({"kh": pa.array(h_s[starts][totals >= 2], pa.int64())})
+
+    dup_ref = _pack_sorted_u64.remote(
+        *ds.select_columns([id_col, text_col])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(dup_only, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids_in, flat, goff, ntoks = _batch_grams(batch)
+        n_docs = len(ids_in)
+        glens = np.diff(goff)
+        n_dup = np.zeros(n_docs, np.int64)
+        covered = np.zeros(n_docs, np.int64)
+        if len(flat) and len(dup):
+            pos_s = np.searchsorted(dup, flat)
+            member = (pos_s < len(dup)) & (
+                dup[np.minimum(pos_s, len(dup) - 1)] == flat
+            )
+            sel = np.flatnonzero(member)
+            if len(sel):
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), glens)
+                d_sel = doc_of[sel]
+                p_sel = sel - goff[d_sel]  # in-doc gram position, ascending
+                gap = np.full(len(sel), k, np.int64)
+                same = d_sel[1:] == d_sel[:-1]
+                gap[:-1][same] = np.minimum(p_sel[1:] - p_sel[:-1], k)[same]
+                n_dup = np.bincount(d_sel, minlength=n_docs).astype(np.int64)
+                covered = np.bincount(
+                    d_sel, weights=gap, minlength=n_docs
+                ).astype(np.int64)
+        has = glens >= 1
+        nt = ntoks[has]
+        cov = covered[has]
+        return pa.table(
+            {
+                id_col: pa.array(ids_in[has], pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_grams": pa.array(glens[has], pa.int64()),
+                "n_dup_grams": pa.array(n_dup[has], pa.int64()),
+                "dup_covered": pa.array(cov, pa.int64()),
+                "dup_frac": pa.array(
+                    np.where(nt > 0, cov / np.maximum(nt, 1), 0.0),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

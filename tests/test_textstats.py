@@ -2,6 +2,8 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from lsh_apg_ray.config import DedupConfig
@@ -259,3 +261,70 @@ def test_distinctive_terms_matches_naive(ray_session):
         (r.doc_id, r.top_term, r.tf, r.df) for r in got.itertuples()
     ]
     assert got_tuples == want
+
+
+def _naive_dup_span(docs: list[tuple[int, str]], k: int):
+    import re
+
+    toks = {d: re.findall(r"[a-z0-9_]+", t.lower()) for d, t in docs}
+    grams = {
+        d: [tuple(w[i:i + k]) for i in range(len(w) - k + 1)]
+        for d, w in toks.items()
+    }
+    df: dict[tuple, set] = {}
+    for d, gs in grams.items():
+        for g in gs:
+            df.setdefault(g, set()).add(d)
+    dup = {g for g, s in df.items() if len(s) >= 2}
+    out = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        pos = [i for i, g in enumerate(gs) if g in dup]
+        covered_tokens: set[int] = set()
+        for p in pos:
+            covered_tokens.update(range(p, p + k))
+        n = len(toks[d])
+        out[d] = (n, len(gs), len(pos), len(covered_tokens),
+                  len(covered_tokens) / n if n else 0.0)
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_dup_span_stats_matches_naive(ray_session, nblocks):
+    from lsh_apg_ray.stages.textstats import dup_span_stats
+
+    k = 3
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d y z w"),          # shares gram (a,b,c),(b,c,d)
+        (3, "p q r s t u v"),
+        (4, "p q r s m n o p q r s"),    # shares + in-doc repeat
+        (5, "p q r s t zz"),
+        (6, "one two"),                  # < k tokens -> excluded
+        (7, "a b c a b c a b c"),        # overlapping dup coverage
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    got = (
+        dup_span_stats(
+            rd.from_arrow(tbl).repartition(nblocks), DedupConfig(), k=k,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _naive_dup_span(docs, k)
+    assert set(got.index) == set(want)
+    for d, (n, ng, nd, cov, frac) in want.items():
+        row = got.loc[d]
+        assert (
+            row["n_tokens"], row["n_grams"], row["n_dup_grams"],
+            row["dup_covered"],
+        ) == (n, ng, nd, cov), f"doc {d}"
+        assert row["dup_frac"] == pytest.approx(frac, abs=0)
