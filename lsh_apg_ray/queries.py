@@ -3168,6 +3168,67 @@ FROM lens l LEFT JOIN per p USING (doc_id) ORDER BY l.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# quality-aware representative selection: per near-dup cluster, keep the
+# best copy (longest doc) instead of the min-id default
+# ---------------------------------------------------------------------------
+
+def q_cluster_best_rep(sf_dir: str):
+    """Per-cluster representative by an explicit quality order — n_tokens
+    DESC, doc_id ASC (integer metric: the cutoff is exact on both engine
+    sides). The flagship keeps min-id reps; real curation keeps the BEST
+    copy of each near-dup cluster. Composition: the dup_clusters CC
+    machinery carries n_tokens through attach_clusters, then grouped_topk
+    k=1 selects each cluster's winner with the bounded-heap shuffle."""
+    from lsh_apg_ray.stages.cc import attach_clusters
+    from lsh_apg_ray.stages.grouped import grouped_topk
+
+    cfg = _cfg(max_bucket=1_000_000)
+    pairs, feats = _exact_pairs(sf_dir)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    docs = feats.select_columns(["doc_id", "n_tokens"])
+    clustered = attach_clusters(
+        docs, edges, cfg, id_col="doc_id",
+        docs_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_tokens", pa.int64())]),
+    )
+    return grouped_topk(
+        clustered, "cluster_id", "n_tokens", 1, tie_cols=["doc_id"]
+    ).select_columns(["cluster_id", "doc_id", "n_tokens"])
+
+
+SQL_CLUSTER_BEST_REP = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTE},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(len(list_filter(string_split_regex(lower(d.text),
+                                                 '[^a-z0-9_]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM cl
+)
+SELECT cluster_id, doc_id, n_tokens FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3234,6 +3295,7 @@ QUERIES = {
     "para_dedup": q_para_dedup,
     "split_leak_safe": q_split_leak_safe,
     "dup_span_stats": q_dup_span_stats,
+    "cluster_best_rep": q_cluster_best_rep,
 }
 
 ORACLE_SQL = {
@@ -3326,4 +3388,5 @@ ORACLE_SQL = {
     "para_dedup": SQL_PARA_DEDUP,
     "split_leak_safe": SQL_SPLIT_LEAK_SAFE,
     "dup_span_stats": SQL_DUP_SPAN_STATS,
+    "cluster_best_rep": SQL_CLUSTER_BEST_REP,
 }
