@@ -141,6 +141,22 @@ def arrow_token_index(
     return indices, offsets, dictionary
 
 
+def run_bounds(sorted_keys: np.ndarray) -> np.ndarray:
+    """Run boundaries of a SORTED key array as offsets[n_runs + 1]: the
+    first index of each distinct-key run plus the array length, directly
+    consumable by `segment_sums`. The shared primitive behind every
+    coarse-partition run-length census (sum/min/count per key after one
+    sort) — one implementation so the subtle index arithmetic lives in one
+    place. Empty input -> [0]."""
+    n = len(sorted_keys)
+    if not n:
+        return np.zeros(1, np.int64)
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return np.append(np.flatnonzero(change), n).astype(np.int64)
+
+
 def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-segment sums of `values` under `offsets[n+1]` — cumsum-based so
     empty segments are handled exactly (np.add.reduceat is wrong there)."""

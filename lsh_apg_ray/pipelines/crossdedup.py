@@ -163,9 +163,12 @@ def dedup_against(
     delta_sel = delta_feats.select_columns(
         ["doc_id", "sha_key", "n_shingles", "bands"]
     )
-    if n_delta <= 16 * cfg.broadcast_max_ids:
-        # broadcast the MATCHED id set (delta-sized upper bound) and filter
-        # in place — no shuffle; the semi join below is the ceilingless path
+    if n_delta <= cfg.broadcast_max_ids:
+        # broadcast the MATCHED id set (n_delta is its upper bound, so the
+        # gate keeps the module's broadcast contract: every broadcast map
+        # stays under cfg.broadcast_max_ids even when the whole delta
+        # matches, e.g. a re-crawl of the base corpus) and filter in place —
+        # no shuffle; the semi join below is the ceilingless path
         matched_ref = uniq_int_column.remote(
             *exact.map_batches(
                 lambda t: t.filter(

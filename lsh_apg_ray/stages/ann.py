@@ -514,14 +514,19 @@ def embedding_near_dup(
             f"verify_mode must be 'auto', 'broadcast' or 'join', got {verify_mode!r}"
         )
     if verify_mode == "auto":
-        n_rows = embeddings.count()
-        first = embeddings.take(1)
-        dim = len(first[0][vec_col]) if first else 0
-        verify_mode = (
-            "broadcast"
-            if n_rows * dim * 8 <= broadcast_max_bytes
-            else "join"
-        )
+        # One probe only: size_bytes() is metadata-based for file reads and
+        # for already-materialized blocks; when it must execute, the result
+        # is cached on the plan so downstream stages don't re-run the
+        # lineage. The f64 matrix is at most 2x the arrow in-memory size
+        # (f32 lists) plus the id column, so 2x is a safe upper bound.
+        sz = embeddings.size_bytes()
+        if sz is not None:
+            est = 2 * sz
+        else:  # pragma: no cover - metadata-free plans
+            n_rows = embeddings.count()
+            first = embeddings.take(1)
+            est = n_rows * (len(first[0][vec_col]) if first else 0) * 8
+        verify_mode = "broadcast" if est <= broadcast_max_bytes else "join"
     bands = nbits // band_rows
     assert bands * band_rows == nbits
     ref = (

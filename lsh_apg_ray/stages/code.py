@@ -43,7 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.hashing import hash64_bytes, segment_sums
@@ -129,21 +129,17 @@ def hot_lines_ref(ds, min_df: int, content_col: str = "content",
                          "__cpart": pa.array(part, pa.int64())})
 
     def sum_hot(g: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import run_bounds
+
         h = g["h"].to_numpy(zero_copy_only=False).astype(np.int64)
         df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(h):
             return pa.table({"h": pa.array([], pa.int64())})
         order = np.argsort(h, kind="stable")
         h_s, df_s = h[order], df[order]
-        change = np.empty(len(h_s), bool)
-        change[0] = True
-        change[1:] = h_s[1:] != h_s[:-1]
-        starts = np.flatnonzero(change)
-        cs = np.zeros(len(df_s) + 1, np.int64)
-        np.cumsum(df_s, out=cs[1:])
-        bounds = np.append(starts, len(h_s))
-        totals = cs[bounds[1:]] - cs[bounds[:-1]]
-        hot = h_s[starts][totals >= min_df]
+        bounds = run_bounds(h_s)
+        totals = segment_sums(df_s, bounds)
+        hot = h_s[bounds[:-1]][totals >= min_df]
         return pa.table({"h": pa.array(hot, pa.int64())})
 
     hot = (
@@ -522,11 +518,9 @@ def _distinct_rows_with_df(g: pa.Table) -> pa.Table:
     keep = np.ones(len(bh), bool)
     keep[1:] = (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
     bh, did = bh[keep], did[keep]
-    change = np.empty(len(bh), bool)
-    change[0] = True
-    change[1:] = bh[1:] != bh[:-1]
-    starts = np.flatnonzero(change)
-    counts = np.diff(np.append(starts, len(bh)))
+    from lsh_apg_ray.hashing import run_bounds
+
+    counts = np.diff(run_bounds(bh))
     df = np.repeat(counts, counts)
     return pa.table(
         {

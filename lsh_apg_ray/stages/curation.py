@@ -314,12 +314,11 @@ def para_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             return empty
         order = np.lexsort((d, h))
         h_s, d_s = h[order], d[order]
-        change = np.empty(len(h_s), bool)
-        change[0] = True
-        change[1:] = h_s[1:] != h_s[:-1]
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(h_s)))
-        dup = counts >= 2  # rows are (h, doc)-distinct -> count == df
+        from lsh_apg_ray.hashing import run_bounds
+
+        bounds = run_bounds(h_s)
+        starts = bounds[:-1]
+        dup = np.diff(bounds) >= 2  # rows are (h, doc)-distinct -> count == df
         return pa.table({"h": pa.array(h_s[starts][dup], pa.int64()),
                          "own": pa.array(d_s[starts][dup], pa.int64())})
 

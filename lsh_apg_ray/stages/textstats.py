@@ -592,21 +592,19 @@ def dup_span_stats(ds, cfg: DedupConfig, k: int = 5,
                          "__gpart": pa.array(part, pa.int64())})
 
     def dup_only(g: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import run_bounds
+
         h = g["kh"].to_numpy(zero_copy_only=False).astype(np.int64)
         df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(h):
             return pa.table({"kh": pa.array([], pa.int64())})
         order = np.argsort(h, kind="stable")
         h_s, df_s = h[order], df[order]
-        change = np.empty(len(h_s), bool)
-        change[0] = True
-        change[1:] = h_s[1:] != h_s[:-1]
-        starts = np.flatnonzero(change)
-        cs = np.zeros(len(df_s) + 1, np.int64)
-        np.cumsum(df_s, out=cs[1:])
-        bounds = np.append(starts, len(h_s))
-        totals = cs[bounds[1:]] - cs[bounds[:-1]]
-        return pa.table({"kh": pa.array(h_s[starts][totals >= 2], pa.int64())})
+        bounds = run_bounds(h_s)
+        totals = segment_sums(df_s, bounds)
+        return pa.table(
+            {"kh": pa.array(h_s[bounds[:-1]][totals >= 2], pa.int64())}
+        )
 
     dup_ref = _pack_sorted_u64.remote(
         *ds.select_columns([id_col, text_col])
