@@ -3229,6 +3229,56 @@ ORDER BY cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# normalization-robust exact dedup (curation.normalized_dedup): the tier
+# between byte-exact sha dedup and shingle near-dup
+# ---------------------------------------------------------------------------
+
+def q_normalized_dedup(sf_dir: str):
+    """Case/punctuation/whitespace variants collapse into one group. The
+    driver texts are all-distinct word soup, so variant-structured texts
+    are synthesized deterministically from doc_id (the scan_secrets
+    injection pattern): 40 shared templates, each appearing as-is,
+    uppercased, or with trailing punctuation by doc_id % 3. DuckDB replays
+    the construction and groups by the identical lower + regexp_replace +
+    trim normalization over true strings."""
+    from lsh_apg_ray.stages.curation import normalized_dedup
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = [f"Data Pipeline Doc {d % 40}" for d in ids]
+        text = [
+            b if d % 3 == 0 else (b.upper() if d % 3 == 1 else b + "!!  ")
+            for b, d in zip(base, ids)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(text, pa.string())}
+        )
+
+    return normalized_dedup(docs.map_batches(synth, batch_format="pyarrow"))
+
+
+SQL_NORMALIZED_DEDUP = """
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Data Pipeline Doc ' || CAST(doc_id % 40 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+              THEN upper('Data Pipeline Doc ' || CAST(doc_id % 40 AS VARCHAR))
+              ELSE 'Data Pipeline Doc ' || CAST(doc_id % 40 AS VARCHAR)
+                   || '!!  ' END AS text
+  FROM documents
+)
+SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+FROM synth
+GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+ORDER BY rep_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3296,6 +3346,7 @@ QUERIES = {
     "split_leak_safe": q_split_leak_safe,
     "dup_span_stats": q_dup_span_stats,
     "cluster_best_rep": q_cluster_best_rep,
+    "normalized_dedup": q_normalized_dedup,
 }
 
 ORACLE_SQL = {
@@ -3389,4 +3440,5 @@ ORACLE_SQL = {
     "split_leak_safe": SQL_SPLIT_LEAK_SAFE,
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "cluster_best_rep": SQL_CLUSTER_BEST_REP,
+    "normalized_dedup": SQL_NORMALIZED_DEDUP,
 }

@@ -387,3 +387,107 @@ def para_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# normalization-robust exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_text(col):
+    """Canonical text form: lowercase, every [^a-z0-9]+ run collapsed to one
+    space, ends trimmed. Arrow RE2 kernels — the same engine DuckDB uses, so
+    `lower + regexp_replace + trim` matches bit-for-bit across the oracle
+    boundary."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, pattern="[^a-z0-9]+", replacement=" ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_partitions: int = 16):
+    """Exact dedup after canonical normalization: docs whose texts differ
+    only in case / punctuation / whitespace collapse into one group. The
+    tier between the flagship's byte-exact sha pass and its shingle
+    near-dup pass — catches trivial variants the sha tier misses at sha-tier
+    cost (ids + 16 B of hashes through ONE coarse exchange, content never
+    shuffles).
+
+    Output, one row per normalized group: (rep_id = min doc id, n_copies,
+    n_raw_variants = count of distinct RAW texts in the group).
+
+    Exactness: normalized/raw texts travel as 64-bit blake2b hashes inside
+    the engine while the SQL oracle groups true strings (stages/code.py's
+    collision contract)."""
+    import ray
+
+    from lsh_apg_ray.hashing import hash64_bytes, mix64, run_bounds
+
+    _U64 = np.uint64
+
+    def keys(t: pa.Table) -> pa.Table:
+        raw = t[text_col]
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        norm = normalize_text(raw)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = np.fromiter(
+            (hash64_bytes(s.encode()) for s in norm.to_pylist()),
+            dtype=_U64, count=len(ids),
+        )
+        rh = np.fromiter(
+            (hash64_bytes(s.encode()) for s in raw.to_pylist()),
+            dtype=_U64, count=len(ids),
+        )
+        part = (mix64(nh) % _U64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "nh": pa.array(nh.view(np.int64), pa.int64()),
+                "rh": pa.array(rh.view(np.int64), pa.int64()),
+                "doc": pa.array(ids, pa.int64()),
+                "__npart": pa.array(part, pa.int64()),
+            }
+        )
+
+    def groups(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rep_id": pa.array([], pa.int64()),
+                "n_copies": pa.array([], pa.int64()),
+                "n_raw_variants": pa.array([], pa.int64()),
+            }
+        )
+        nh = g["nh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rh = g["rh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(nh):
+            return empty
+        order = np.lexsort((doc, rh, nh))
+        nh, rh, doc = nh[order], rh[order], doc[order]
+        bounds = run_bounds(nh)
+        starts = bounds[:-1]
+        n_copies = np.diff(bounds)
+        # rep = min doc per group: doc is the innermost sort key only within
+        # (nh, rh) runs, so take a per-group min explicitly
+        cs_min = np.minimum.reduceat(doc, starts)
+        # distinct raw texts per group: count (nh, rh) run starts per group
+        new_raw = np.ones(len(nh), bool)
+        new_raw[1:] = (nh[1:] != nh[:-1]) | (rh[1:] != rh[:-1])
+        from lsh_apg_ray.hashing import segment_sums
+
+        n_raw = segment_sums(new_raw.astype(np.int64), bounds)
+        return pa.table(
+            {
+                "rep_id": pa.array(cs_min, pa.int64()),
+                "n_copies": pa.array(n_copies, pa.int64()),
+                "n_raw_variants": pa.array(n_raw, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(keys, batch_format="pyarrow")
+        .groupby("__npart")
+        .map_groups(groups, batch_format="pyarrow")
+    )

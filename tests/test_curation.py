@@ -337,3 +337,55 @@ def test_para_dedup_property_vs_naive(ray_session):
         assert (row["n_paras"], row["n_dropped"], row["cleaned"]) == (
             n, nd, cleaned
         ), f"doc {d}"
+
+
+def _naive_normalized_dedup(docs: list[tuple[int, str]]):
+    import re
+
+    norm = {
+        d: re.sub(r"[^a-z0-9]+", " ", t.lower()).strip() for d, t in docs
+    }
+    groups: dict[str, list[int]] = {}
+    for d, _ in docs:
+        groups.setdefault(norm[d], []).append(d)
+    raw = dict(docs)
+    return {
+        min(ids): (len(ids), len({raw[i] for i in ids}))
+        for ids in groups.values()
+    }
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_normalized_dedup_matches_naive(ray_session, nblocks):
+    from lsh_apg_ray.stages.curation import normalized_dedup
+
+    docs = [
+        (3, "Hello,   World!"),
+        (7, "hello world"),          # same normalized group as 3
+        (5, "HELLO WORLD"),          # same group
+        (9, "hello worlds"),
+        (2, "  ... "),               # normalizes to ''
+        (8, ""),                     # also '' -> same group as 2
+        (4, "a1-b2"),
+        (6, "A1 B2"),                # same group as 4
+        (1, "a1 b2"),                # same group, same RAW as none
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    got = (
+        normalized_dedup(
+            rd.from_arrow(tbl).repartition(nblocks), num_partitions=3
+        )
+        .to_pandas()
+        .set_index("rep_id")
+        .sort_index()
+    )
+    want = _naive_normalized_dedup(docs)
+    assert set(got.index) == set(want)
+    for rep, (nc, nr) in want.items():
+        row = got.loc[rep]
+        assert (row["n_copies"], row["n_raw_variants"]) == (nc, nr), rep
