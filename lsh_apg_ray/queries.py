@@ -3279,6 +3279,52 @@ ORDER BY rep_id
 """
 
 
+# ---------------------------------------------------------------------------
+# hard-negative mining (knn_cosine's max_sim mode): the closest neighbors
+# that are NOT near-duplicates of the query
+# ---------------------------------------------------------------------------
+
+HN_MAX_SIM = 0.9
+
+
+def q_hard_negatives(sf_dir: str):
+    """Retrieval-training negative mining: per query vector, the top-k most
+    similar neighbors whose (12-dp-rounded) cosine is strictly below the
+    near-dup ceiling — near-dups make false negatives, so they are masked
+    BEFORE the partial top-k (not post-filtered, which could starve the
+    result). Same brute-force machinery and determinism contract as
+    knn_cosine; the oracle adds the identical sim < ceiling filter before
+    its window rank."""
+    from lsh_apg_ray.stages.ann import knn_cosine, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = knn_cosine(emb, qids, qmat, KNN_K, max_sim=HN_MAX_SIM)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 12) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rank
+FROM (
+  SELECT qid, nid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+  FROM s WHERE sim < {HN_MAX_SIM}
+)
+WHERE rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3347,6 +3393,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "cluster_best_rep": q_cluster_best_rep,
     "normalized_dedup": q_normalized_dedup,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLE_SQL = {
@@ -3441,4 +3488,5 @@ ORACLE_SQL = {
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "cluster_best_rep": SQL_CLUSTER_BEST_REP,
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
+    "hard_negatives": SQL_HARD_NEGATIVES,
 }

@@ -166,11 +166,14 @@ def knn_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_sim: float | None = None,
 ):
     """Brute-force cosine top-k: returns (query_id, neighbor_id, rank, sim).
 
     Deterministic ordering: sim rounded to 12 dp, descending, ties by
-    neighbor_id ascending.
+    neighbor_id ascending. `max_sim` (exclusive ceiling on the ROUNDED sim)
+    drops near-duplicate neighbors before ranking — the hard-negative
+    mining mode: the closest candidates that are NOT dups of the query.
     """
     q = np.asarray(query_matrix, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
@@ -190,6 +193,10 @@ def knn_cosine(
             )
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
         sims = np.round(qmat @ xn.T, ROUND_DECIMALS)  # (Q, n)
+        if max_sim is not None:
+            # mask BEFORE the partial top-k so filtered rows can't occupy
+            # survivor slots; -inf rows are dropped after selection
+            sims = np.where(sims < max_sim, sims, -np.inf)
         nq, n = sims.shape
         kk = min(k + 1, n)  # +1 so dropping `self` can't evict a true top-k
         # Deterministic per-batch partial top-k: survivors are chosen by
@@ -217,6 +224,8 @@ def knn_cosine(
         keep = np.ones(len(rows_q), dtype=bool)
         if exclude_self:
             keep = rows_q != rows_n
+        if max_sim is not None:
+            keep &= np.isfinite(rows_s)
         return pa.table(
             {
                 "query_id": pa.array(rows_q[keep], pa.int64()),

@@ -135,6 +135,34 @@ def test_embedding_near_dup_auto_selects_join_above_cap(emb_ds):
     assert len(got) > 0
 
 
+def test_knn_cosine_max_sim_hard_negatives(emb_ds):
+    """max_sim masks near-dup neighbors BEFORE the partial top-k, so the
+    result equals brute-force ranking restricted to sim < ceiling (a
+    post-filter of the unrestricted top-k would starve queries whose
+    nearest slots are all dups)."""
+    from lsh_apg_ray.stages.ann import knn_cosine, load_queries
+
+    ds, X = emb_ds
+    k, ceiling = 5, 0.9
+    qids, qmat = load_queries(ds, 8)
+    got = (
+        knn_cosine(ds, qids, qmat, k, max_sim=ceiling)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(Xn @ Xn.T, 12)
+    for qid in qids:
+        s = sims[qid]
+        elig = [
+            (-s[j], j) for j in range(len(s)) if j != qid and s[j] < ceiling
+        ]
+        want = [j for _, j in sorted(elig)[:k]]
+        rows = got[got["query_id"] == qid]
+        assert list(rows["neighbor_id"]) == want, qid
+        assert list(rows["rank"]) == list(range(1, len(want) + 1))
+
+
 def test_e2lsh_weighted_key_mode():
     """M6 parity: the RANDOM_MAP_HASHTABLE weighted key map
     (e2lsh.cpp:202-246) — deterministic, same-point-same-key, and a
