@@ -3325,6 +3325,77 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup report: cluster-size histogram over the near-dup clustering
+# ---------------------------------------------------------------------------
+
+def q_dedup_summary(sf_dir: str):
+    """The corpus-level dedup report (A4 graph-stats analogue): how many
+    clusters of each size the near-dup graph produces and how many docs
+    they hold — the number a curation run quotes as its dup rate. Two
+    ids-only exchanges (cluster count, then size histogram), both
+    coarse-partitioned run-length passes."""
+    from ray.data.aggregate import Count
+
+    from lsh_apg_ray.stages.cc import attach_clusters
+
+    cfg = _cfg(max_bucket=1_000_000)
+    pairs, feats = _exact_pairs(sf_dir)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    docs = feats.select_columns(["doc_id"])
+    clustered = attach_clusters(
+        docs, edges, cfg, id_col="doc_id",
+        docs_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    sizes = clustered.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    hist = sizes.groupby("cluster_size").aggregate(
+        Count(alias_name="n_clusters")
+    )
+
+    def with_docs(t: pa.Table) -> pa.Table:
+        cs = t["cluster_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_clusters"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_size": t["cluster_size"],
+                "n_clusters": t["n_clusters"],
+                "n_docs": pa.array(cs * nc, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(with_docs, batch_format="pyarrow")
+
+
+SQL_DEDUP_SUMMARY = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTE},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+csizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cl GROUP BY cluster_id
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3394,6 +3465,7 @@ QUERIES = {
     "cluster_best_rep": q_cluster_best_rep,
     "normalized_dedup": q_normalized_dedup,
     "hard_negatives": q_hard_negatives,
+    "dedup_summary": q_dedup_summary,
 }
 
 ORACLE_SQL = {
@@ -3489,4 +3561,5 @@ ORACLE_SQL = {
     "cluster_best_rep": SQL_CLUSTER_BEST_REP,
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "dedup_summary": SQL_DEDUP_SUMMARY,
 }
