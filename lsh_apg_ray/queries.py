@@ -3396,6 +3396,54 @@ FROM csizes GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# exact weighted (multiset) Jaccard pairs: repetition-aware similarity
+# ---------------------------------------------------------------------------
+
+def q_weighted_jaccard_pairs(sf_dir: str):
+    """Exact weighted-Jaccard similarity join over 3-gram MULTISETS —
+    J_w = sum(min(c_a, c_b)) / sum(max(c_a, c_b)). Distinct measure from
+    the set Jaccard (repetition counts), same machinery: occurrence i of a
+    gram gets an instance-tagged key, so the unmodified candidate_pairs
+    co-occurrence count is exactly sum(min) (allpairs.py)."""
+    from lsh_apg_ray.stages.allpairs import weighted_similarity_join
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return weighted_similarity_join(
+        ds, _cfg(max_bucket=1_000_000), threshold=THETA
+    )
+
+
+SQL_WEIGHTED_JACCARD_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws
+  FROM documents
+),
+shm AS (
+  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+    FROM tok, LATERAL unnest(generate_series(1, len(ws) - 2)) g(i)
+  ) GROUP BY doc_id, s
+),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM shm GROUP BY doc_id),
+winter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS n_inter
+  FROM shm a JOIN shm b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       ta.n + tb.n - n_inter AS n_union,
+       CAST(n_inter AS DOUBLE) / (ta.n + tb.n - n_inter) AS jaccard
+FROM winter
+JOIN tot ta ON ta.doc_id = id_a
+JOIN tot tb ON tb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (ta.n + tb.n - n_inter) >= {THETA}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3466,6 +3514,7 @@ QUERIES = {
     "normalized_dedup": q_normalized_dedup,
     "hard_negatives": q_hard_negatives,
     "dedup_summary": q_dedup_summary,
+    "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
 }
 
 ORACLE_SQL = {
@@ -3562,4 +3611,5 @@ ORACLE_SQL = {
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "dedup_summary": SQL_DEDUP_SUMMARY,
+    "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
 }

@@ -74,6 +74,13 @@ def exact_similarity_join(feats, cfg: DedupConfig, threshold: float | None = Non
     sh = shingle_explode(feats)
     inter = rename_ds(candidate_pairs(sh, cfg), {"n_bands": "n_inter"})
     sizes = feats.select_columns(["doc_id", "n_shingles"])
+    return _score_pairs(inter, sizes, cfg, theta)
+
+
+def _score_pairs(inter, sizes, cfg: DedupConfig, theta: float):
+    """Shared tail of the exact joins: attach both endpoint sizes
+    (partitioned hash joins, ids-only payloads) and score
+    jaccard = n_inter / (na + nb - n_inter) >= theta."""
     i64 = pa.int64()
     pair_schema = pa.schema([("id_a", i64), ("id_b", i64), ("n_inter", i64)])
     sa_schema = pa.schema([("id_a", i64), ("na", i64)])
@@ -113,3 +120,97 @@ def exact_similarity_join(feats, cfg: DedupConfig, threshold: float | None = Non
         return out.filter(pc.greater_equal(out["jaccard"], theta))
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact WEIGHTED (multiset) Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+def weighted_shingle_explode(ds, cfg: DedupConfig, k: int = 3,
+                             text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """Instance-tagged multiset shingle rows: occurrence i (0-based, any
+    consistent per-doc numbering) of shingle h emits key mix64(h*G ^ i), so
+    two docs share exactly min(count_a, count_b) keys per shingle — the
+    multiset intersection becomes a SET intersection and the unmodified
+    `candidate_pairs` co-occurrence count IS sum(min(c_a, c_b))."""
+    from lsh_apg_ray.hashing import (
+        TokenHasher,
+        arrow_token_hashes,
+        mix64,
+        run_bounds,
+    )
+    from lsh_apg_ray.stages.textstats import kgram_hashes
+
+    hasher = TokenHasher(cfg.token_pattern)
+    _G = np.uint64(0x9E3779B97F4A7C15)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids_in = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = arrow_token_hashes(batch[text_col], hasher, cfg.token_pattern)
+        keys, docs = [], []
+        if tok is not None:
+            flat_h, offsets = tok
+            for i in range(len(ids_in)):
+                h = np.sort(kgram_hashes(flat_h[offsets[i]: offsets[i + 1]], k))
+                if not len(h):
+                    continue
+                bounds = run_bounds(h.view(np.int64))
+                ordinal = (
+                    np.arange(len(h), dtype=np.int64)
+                    - np.repeat(bounds[:-1], np.diff(bounds))
+                ).astype(np.uint64)
+                keys.append(mix64((h * _G) ^ ordinal))
+                docs.append(np.full(len(h), ids_in[i], np.int64))
+        flat = np.concatenate(keys).view(np.int64) if keys else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "band_hash": pa.array(flat, pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(docs) if docs else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+
+
+def weighted_similarity_join(ds, cfg: DedupConfig, threshold: float | None = None,
+                             k: int = 3, text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """Exact weighted-Jaccard pairs over k-gram MULTISETS:
+
+        J_w(A, B) = sum_t min(c_A(t), c_B(t)) / sum_t max(c_A(t), c_B(t))
+
+    The repetition-aware dedup measure (a doc that repeats another's
+    boilerplate block 5x scores differently than set Jaccard says). Since
+    sum max = T_A + T_B - sum min, the whole computation is the set
+    pipeline over instance-tagged keys (`weighted_shingle_explode`):
+    candidates are pairs sharing >= 1 shingle instance (all J_w > 0 pairs,
+    nothing missed), and the pair-dedup co-occurrence count is exactly
+    sum(min). Output: (id_a, id_b, n_inter, n_union, jaccard) where
+    n_inter/n_union are instance counts and jaccard is J_w."""
+    theta = cfg.threshold if threshold is None else threshold
+    inst = weighted_shingle_explode(ds, cfg, k, text_col, id_col)
+    inter = rename_ds(candidate_pairs(inst, cfg), {"n_bands": "n_inter"})
+    from lsh_apg_ray.hashing import TokenHasher, arrow_token_index
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ti = arrow_token_index(batch[text_col], cfg.token_pattern)
+        assert ti is not None
+        _, offsets, _ = ti
+        n = np.maximum(np.diff(offsets) - (k - 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "n_shingles": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = ds.select_columns([id_col, text_col]).map_batches(
+        totals, batch_format="pyarrow"
+    )
+    return _score_pairs(inter, sizes, cfg, theta)

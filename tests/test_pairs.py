@@ -7,6 +7,7 @@ key by the producers (hashing.band_keys salts each band)."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from lsh_apg_ray.config import DedupConfig
@@ -120,3 +121,69 @@ def test_similar_docs_matches_naive(ray_session):
         for r in got.itertuples()
     ]
     assert got_tuples == want
+
+
+def _naive_weighted_jaccard(docs, k=3, theta=0.1):
+    import collections
+    import itertools
+    import re
+
+    grams = {}
+    for d, t in docs:
+        toks = re.findall(r"[a-z0-9_]+", t.lower())
+        grams[d] = collections.Counter(
+            tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        )
+    out = {}
+    for a, b in itertools.combinations(sorted(grams), 2):
+        ca, cb = grams[a], grams[b]
+        m = sum(min(ca[g], cb[g]) for g in ca.keys() & cb.keys())
+        if m == 0:
+            continue
+        u = sum(ca.values()) + sum(cb.values()) - m
+        j = m / u
+        if j >= theta:
+            out[(a, b)] = (m, u, j)
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_weighted_similarity_join_matches_naive(ray_session, nblocks):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.allpairs import weighted_similarity_join
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c a b c d e"),        # repeats the (a,b,c) block
+        (3, "a b c a b c a b c"),      # heavy repetition
+        (4, "x y z w v u"),
+        (5, "x y z x y z"),
+        (6, "solo doc nothing shared"),
+        (7, "ab"),                     # < k tokens -> no grams
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    theta = 0.1
+    got = (
+        weighted_similarity_join(
+            rd.from_arrow(tbl).repartition(nblocks),
+            DedupConfig(max_bucket=1_000_000),
+            threshold=theta,
+        )
+        .to_pandas()
+        .set_index(["id_a", "id_b"])
+        .sort_index()
+    )
+    want = _naive_weighted_jaccard(docs, theta=theta)
+    assert set(got.index) == set(want)
+    for key, (m, u, j) in want.items():
+        row = got.loc[key]
+        assert (row["n_inter"], row["n_union"]) == (m, u), key
+        assert row["jaccard"] == pytest.approx(j, abs=0)
