@@ -3444,6 +3444,129 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# ingestion validation gate: corpus-level integrity stats in one scan
+# ---------------------------------------------------------------------------
+
+def q_corpus_validate(sf_dir: str):
+    """The pre-flight data-quality gate an ingestion run asserts on before
+    spending compute: row count, null/empty text counts, duplicate-id
+    count, id range — one vectorized scan emitting per-batch partials, one
+    tiny sum, plus an ids-only coarse exchange for the duplicate-id census
+    (the run_bounds discipline). Single-row output."""
+    import ray
+    from lsh_apg_ray.hashing import mix64, run_bounds
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_null = int(txt.null_count)
+        lens = pc.binary_length(pc.fill_null(txt, "x")).to_numpy(
+            zero_copy_only=False
+        )
+        n_empty = int(
+            ((lens == 0) & ~np.asarray(pc.is_null(txt))).sum()
+        ) if len(ids) else 0
+        return pa.table(
+            {
+                "n_rows": pa.array([len(ids)], pa.int64()),
+                "n_null_text": pa.array([n_null], pa.int64()),
+                "n_empty_text": pa.array([n_empty], pa.int64()),
+                "min_doc_id": pa.array(
+                    [int(ids.min()) if len(ids) else 2**62], pa.int64()
+                ),
+                "max_doc_id": pa.array(
+                    [int(ids.max()) if len(ids) else -(2**62)], pa.int64()
+                ),
+            }
+        )
+
+    def id_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (mix64(ids.view(np.uint64)) % np.uint64(16)).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "__vpart": pa.array(part, pa.int64())}
+        )
+
+    def dup_count(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"n_dup_ids": pa.array([], pa.int64())})
+        counts = np.diff(run_bounds(np.sort(ids)))
+        return pa.table(
+            {"n_dup_ids": pa.array([int(counts[counts > 1].sum())], pa.int64())}
+        )
+
+    dups = (
+        docs.select_columns(["doc_id"])
+        .map_batches(id_rows, batch_format="pyarrow")
+        .groupby("__vpart")
+        .map_groups(dup_count, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def combine(n_dup_blocks, *all_blocks):
+        # refs are only auto-resolved at top level, so dup blocks and
+        # partial blocks share the varargs with a split index
+        dup_blocks = all_blocks[:n_dup_blocks]
+        blocks = all_blocks[n_dup_blocks:]
+        n_rows = n_null = n_empty = 0
+        mn, mx = 2**62, -(2**62)
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            n_rows += int(pa.compute.sum(b["n_rows"]).as_py())
+            n_null += int(pa.compute.sum(b["n_null_text"]).as_py())
+            n_empty += int(pa.compute.sum(b["n_empty_text"]).as_py())
+            mn = min(mn, int(pa.compute.min(b["min_doc_id"]).as_py()))
+            mx = max(mx, int(pa.compute.max(b["max_doc_id"]).as_py()))
+        n_dup = sum(
+            int(pa.compute.sum(b["n_dup_ids"]).as_py())
+            for b in dup_blocks
+            if b.num_rows
+        )
+        return pa.table(
+            {
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "n_null_text": pa.array([n_null], pa.int64()),
+                "n_empty_text": pa.array([n_empty], pa.int64()),
+                "n_dup_ids": pa.array([n_dup], pa.int64()),
+                "min_doc_id": pa.array([mn], pa.int64()),
+                "max_doc_id": pa.array([mx], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    dup_refs = dups.to_arrow_refs()
+    part_refs = docs.map_batches(
+        partials, batch_format="pyarrow"
+    ).to_arrow_refs()
+    out_ref = combine.remote(len(dup_refs), *dup_refs, *part_refs)
+    return rd.from_arrow_refs([out_ref])
+
+
+SQL_CORPUS_VALIDATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_text,
+       CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_text,
+       (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM
+         (SELECT count(*) AS c FROM documents GROUP BY doc_id HAVING count(*) > 1))
+         AS n_dup_ids,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3515,6 +3638,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "dedup_summary": q_dedup_summary,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+    "corpus_validate": q_corpus_validate,
 }
 
 ORACLE_SQL = {
@@ -3612,4 +3736,5 @@ ORACLE_SQL = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "dedup_summary": SQL_DEDUP_SUMMARY,
     "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
+    "corpus_validate": SQL_CORPUS_VALIDATE,
 }
