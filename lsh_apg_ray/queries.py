@@ -3567,6 +3567,68 @@ FROM documents
 """
 
 
+def q_weighted_dup_clusters(sf_dir: str):
+    """Cluster assignments under the weighted (multiset) measure: connected
+    components over the exact J_w >= theta pair graph — the full
+    dedup-to-clusters path for the repetition-aware similarity, sharing
+    attach_clusters with the set-measure flagship."""
+    from lsh_apg_ray.stages.allpairs import weighted_similarity_join
+    from lsh_apg_ray.stages.cc import attach_clusters
+
+    cfg = _cfg(max_bucket=1_000_000)
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    pairs = weighted_similarity_join(ds, cfg, threshold=THETA)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    docs = ds.select_columns(["doc_id"])
+    return attach_clusters(
+        docs, edges, cfg, id_col="doc_id",
+        docs_schema=pa.schema([("doc_id", pa.int64())]),
+    ).select_columns(["doc_id", "cluster_id"])
+
+
+SQL_WEIGHTED_DUP_CLUSTERS = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws
+  FROM documents
+),
+shm AS (
+  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+    FROM tok, LATERAL unnest(generate_series(1, len(ws) - 2)) g(i)
+  ) GROUP BY doc_id, s
+),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM shm GROUP BY doc_id),
+winter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS n_inter
+  FROM shm a JOIN shm b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+wpairs AS (
+  SELECT id_a, id_b FROM winter
+  JOIN tot ta ON ta.doc_id = id_a
+  JOIN tot tb ON tb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (ta.n + tb.n - n_inter) >= {THETA}
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM wpairs
+  UNION SELECT id_b, id_a FROM wpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3639,6 +3701,7 @@ QUERIES = {
     "dedup_summary": q_dedup_summary,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
     "corpus_validate": q_corpus_validate,
+    "weighted_dup_clusters": q_weighted_dup_clusters,
 }
 
 ORACLE_SQL = {
@@ -3737,4 +3800,5 @@ ORACLE_SQL = {
     "dedup_summary": SQL_DEDUP_SUMMARY,
     "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
     "corpus_validate": SQL_CORPUS_VALIDATE,
+    "weighted_dup_clusters": SQL_WEIGHTED_DUP_CLUSTERS,
 }
