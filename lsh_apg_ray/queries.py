@@ -3414,8 +3414,10 @@ def q_weighted_jaccard_pairs(sf_dir: str):
     )
 
 
-SQL_WEIGHTED_JACCARD_PAIRS = f"""
-WITH tok AS (
+# shared weighted-pairs CTE block (the _SQL_PAIRS_CTE pattern): per-doc
+# 3-gram multiset counts -> totals -> least()-join intersection
+_SQL_WEIGHTED_CTE = """
+tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws
   FROM documents
@@ -3433,6 +3435,11 @@ winter AS (
   FROM shm a JOIN shm b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+
+SQL_WEIGHTED_JACCARD_PAIRS = f"""
+WITH {_SQL_WEIGHTED_CTE}
 SELECT id_a, id_b, n_inter,
        ta.n + tb.n - n_inter AS n_union,
        CAST(n_inter AS DOUBLE) / (ta.n + tb.n - n_inter) AS jaccard
@@ -3587,24 +3594,7 @@ def q_weighted_dup_clusters(sf_dir: str):
 
 
 SQL_WEIGHTED_DUP_CLUSTERS = f"""
-WITH RECURSIVE tok AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws
-  FROM documents
-),
-shm AS (
-  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM (
-    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-    FROM tok, LATERAL unnest(generate_series(1, len(ws) - 2)) g(i)
-  ) GROUP BY doc_id, s
-),
-tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM shm GROUP BY doc_id),
-winter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(sum(least(a.c, b.c)) AS BIGINT) AS n_inter
-  FROM shm a JOIN shm b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {_SQL_WEIGHTED_CTE},
 wpairs AS (
   SELECT id_a, id_b FROM winter
   JOIN tot ta ON ta.doc_id = id_a

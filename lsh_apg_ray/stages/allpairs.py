@@ -140,7 +140,10 @@ def weighted_shingle_explode(ds, cfg: DedupConfig, k: int = 3,
         mix64,
         run_bounds,
     )
+    from lsh_apg_ray.stages.curation import _require_char_class
     from lsh_apg_ray.stages.textstats import kgram_hashes
+
+    _require_char_class(cfg.token_pattern, "weighted_shingle_explode")
 
     hasher = TokenHasher(cfg.token_pattern)
     _G = np.uint64(0x9E3779B97F4A7C15)
@@ -190,27 +193,20 @@ def weighted_similarity_join(ds, cfg: DedupConfig, threshold: float | None = Non
     sum max = T_A + T_B - sum min, the whole computation is the set
     pipeline over instance-tagged keys (`weighted_shingle_explode`):
     candidates are pairs sharing >= 1 shingle instance (all J_w > 0 pairs,
-    nothing missed), and the pair-dedup co-occurrence count is exactly
-    sum(min). Output: (id_a, id_b, n_inter, n_union, jaccard) where
-    n_inter/n_union are instance counts and jaccard is J_w."""
+    nothing missed — PROVIDED cfg.max_bucket is set high enough that no
+    instance-key bucket overflows; the star+chain cap would silently drop
+    pairs and undercount n_inter, exactly exact_similarity_join's caveat,
+    and bucket_stats reports any overflow), and the pair-dedup
+    co-occurrence count is exactly sum(min). The source is read and
+    tokenized ONCE: per-doc totals T = sum(c) equal each doc's instance-row
+    count, so sizes come from an ids-only census over the materialized
+    explode rows rather than a second corpus scan. Output: (id_a, id_b,
+    n_inter, n_union, jaccard) where n_inter/n_union are instance counts
+    and jaccard is J_w."""
     theta = cfg.threshold if threshold is None else threshold
-    inst = weighted_shingle_explode(ds, cfg, k, text_col, id_col)
+    inst = weighted_shingle_explode(ds, cfg, k, text_col, id_col).materialize()
     inter = rename_ds(candidate_pairs(inst, cfg), {"n_bands": "n_inter"})
-    from lsh_apg_ray.hashing import TokenHasher, arrow_token_index
+    from lsh_apg_ray.stages.code import _count_by_key
 
-    def totals(batch: pa.Table) -> pa.Table:
-        ti = arrow_token_index(batch[text_col], cfg.token_pattern)
-        assert ti is not None
-        _, offsets, _ = ti
-        n = np.maximum(np.diff(offsets) - (k - 1), 0)
-        return pa.table(
-            {
-                "doc_id": batch[id_col],
-                "n_shingles": pa.array(n.astype(np.int64), pa.int64()),
-            }
-        )
-
-    sizes = ds.select_columns([id_col, text_col]).map_batches(
-        totals, batch_format="pyarrow"
-    )
+    sizes = _count_by_key(inst, "doc_id", "n_shingles", cfg.join_partitions)
     return _score_pairs(inter, sizes, cfg, theta)

@@ -213,10 +213,23 @@ def knn_cosine(
             s = sims[qi]
             if kk < n:
                 thresh = np.partition(s, n - kk)[n - kk]  # kk-th largest
-                cand = np.flatnonzero(s >= thresh)
+                if np.isfinite(thresh):
+                    cand = np.flatnonzero(s >= thresh)
+                else:
+                    # max_sim masked away all but < kk rows: restrict to the
+                    # finite survivors so the candidate lexsort stays small
+                    # (s >= -inf would select the whole batch)
+                    cand = np.flatnonzero(np.isfinite(s))
             else:
                 cand = np.arange(n)
             sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+            if len(sel) < kk:
+                # fewer than kk finite candidates (max_sim masking): pad the
+                # fixed-width slot with MASKED indices — their -inf sims are
+                # dropped by the keep filter, and padding with finite rows
+                # would emit duplicate (query, neighbor) rows instead
+                masked = np.flatnonzero(~np.isfinite(s))
+                sel = np.concatenate([sel, masked[: kk - len(sel)]])
             idx[qi] = sel
         rows_q = np.repeat(qids, kk)
         rows_n = ids[idx.reshape(-1)]

@@ -417,6 +417,8 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     Output, one row per normalized group: (rep_id = min doc id, n_copies,
     n_raw_variants = count of distinct RAW texts in the group).
 
+    Null text is treated as '' (it groups with empty/whitespace-only docs).
+
     Exactness: normalized/raw texts travel as 64-bit blake2b hashes inside
     the engine while the SQL oracle groups true strings (stages/code.py's
     collision contract)."""
@@ -430,6 +432,7 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         raw = t[text_col]
         if isinstance(raw, pa.ChunkedArray):
             raw = raw.combine_chunks()
+        raw = pc.fill_null(raw, "")  # null text groups with '' (documented)
         norm = normalize_text(raw)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         nh = np.fromiter(

@@ -135,15 +135,17 @@ def test_embedding_near_dup_auto_selects_join_above_cap(emb_ds):
     assert len(got) > 0
 
 
-def test_knn_cosine_max_sim_hard_negatives(emb_ds):
+@pytest.mark.parametrize("ceiling", [0.9, 0.2])
+def test_knn_cosine_max_sim_hard_negatives(emb_ds, ceiling):
     """max_sim masks near-dup neighbors BEFORE the partial top-k, so the
     result equals brute-force ranking restricted to sim < ceiling (a
     post-filter of the unrestricted top-k would starve queries whose
-    nearest slots are all dups)."""
+    nearest slots are all dups). ceiling=0.2 starves most batches below
+    kk finite candidates, exercising the masked-index padding path."""
     from lsh_apg_ray.stages.ann import knn_cosine, load_queries
 
     ds, X = emb_ds
-    k, ceiling = 5, 0.9
+    k = 5
     qids, qmat = load_queries(ds, 8)
     got = (
         knn_cosine(ds, qids, qmat, k, max_sim=ceiling)
