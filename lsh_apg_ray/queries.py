@@ -3619,6 +3619,38 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# event debounce: suppress same-key events inside a minimum gap
+# ---------------------------------------------------------------------------
+
+def q_events_debounce(sf_dir: str):
+    """Telemetry throttle: keep an event iff it is its (user, type) key's
+    first or arrives >= 60 s after the previous event of that key in
+    (ts, event_id) order — the lag() rule, one coarse partition + one
+    vectorized pass (stages/windows.debounce); the oracle is literally one
+    SQL lag() window."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import debounce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    return debounce(
+        ev, ["user_id", "event_type"], "ts", min_gap_s=60
+    ).select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
+SQL_EVENTS_DEBOUNCE = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+)
+WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 60000000
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3692,6 +3724,7 @@ QUERIES = {
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
     "corpus_validate": q_corpus_validate,
     "weighted_dup_clusters": q_weighted_dup_clusters,
+    "events_debounce": q_events_debounce,
 }
 
 ORACLE_SQL = {
@@ -3791,4 +3824,5 @@ ORACLE_SQL = {
     "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
     "corpus_validate": SQL_CORPUS_VALIDATE,
     "weighted_dup_clusters": SQL_WEIGHTED_DUP_CLUSTERS,
+    "events_debounce": SQL_EVENTS_DEBOUNCE,
 }

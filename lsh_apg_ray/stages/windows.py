@@ -203,3 +203,67 @@ def sessionize(events, key: str, ts_col: str, gap_s: int,
             batch_format="pyarrow",
         )
     )
+
+
+def debounce(events, key_cols: list[str], ts_col: str, min_gap_s: int,
+             num_partitions: int = 16, tie_col: str = "event_id"):
+    """Event throttle: keep an event iff it is its key's first, or arrives
+    >= min_gap_s after the PREVIOUS event of the same key in (ts, tie)
+    order — kept or not (the lag() rule, so the oracle is one SQL window;
+    a last-KEPT rule would be sequential and is deliberately not this op).
+    The telemetry debounce/dedup-within-window operator.
+
+    Input contract: `events` carries key_cols, ts_col and a unique tie_col
+    breaking equal-timestamp ties (sessionize's determinism contract).
+
+    Physical plan (sessionize's shape): ONE coarse hash partition on the
+    first key column (all rows of a composite key share it), then one
+    vectorized pass per partition — string key columns dictionary-encoded
+    to codes, one lexsort over (key_cols..., ts, tie), keep mask from a
+    single diff. Rows pass through unmodified; only the mask is computed.
+    Output: the kept rows with the input's columns."""
+    gap_us = min_gap_s * 1_000_000
+    _DPART = "__dpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key_cols[0]], num_partitions)
+        return t.append_column(_DPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_DPART])
+        n = t.num_rows
+        if n == 0:
+            return t
+        import pyarrow.compute as pc
+
+        keys = []
+        for c in key_cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                col = pc.dictionary_encode(col).indices
+            keys.append(col.to_numpy(zero_copy_only=False))
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, us) + tuple(reversed(keys)))
+        us_s = us[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = False
+        for k in keys:
+            k_s = k[order]
+            change[1:] |= k_s[1:] != k_s[:-1]
+        keep_sorted = change.copy()
+        keep_sorted[1:] |= (us_s[1:] - us_s[:-1]) >= gap_us
+        keep = np.empty(n, dtype=bool)
+        keep[order] = keep_sorted
+        return t.filter(pa.array(keep))
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_DPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

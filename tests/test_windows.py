@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from lsh_apg_ray.stages.windows import sessionize, tumbling_aggregate
@@ -93,3 +94,36 @@ def test_hopping_rejects_nonmultiple():
         assert "multiple" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_debounce_matches_naive(ray_session):
+    from lsh_apg_ray.stages.windows import debounce
+
+    rows = [
+        # (event_id, us, user, type)
+        (1, 0, 1, "click"),
+        (2, 30_000_000, 1, "click"),    # 30s gap -> suppressed
+        (3, 60_000_000, 1, "click"),    # 30s after PREVIOUS (kept or not)
+        (4, 61_000_000, 1, "view"),     # other key -> kept
+        (5, 0, 2, "click"),             # other user -> kept
+        (6, 130_000_000, 1, "click"),   # 70s after #3 -> kept
+        (7, 130_000_000, 1, "click"),   # same ts, tie by id -> suppressed
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    got = sorted(
+        debounce(
+            rd.from_arrow(tbl).repartition(3),
+            ["user_id", "event_type"], "ts", min_gap_s=60, num_partitions=2,
+        )
+        .to_pandas()["event_id"]
+        .tolist()
+    )
+    # lag rule: 3 is 30s after 2 (suppressed event still advances the lag)
+    assert got == [1, 4, 5, 6]
