@@ -3651,6 +3651,110 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# per-language dedup rates: the dup report sliced by a categorical column
+# ---------------------------------------------------------------------------
+
+def q_lang_dedup_rates(sf_dir: str):
+    """Per-language duplication report over the near-dup clustering:
+    (lang, n_docs, n_dup_docs = docs in clusters of size >= 2, n_clusters =
+    distinct clusters touching the language). All exchanges are ids +
+    a small categorical — cluster sizes attach back via the partitioned
+    hash join; the oracle replays the CC and three grouped counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.stages.cc import attach_clusters
+
+    cfg = _cfg(max_bucket=1_000_000)
+    pairs, feats = _exact_pairs(sf_dir)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    docs = read_documents(sf_dir, columns=["doc_id", "lang"])
+    clustered = attach_clusters(
+        docs, edges, cfg, id_col="doc_id",
+        docs_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string())]),
+    ).materialize()
+    csizes = clustered.groupby("cluster_id").aggregate(
+        Count(alias_name="csize")
+    )
+    withsize = hash_join(
+        clustered.select_columns(["lang", "cluster_id"]),
+        csizes,
+        "cluster_id",
+        num_partitions=cfg.join_partitions,
+        left_schema=pa.schema([("lang", pa.string()),
+                               ("cluster_id", pa.int64())]),
+        right_schema=pa.schema([("cluster_id", pa.int64()),
+                                ("csize", pa.int64())]),
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        cs = t["csize"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "cluster_id": t["cluster_id"],
+                "is_dup": pa.array((cs >= 2).astype(np.int64), pa.int64()),
+            }
+        )
+
+    marked = withsize.map_batches(mark, batch_format="pyarrow")
+    per_lang = marked.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("is_dup", alias_name="n_dup_docs"),
+    )
+    lang_clusters = (
+        marked.select_columns(["lang", "cluster_id"])
+        .groupby(["lang", "cluster_id"])
+        .aggregate(Count(alias_name="_one"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+    return hash_join(
+        per_lang,
+        lang_clusters,
+        "lang",
+        num_partitions=4,
+        left_schema=pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                               ("n_dup_docs", pa.int64())]),
+        right_schema=pa.schema([("lang", pa.string()),
+                                ("n_clusters", pa.int64())]),
+    )
+
+
+SQL_LANG_DEDUP_RATES = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTE},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+cl AS (
+  SELECT d.doc_id, d.lang, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+csz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+  FROM cl GROUP BY cluster_id
+)
+SELECT cl.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN csz.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_clusters
+FROM cl JOIN csz USING (cluster_id)
+GROUP BY cl.lang ORDER BY cl.lang
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3725,6 +3829,7 @@ QUERIES = {
     "corpus_validate": q_corpus_validate,
     "weighted_dup_clusters": q_weighted_dup_clusters,
     "events_debounce": q_events_debounce,
+    "lang_dedup_rates": q_lang_dedup_rates,
 }
 
 ORACLE_SQL = {
@@ -3825,4 +3930,5 @@ ORACLE_SQL = {
     "corpus_validate": SQL_CORPUS_VALIDATE,
     "weighted_dup_clusters": SQL_WEIGHTED_DUP_CLUSTERS,
     "events_debounce": SQL_EVENTS_DEBOUNCE,
+    "lang_dedup_rates": SQL_LANG_DEDUP_RATES,
 }
