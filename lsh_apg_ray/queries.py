@@ -3755,6 +3755,122 @@ GROUP BY cl.lang ORDER BY cl.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# windowed distinct count: unique users per (event_type, hour window)
+# ---------------------------------------------------------------------------
+
+def q_events_window_distinct(sf_dir: str):
+    """Distinct-user count per (event_type, tumbling hour): the exact
+    cardinality-per-window analytics op. Plan: per-batch dedupe of
+    (type, window, user) triples, ONE coarse hash-partition exchange
+    co-locating each (type, window) key, per-partition global distinct +
+    run-length count — never a count-distinct aggregate over raw events,
+    and only deduped triples cross the wire."""
+    import ray
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import _epoch_us
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
+    width_us = 3600 * 1_000_000
+
+    def triples(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from lsh_apg_ray.hashing import mix64
+
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        us = _epoch_us(t["ts"])
+        win = us // width_us
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((uid, win, codes))
+        c_s, w_s, u_s = codes[order], win[order], uid[order]
+        keep = np.ones(len(c_s), bool)
+        keep[1:] = (
+            (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1]) | (u_s[1:] != u_s[:-1])
+        )
+        c_k, w_k, u_k = c_s[keep], w_s[keep], u_s[keep]
+        names = pa.array(de.dictionary.take(pa.array(c_k, pa.int64())))
+        # partition on the STRING's stable hash, not the batch-local
+        # dictionary code (codes differ across batches and would split one
+        # (type, window) key over partitions)
+        from lsh_apg_ray.hashing import hash64_bytes
+
+        dict_h = np.fromiter(
+            (hash64_bytes(s.encode()) for s in de.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(de.dictionary),
+        )
+        part = (
+            mix64(w_k.view(np.uint64) ^ dict_h[c_k]) % np.uint64(16)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": names,
+                "window_id": pa.array(w_k, pa.int64()),
+                "user_id": pa.array(u_k, pa.int64()),
+                "__wpart": pa.array(part, pa.int64()),
+            }
+        )
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "window_id": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        win = g["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((uid, win, codes))
+        c_s, w_s, u_s = codes[order], win[order], uid[order]
+        keep = np.ones(len(c_s), bool)
+        keep[1:] = (
+            (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1]) | (u_s[1:] != u_s[:-1])
+        )
+        c_k, w_k = c_s[keep], w_s[keep]
+        change = np.ones(len(c_k), bool)
+        change[1:] = (c_k[1:] != c_k[:-1]) | (w_k[1:] != w_k[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(c_k)))
+        return pa.table(
+            {
+                "event_type": de.dictionary.take(
+                    pa.array(c_k[starts], pa.int64())
+                ),
+                "window_id": pa.array(w_k[starts], pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(triples, batch_format="pyarrow")
+        .groupby("__wpart")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_WINDOW_DISTINCT = """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600) AS BIGINT) AS window_id,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3830,6 +3946,7 @@ QUERIES = {
     "weighted_dup_clusters": q_weighted_dup_clusters,
     "events_debounce": q_events_debounce,
     "lang_dedup_rates": q_lang_dedup_rates,
+    "events_window_distinct": q_events_window_distinct,
 }
 
 ORACLE_SQL = {
@@ -3931,4 +4048,5 @@ ORACLE_SQL = {
     "weighted_dup_clusters": SQL_WEIGHTED_DUP_CLUSTERS,
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "lang_dedup_rates": SQL_LANG_DEDUP_RATES,
+    "events_window_distinct": SQL_EVENTS_WINDOW_DISTINCT,
 }
