@@ -187,3 +187,38 @@ def test_weighted_similarity_join_matches_naive(ray_session, nblocks):
         row = got.loc[key]
         assert (row["n_inter"], row["n_union"]) == (m, u), key
         assert row["jaccard"] == pytest.approx(j, abs=0)
+
+
+def test_weighted_minhash_estimates_weighted_jaccard(ray_session):
+    """The weighted tier's SCALE PATH: plain MinHash over the
+    instance-tagged keys of weighted_shingle_explode estimates J_w —
+    because the tagged sets' SET Jaccard IS the multiset J_w, the whole
+    existing banding/signature machinery applies unchanged to the weighted
+    measure (documented in stages/allpairs.py). Checked against the exact
+    multiset computation on repetition-heavy docs."""
+    import collections
+
+    from lsh_apg_ray.hashing import derive_seeds, minhash_signatures, mix64, run_bounds
+
+    rng = np.random.default_rng(7)
+    _G = np.uint64(0x9E3779B97F4A7C15)
+
+    def tagged(counter):
+        ks = []
+        for g, c in counter.items():
+            base = np.uint64(hash(g) & 0xFFFFFFFFFFFFFFFF)
+            for i in range(c):
+                ks.append(mix64(np.array([base * _G ^ np.uint64(i)]))[0])
+        return np.array(sorted(ks), dtype=np.uint64)
+
+    # two docs sharing a repeated block with different multiplicities
+    a = collections.Counter({f"g{i}": 1 for i in range(40)} | {"hot": 30})
+    b = collections.Counter({f"g{i}": 1 for i in range(20, 60)} | {"hot": 10})
+    m = sum((a & b).values())
+    u = sum(a.values()) + sum(b.values()) - m
+    jw = m / u
+    sa, sb = tagged(a), tagged(b)
+    seeds = derive_seeds(42, "weighted-minhash-test", 512)
+    sig = minhash_signatures([sa, sb], seeds)
+    est = float((sig[0] == sig[1]).mean())
+    assert abs(est - jw) < 0.07, (est, jw)
