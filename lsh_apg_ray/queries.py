@@ -3871,6 +3871,47 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# forward as-of join: time-to-next-conversion
+# ---------------------------------------------------------------------------
+
+def q_asof_next_purchase(sf_dir: str):
+    """Forward as-of: attach to every click the user's EARLIEST purchase
+    at-or-after it (asof_join_forward — backward as-of on negated time,
+    zero new join machinery)."""
+    from lsh_apg_ray.stages.asof import asof_join_forward
+
+    clicks = _split_events(
+        sf_dir, "click", {"event_id": "click_id", "ts": "click_ts"}
+    )
+    purchases = _split_events(
+        sf_dir, "purchase",
+        {"event_id": "purchase_id", "ts": "purchase_ts"},
+    )
+    return asof_join_forward(
+        clicks, purchases,
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        right_tie="purchase_id",
+    )
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+WITH l AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.click_id, l.user_id, l.click_ts, r.purchase_id, r.purchase_ts
+FROM l JOIN r ON l.user_id = r.user_id AND r.purchase_ts >= l.click_ts
+QUALIFY row_number() OVER (
+  PARTITION BY l.click_id ORDER BY r.purchase_ts ASC, r.purchase_id ASC
+) = 1
+ORDER BY click_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3947,6 +3988,7 @@ QUERIES = {
     "events_debounce": q_events_debounce,
     "lang_dedup_rates": q_lang_dedup_rates,
     "events_window_distinct": q_events_window_distinct,
+    "asof_next_purchase": q_asof_next_purchase,
 }
 
 ORACLE_SQL = {
@@ -4049,4 +4091,5 @@ ORACLE_SQL = {
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "lang_dedup_rates": SQL_LANG_DEDUP_RATES,
     "events_window_distinct": SQL_EVENTS_WINDOW_DISTINCT,
+    "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
 }

@@ -158,3 +158,56 @@ def asof_join(
         .groupby(_PART)
         .map_groups(_join_part, batch_format="pyarrow")
     )
+
+
+def asof_join_forward(
+    left,
+    right,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tie: str,
+    num_partitions: int = 16,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Forward as-of join: attach to each left row the EARLIEST right row of
+    the same key at-or-after it ("time to next conversion"). Among equal
+    right_ts the row with the SMALLEST tie wins (the forward mirror of
+    asof_join's largest-tie rule).
+
+    Implemented as asof_join on NEGATED microsecond timestamps (and negated
+    tie): greatest -right_ts <= -left_ts IS smallest right_ts >= left_ts —
+    one wrapper, zero new join machinery, identical shuffle shape."""
+    from lsh_apg_ray.joins import _schema_of
+
+    left_schema = left_schema or _schema_of(left)
+    right_schema = right_schema or _schema_of(right)
+    _LN, _RN, _RTN = "__fwd_lts", "__fwd_rts", "__fwd_rtie"
+
+    def add_neg(ts_col: str, out_col: str, tie_col: str | None):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column(out_col, pa.array(-_us(t[ts_col]), pa.int64()))
+            if tie_col is not None:
+                neg_tie = pa.compute.negate(t[tie_col].cast(pa.int64()))
+                t = t.append_column(_RTN, neg_tie)
+            return t
+
+        return fn
+
+    lneg = left.map_batches(add_neg(left_ts, _LN, None), batch_format="pyarrow")
+    rneg = right.map_batches(
+        add_neg(right_ts, _RN, right_tie), batch_format="pyarrow"
+    )
+    ls = pa.schema(list(left_schema) + [pa.field(_LN, pa.int64())])
+    rs = pa.schema(
+        list(right_schema)
+        + [pa.field(_RN, pa.int64()), pa.field(_RTN, pa.int64())]
+    )
+    out = asof_join(
+        lneg, rneg,
+        key=key, left_ts=_LN, right_ts=_RN, right_tie=_RTN,
+        num_partitions=num_partitions, left_schema=ls, right_schema=rs,
+    )
+    return out.drop_columns([_LN, _RN, _RTN])

@@ -148,3 +148,49 @@ def test_asof_join_rejects_column_collision():
         assert "collision" in str(e)
     else:
         raise AssertionError("expected ValueError on column collision")
+
+
+def test_asof_join_forward_matches_naive(ray_session):
+    """Forward as-of (earliest right at-or-after, smallest-tie rule) vs a
+    brute-force reference — including the equal-timestamp eligibility and
+    tie edges."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.asof import asof_join_forward
+
+    left = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "l_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "l_ts": pa.array([100, 250, 900, 50, 5], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "r_id": pa.array([20, 21, 22, 23, 24], pa.int64()),
+            # two rows at ts=250 for user 1: smallest r_id must win;
+            # 250 itself is eligible for l_ts=250 (at-or-after)
+            "r_ts": pa.array([250, 250, 800, 40, 60], pa.timestamp("us")),
+        }
+    )
+    got = (
+        asof_join_forward(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            key="user_id", left_ts="l_ts", right_ts="r_ts", right_tie="r_id",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("l_id")
+        .reset_index(drop=True)
+    )
+    # l 10 (t=100) -> earliest right >= 100 is ts 250, tie -> r_id 20
+    # l 11 (t=250) -> ts 250 eligible -> r_id 20
+    # l 12 (t=900) -> none (drop)
+    # l 13 (t=50, user 2) -> ts 60 -> r_id 24
+    # l 14 (user 3) -> no right rows (drop)
+    assert got["l_id"].tolist() == [10, 11, 13]
+    assert got["r_id"].tolist() == [20, 20, 24]
