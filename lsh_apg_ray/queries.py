@@ -3912,6 +3912,57 @@ ORDER BY click_id
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel analysis: per-user conversion depth through ordered stages
+# ---------------------------------------------------------------------------
+
+def q_events_funnel(sf_dir: str):
+    """Per-user funnel signup -> click -> purchase in strictly increasing
+    time: stage i's timestamp is the minimum stage-i event strictly after
+    stage i-1's (windows.funnel — one sort + one inf-masked segmented min
+    per stage per partition). The oracle chains three correlated min
+    aggregations."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import funnel
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["signup", "click", "purchase"])
+
+
+SQL_EVENTS_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS ts1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts2 GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.ts3 IS NOT NULL THEN 3
+                 WHEN t2.ts2 IS NOT NULL THEN 2
+                 WHEN t1.ts1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_depth,
+       CAST(COALESCE(t1.ts1, -1) AS BIGINT) AS ts_signup,
+       CAST(COALESCE(t2.ts2, -1) AS BIGINT) AS ts_click,
+       CAST(COALESCE(t3.ts3, -1) AS BIGINT) AS ts_purchase
+FROM u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
@@ -3989,6 +4040,7 @@ QUERIES = {
     "lang_dedup_rates": q_lang_dedup_rates,
     "events_window_distinct": q_events_window_distinct,
     "asof_next_purchase": q_asof_next_purchase,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLE_SQL = {
@@ -4092,4 +4144,5 @@ ORACLE_SQL = {
     "lang_dedup_rates": SQL_LANG_DEDUP_RATES,
     "events_window_distinct": SQL_EVENTS_WINDOW_DISTINCT,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

@@ -267,3 +267,86 @@ def debounce(events, key_cols: list[str], ts_col: str, min_gap_s: int,
         .groupby(_DPART)
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def funnel(events, key: str, ts_col: str, type_col: str, stages: list[str],
+           num_partitions: int = 16):
+    """Funnel analysis: per key, the deepest prefix of `stages` reachable in
+    strictly-increasing time — stage i's timestamp is the MINIMUM ts of a
+    stage-i event strictly after stage i-1's timestamp (stage 0: the
+    minimum overall). The classic conversion-depth op.
+
+    Output: (key, funnel_depth, ts_<stage>... as int64 epoch us, -1 when
+    the stage was not reached). One coarse hash partition on key, then per
+    partition ONE sort + len(stages) vectorized sweeps (each an
+    inf-masked segmented min over the key runs) — no per-key Python.
+    """
+    _FPART = "__fpart"
+    INF = np.iinfo(np.int64).max
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_FPART, pa.array(part, pa.int64()))
+
+    out_names = [f"ts_{s}" for s in stages]
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_FPART])
+        empty = pa.table(
+            {key: pa.array([], t.schema.field(key).type),
+             "funnel_depth": pa.array([], pa.int64()),
+             **{n: pa.array([], pa.int64()) for n in out_names}}
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        et = t[type_col]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        stage_code = {s: i for i, s in enumerate(de.dictionary.to_pylist())}
+        order = np.lexsort((us, keys))
+        k_s, us_s, c_s = keys[order], us[order], codes[order]
+        change = np.ones(n, bool)
+        change[1:] = k_s[1:] != k_s[:-1]
+        run_of = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        n_keys = len(starts)
+        bounds = np.append(starts, n)
+        prev = np.full(n_keys, -1, np.int64)  # ts of the last reached stage
+        alive = np.ones(n_keys, bool)
+        depth = np.zeros(n_keys, np.int64)
+        stage_ts = []
+        for s in stages:
+            code = stage_code.get(s, -1)
+            vals = np.full(n, INF, np.int64)
+            if code >= 0:
+                m = (c_s == code) & (us_s > prev[run_of]) & alive[run_of]
+                vals[m] = us_s[m]
+            # segmented min per key run (cumulative-min free: reduceat over
+            # run bounds; empty runs impossible — bounds come from rows)
+            mins = np.minimum.reduceat(vals, bounds[:-1])
+            reached = alive & (mins < INF)
+            prev = np.where(reached, mins, prev)
+            alive = reached
+            depth += reached.astype(np.int64)
+            stage_ts.append(np.where(reached, mins, np.int64(-1)))
+        return pa.table(
+            {key: pa.array(k_s[starts]),
+             "funnel_depth": pa.array(depth, pa.int64()),
+             **{n_: pa.array(v, pa.int64())
+                for n_, v in zip(out_names, stage_ts)}}
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_FPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -127,3 +127,50 @@ def test_debounce_matches_naive(ray_session):
     )
     # lag rule: 3 is 30s after 2 (suppressed event still advances the lag)
     assert got == [1, 4, 5, 6]
+
+
+def test_funnel_matches_naive(ray_session):
+    from lsh_apg_ray.stages.windows import funnel
+
+    rows = [
+        # user 1: full funnel in order
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE signup doesn't count; later click does
+        (2, 50, "click"), (2, 60, "signup"), (2, 70, "click"),
+        # user 3: purchase with no click -> depth 1
+        (3, 5, "signup"), (3, 6, "purchase"),
+        # user 4: equal ts click (not strictly after signup) -> depth 1
+        (4, 100, "signup"), (4, 100, "click"),
+        # user 5: never signs up -> depth 0
+        (5, 1, "click"), (5, 2, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        funnel(
+            rd.from_arrow(tbl).repartition(3), "user_id", "ts",
+            "event_type", ["signup", "click", "purchase"], num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = {
+        1: (3, 10, 20, 30),
+        2: (2, 60, 70, -1),
+        3: (1, 5, -1, -1),
+        4: (1, 100, -1, -1),
+        5: (0, -1, -1, -1),
+    }
+    assert set(got.index) == set(want)
+    for u, (d, t1, t2, t3) in want.items():
+        row = got.loc[u]
+        assert (
+            row["funnel_depth"], row["ts_signup"], row["ts_click"],
+            row["ts_purchase"],
+        ) == (d, t1, t2, t3), u
