@@ -1012,6 +1012,35 @@ def q_graph_knn_noseed(sf_dir: str):
 SQL_GRAPH_KNN_NOSEED = _sql_knn_protocol("graph_knn_noseed")
 
 
+def q_graph_knn_sharded(sf_dir: str):
+    """graph_knn over the SHARDED index (graphshard.build_graph_sharded):
+    per-id-range shard packs + per-table key chunks, no plasma object
+    holding the whole corpus matrix — the 100-TB residency path. Same
+    `_adjacency` dataflow and bit-identical beam results as the dense
+    index (tests/test_graphshard.py), scored through the identical
+    recall/ratio protocol so the driver value-hash gates the sharded
+    gather/probe machinery end to end."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.ann import load_queries
+    from lsh_apg_ray.stages.graph import graph_knn
+    from lsh_apg_ray.stages.graphshard import build_graph_sharded
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    ix = build_graph_sharded(
+        emb, T=24, L=4, K=4, W=16.0, cfg=_cfg(threshold=0.5), shards=4
+    )
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = graph_knn(ix, qids, qmat, KNN_K, ef=64)
+    ann = rd.from_arrow(
+        out.select(["query_id", "neighbor_id", "rank", "dist"])
+    )
+    return _knn_protocol(sf_dir, "graph_knn_sharded", ann, KNN_K)
+
+
+SQL_GRAPH_KNN_SHARDED = _sql_knn_protocol("graph_knn_sharded")
+
+
 def q_zorder_knn(sf_dir: str):
     from lsh_apg_ray.stages.ann import load_queries, zorder_knn
 
@@ -4041,8 +4070,9 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_window_distinct": q_events_window_distinct,
     "asof_next_purchase": q_asof_next_purchase,
-    "doc_stats": q_doc_stats,
+    "graph_knn_sharded": q_graph_knn_sharded,
     # -- position > 50: two green driver rows already (r03 + r04) ---------
+    "doc_stats": q_doc_stats,
     "token_counts": q_token_counts,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
@@ -4140,6 +4170,7 @@ ORACLE_SQL = {
     "graph_knn": SQL_GRAPH_KNN,
     "graph_knn_incremental": SQL_GRAPH_KNN_INCREMENTAL,
     "graph_knn_noseed": SQL_GRAPH_KNN_NOSEED,
+    "graph_knn_sharded": SQL_GRAPH_KNN_SHARDED,
     "ivf_knn": SQL_IVF_KNN,
     "pq_knn": SQL_PQ_KNN,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built

@@ -20,11 +20,12 @@ divGraph.h:1093-1146) with an ef-bounded result set; every exact distance
 evaluation is counted (the COST column protocol, alg.h:130). Queries run in
 parallel remote tasks over chunks, each reading the index zero-copy.
 
-Partitioning assumption (per task brief): the CSR + vector matrix live as
-broadcast object-store arrays — correct up to graphs of ~1e8 nodes x 2T
-edges on one node's plasma. Beyond that the graph shards by node-id range
-(one actor pool per shard; queries route to the shards their LSH seeds hit),
-which changes only the broadcast step, not the dataflow that builds it.
+Partitioning assumption: the dense GraphIndex packs CSR + vector matrix as
+ONE broadcast object-store array — correct up to graphs of ~1e8 nodes x 2T
+edges on one node's plasma. Beyond that, `graphshard.build_graph_sharded`
+builds the SAME graph as per-id-range shard packs + per-table key chunks
+(no plasma object larger than a shard; queries lazily fetch only the shards
+their beam touches) — same `_adjacency` dataflow, bit-identical results.
 """
 
 from __future__ import annotations
@@ -283,10 +284,13 @@ def build_graph(
         zero-copy by distance tasks — fastest when the matrix fits a node
         (the reference is RAM-resident by design, divGraph.h:249).
       - "join": vectors hash-join onto candidate pairs (`_pair_dists_join`)
-        so CONSTRUCTION never materializes the matrix anywhere; the
-        assembled GraphIndex still packs (ids, mat) for query-time beam
-        search, but build-side bytes scale with the candidate-pair count.
-        Bit-identical edges/CSR to broadcast mode (pytest-gated).
+        so the pair-distance step never materializes the matrix; build-side
+        shuffle bytes scale with the candidate-pair count. NOTE: the dense
+        GraphIndex returned here still packs (ids, mat) into one plasma
+        object for query-time beam search — when no single object may hold
+        the corpus, use `graphshard.build_graph_sharded`, which reuses this
+        exact join dataflow and assembles per-shard packs instead
+        (bit-identical query results, pytest-gated).
     """
     if verify_mode not in ("broadcast", "join"):
         raise ValueError(
@@ -294,6 +298,62 @@ def build_graph(
         )
     cfg = cfg or DedupConfig(threshold=0.5)
     mat_ref = collect_matrix_ref(embeddings, id_col, vec_col)
+    params = dict(L=L, K=K, W=W, seed=seed)
+    adj = _adjacency(embeddings, T=T, cfg=cfg, id_col=id_col, vec_col=vec_col,
+                     div=div, verify_mode=verify_mode, mat_ref=mat_ref,
+                     **params)
+
+    @ray.remote
+    def assemble_index(mat_pack, *edge_blocks):
+        ids, mat = mat_pack
+        n = len(ids)
+        srcs, dsts = [], []
+        for b in edge_blocks:
+            # empty groupby partitions can surface schema-less blocks
+            if b.num_rows == 0 or "src" not in b.schema.names:
+                continue
+            srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+            dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        rs = np.searchsorted(ids, src)
+        rd_ = np.searchsorted(ids, dst)
+        order = np.lexsort((rd_, rs))
+        rs, rd_ = rs[order], rd_[order]
+        counts = np.bincount(rs, minlength=n)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        ks, rws, h0 = _derived_tables(mat, **params)
+        return GraphIndex(
+            ids=ids, mat=mat, indptr=indptr, nbr=rd_,
+            keys_sorted=ks, rows_sorted=rws, hashes=h0,
+            L=L, K=K, W=W, seed=seed,
+        )
+
+    return assemble_index.remote(mat_ref, *adj.to_arrow_refs())
+
+
+def _adjacency(
+    embeddings,
+    T: int,
+    L: int,
+    K: int,
+    W: float,
+    seed: int,
+    cfg: DedupConfig,
+    id_col: str,
+    vec_col: str,
+    div: bool,
+    verify_mode: str,
+    mat_ref=None,
+):
+    """The shared graph-construction dataflow: E2LSH band explode ->
+    bucketed candidate pairs -> exact pair distances -> per-node top-T
+    forward selection -> reverse edges -> dedup + maxT=2T cap. Returns the
+    capped directed edge Dataset (src, dst, dist) — consumed by the dense
+    assembler (build_graph) and the sharded assembler
+    (graphshard.build_graph_sharded). mat_ref is required only for
+    verify_mode="broadcast" or broadcast-div selection."""
     params = dict(L=L, K=K, W=W, seed=seed)
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -389,7 +449,7 @@ def build_graph(
         )
 
     both = fwd.union(fwd.map_batches(reverse, batch_format="pyarrow"))
-    adj = (
+    return (
         both.map_batches(part_by_src, batch_format="pyarrow")
         .groupby("__gpart")
         .map_groups(
@@ -399,35 +459,6 @@ def build_graph(
             batch_format="pyarrow",
         )
     )
-
-    @ray.remote
-    def assemble_index(mat_pack, *edge_blocks):
-        ids, mat = mat_pack
-        n = len(ids)
-        srcs, dsts = [], []
-        for b in edge_blocks:
-            # empty groupby partitions can surface schema-less blocks
-            if b.num_rows == 0 or "src" not in b.schema.names:
-                continue
-            srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
-            dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
-        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
-        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
-        rs = np.searchsorted(ids, src)
-        rd_ = np.searchsorted(ids, dst)
-        order = np.lexsort((rd_, rs))
-        rs, rd_ = rs[order], rd_[order]
-        counts = np.bincount(rs, minlength=n)
-        indptr = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        ks, rws, h0 = _derived_tables(mat, **params)
-        return GraphIndex(
-            ids=ids, mat=mat, indptr=indptr, nbr=rd_,
-            keys_sorted=ks, rows_sorted=rws, hashes=h0,
-            L=L, K=K, W=W, seed=seed,
-        )
-
-    return assemble_index.remote(mat_ref, *adj.to_arrow_refs())
 
 
 def insert_into_graph(
@@ -866,7 +897,19 @@ def graph_knn(
 
     lsh_seeds=False runs the knnHNSW ablation (beam from fixed entry 0,
     divGraph.h:1061-1091) through the same protocol, so the LSH-seeding
-    advantage is directly measurable in the cost/recall columns."""
+    advantage is directly measurable in the cost/recall columns.
+
+    Accepts either an ObjectRef[GraphIndex] (dense, single broadcast pack)
+    or a ShardedGraphIndex handle (no single-object corpus residency) —
+    the sharded path returns bit-identical tables (pytest-gated)."""
+    from lsh_apg_ray.stages.graphshard import ShardedGraphIndex, graph_knn_sharded
+
+    if isinstance(index_ref, ShardedGraphIndex):
+        return graph_knn_sharded(
+            index_ref, query_ids, query_matrix, k, ef=ef,
+            lsh_budget=lsh_budget, exclude_self=exclude_self, chunk=chunk,
+            prob_q=prob_q, lsh_seeds=lsh_seeds,
+        )
     qids = np.asarray(query_ids, dtype=np.int64)
     qmat = np.asarray(query_matrix, dtype=np.float64)
 

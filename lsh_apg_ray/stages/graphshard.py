@@ -1,0 +1,523 @@
+"""Sharded LSH-seeded proximity-graph index — the fastGraph flatten
+(fastGraph.h:55-96) re-expressed WITHOUT single-object corpus residency.
+
+The dense `GraphIndex` (stages/graph.py) packs (ids, matrix, CSR, key
+tables) into ONE plasma object — correct at reference scale (the reference
+is RAM-resident by design, divGraph.h:249) but a ceiling at 100-TB
+embeddings. This module builds the same graph as a set of BOUNDED plasma
+objects, none larger than one shard:
+
+  - `GraphShard` per id-range: (ids, vectors, local CSR whose neighbor
+    column stores neighbor IDS, chi2-prune projections). Row order inside
+    a shard is ascending id, so shard-local CSR ordering equals the dense
+    index's global (src_row, dst_row) ordering restricted to the shard.
+  - per-table LSH key CHUNKS: the globally sorted (key, id) array of each
+    hash table, split into block-sized chunk objects with tiny driver-held
+    fences (first/last key + cumulative counts per chunk) — the sorted
+    probe array of divGraph::knn (divGraph.h:934-1029) without a global
+    array object.
+  - `ShardedGraphIndex`: the driver-side handle — id fences + ObjectRefs
+    only (O(shards) metadata, no vector bytes).
+
+Construction reuses the exact `_adjacency` dataflow of build_graph in
+verify_mode="join" (vectors hash-join onto candidate pairs), so NOTHING on
+the build side materializes the matrix: edges route to their src shard
+through one range-keyed groupby, each shard pack is assembled by a task
+that reads only its own id-range blocks, and the key chunks come from L
+slim (key, id) sorts. Shuffle bytes scale with edge count + n*(key+id)
+rows; peak task memory is one shard.
+
+Query-time beam search (`_search_one_sharded`) mirrors `_search_one`
+bit-exactly — same seeds (identical padded probe windows over the same
+globally-sorted key order), same tie-breaking (neighbor ids ascend exactly
+like dense row indices, because dense rows ARE ascending ids), same
+chi-squared prune — but gathers vectors/neighbor lists through a lazy
+per-task shard cache: only the shards a beam actually touches are fetched
+(zero-copy from plasma locally; shard-granular transfers on a real
+cluster). Equality with the dense path is pytest-gated
+(tests/test_graphshard.py), as is the per-object size bound.
+
+Partitioning assumption: queries route to every shard their beam touches;
+at high ef most shards of a SMALL index get touched (fine — they are
+local), while at scale beams touch O(ef) nodes spread over few shards per
+query, and Ray moves only those shard objects to the querying node.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.stages.ann import ROUND_DECIMALS, _to_matrix, get_e2lsh_tables
+from lsh_apg_ray.stages.graph import _adjacency, chi2_quantile
+
+
+@dataclass
+class GraphShard:
+    """One id-range slice of the graph (row i = i-th smallest id in range)."""
+
+    ids: np.ndarray      # (m,) sorted node ids
+    mat: np.ndarray      # (m, dim) float64 vectors
+    indptr: np.ndarray   # (m+1,) local CSR offsets
+    nbr_ids: np.ndarray  # flat neighbor IDS (ascending within each node)
+    hashes: np.ndarray   # (m, L*K) raw projections for the chi2 prune
+
+
+@dataclass
+class ShardedGraphIndex:
+    """Driver-side handle: tiny fences + ObjectRefs, no vector bytes."""
+
+    n: int
+    dim: int
+    L: int
+    K: int
+    W: float
+    seed: int
+    id_fences: np.ndarray              # (S,) first id of each shard
+    shard_refs: list = field(default_factory=list)   # S ObjectRef[GraphShard]
+    key_refs: list = field(default_factory=list)     # [L][C_l] ObjectRef[Table]
+    key_first: list = field(default_factory=list)    # [L] (C_l,) first key
+    key_last: list = field(default_factory=list)     # [L] (C_l,) last key
+    key_offsets: list = field(default_factory=list)  # [L] (C_l+1,) row offsets
+
+
+@ray.remote
+def _emb_block_meta(t: pa.Table, id_col: str):
+    if t.num_rows == 0 or id_col not in t.schema.names:
+        return 0, 0, 0
+    ids = t[id_col]
+    return t.num_rows, ids[0].as_py(), ids[-1].as_py()
+
+
+@ray.remote
+def _edge_block_shards(t: pa.Table):
+    if t.num_rows == 0 or "__shard" not in t.schema.names:
+        return []
+    return pc.unique(t["__shard"]).to_pylist()
+
+
+@ray.remote
+def _key_block_meta(t: pa.Table):
+    if t.num_rows == 0 or "key" not in t.schema.names:
+        return 0, 0, 0
+    k = t["key"]
+    return t.num_rows, k[0].as_py(), k[-1].as_py()
+
+
+@ray.remote
+def _build_shard(shard_idx: int, L: int, K: int, W: float, seed: int,
+                 emb_meta: tuple, edge_refs: list, *emb_blocks):
+    """Assemble one GraphShard from its own sorted embedding blocks + the
+    routed edge blocks that (may) contain its src rows. Peak memory is one
+    shard's vectors + its edges."""
+    id_col, vec_col = emb_meta
+    ids_parts, mats = [], []
+    for b in emb_blocks:
+        if b.num_rows == 0:
+            continue
+        ids_parts.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        mats.append(_to_matrix(b[vec_col]))
+    ids = np.concatenate(ids_parts)   # sorted: blocks are globally sorted
+    mat = np.ascontiguousarray(np.vstack(mats))
+    m = len(ids)
+    srcs, dsts, dists = [], [], []
+    for r in edge_refs:
+        b = ray.get(r)
+        if b.num_rows == 0 or "src" not in b.schema.names:
+            continue
+        b = b.filter(pc.equal(b["__shard"], shard_idx))
+        if b.num_rows == 0:
+            continue
+        srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dists.append(b["dist"].to_numpy(zero_copy_only=False))
+    if srcs:
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        # dense CSR ordering is lexsort(dst_row, src_row) == (src_id, dst_id)
+        # because dense rows are ascending ids; replicate it shard-locally
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+    else:
+        src = np.empty(0, np.int64)
+        dst = np.empty(0, np.int64)
+    pos = np.searchsorted(ids, src)
+    counts = np.bincount(pos, minlength=m)
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    tb = get_e2lsh_tables(mat.shape[1], L=L, K=K, W=W, seed=seed)
+    h0 = (mat @ tb.A.T + tb.B) / tb.W
+    return GraphShard(ids=ids, mat=mat, indptr=indptr, nbr_ids=dst, hashes=h0)
+
+
+def build_graph_sharded(
+    embeddings,
+    T: int = 24,
+    L: int = 4,
+    K: int = 4,
+    W: float = 16.0,
+    seed: int = 42,
+    cfg: DedupConfig | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    div: bool = False,
+    shards: int = 8,
+) -> ShardedGraphIndex:
+    """Build the proximity graph as a ShardedGraphIndex (see module doc).
+
+    Produces the SAME graph edges as build_graph (shared `_adjacency`
+    dataflow, always the join verify path — no broadcast matrix), then
+    assembles per-shard packs instead of one GraphIndex object:
+
+      1. embeddings sort by id -> block metadata (counts + id ranges, tiny)
+         -> consecutive blocks grouped into `shards` id-range shards;
+      2. directed capped edges tagged with their src shard (searchsorted
+         over the tiny fence array) -> one groupby co-locates each shard's
+         edges -> per-shard assemble task (its own emb blocks + edge
+         groups only);
+      3. per hash table: slim (key, id) rows -> sort(key, id) -> chunk
+         refs + fences. Sorting by (key, id) equals the dense stable
+         argsort-by-key because dense row order is ascending id.
+
+    `shards` is an upper bound (each shard holds >= 1 sorted block)."""
+    cfg = cfg or DedupConfig(threshold=0.5)
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    params = dict(L=L, K=K, W=W, seed=seed)
+    adj = _adjacency(embeddings, T=T, cfg=cfg, id_col=id_col, vec_col=vec_col,
+                     div=div, verify_mode="join", mat_ref=None,
+                     **params).materialize()
+
+    # --- 1. id-sorted embedding blocks -> shard groups + fences ----------
+    semb = embeddings.select_columns([id_col, vec_col]).sort(id_col).materialize()
+    eblocks = semb.to_arrow_refs()
+    emeta = ray.get([_emb_block_meta.remote(b, id_col) for b in eblocks])
+    nonempty = [(r, c, lo) for r, (c, lo, _hi) in zip(eblocks, emeta) if c > 0]
+    if not nonempty:
+        raise ValueError("build_graph_sharded: empty embeddings dataset")
+    n = sum(c for _, c, _ in nonempty)
+    target = max(1, math.ceil(n / shards))
+    groups: list[list] = []
+    fences: list[int] = []
+    acc = 0
+    for r, c, lo in nonempty:
+        if not groups or acc >= target:
+            groups.append([])
+            fences.append(lo)
+            acc = 0
+        groups[-1].append(r)
+        acc += c
+    S = len(groups)
+    id_fences = np.asarray(fences, dtype=np.int64)
+
+    # --- 2. route edges to their src shard, assemble shard packs ---------
+    def tag(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = (np.searchsorted(id_fences, src, side="right") - 1).astype(np.int64)
+        return t.append_column("__shard", pa.array(sh, pa.int64()))
+
+    routed = (
+        adj.map_batches(tag, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(lambda g: g, batch_format="pyarrow")
+        .materialize()
+    )
+    erefs = routed.to_arrow_refs()
+    eshards = ray.get([_edge_block_shards.remote(r) for r in erefs])
+    per_shard_edges: list[list] = [[] for _ in range(S)]
+    for r, present in zip(erefs, eshards):
+        for s in present:
+            per_shard_edges[int(s)].append(r)
+    shard_refs = [
+        _build_shard.remote(s, L, K, W, seed, (id_col, vec_col),
+                            per_shard_edges[s], *groups[s])
+        for s in range(S)
+    ]
+
+    # --- 3. per-table sorted key chunks -----------------------------------
+    def emit_keys(t: pa.Table) -> pa.Table:
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
+        tb = get_e2lsh_tables(x.shape[1], **params)
+        keys = tb.keys(x)  # (n, L)
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(L, dtype=np.int64), len(ids))),
+            "key": pa.array(keys.T.reshape(-1), pa.int64()),
+            "id": pa.array(np.tile(ids, L), pa.int64()),
+        })
+
+    keyrows = embeddings.map_batches(emit_keys, batch_format="pyarrow").materialize()
+    key_refs, key_first, key_last, key_offsets = [], [], [], []
+    for l in range(L):
+        def fl(t: pa.Table, _l=l) -> pa.Table:
+            return t.filter(pc.equal(t["band"], _l)).select(["key", "id"])
+
+        skl = (
+            keyrows.map_batches(fl, batch_format="pyarrow")
+            .sort(["key", "id"])
+            .materialize()
+        )
+        kb = skl.to_arrow_refs()
+        kmeta = ray.get([_key_block_meta.remote(r) for r in kb])
+        refs_l, first_l, last_l, counts_l = [], [], [], []
+        for r, (c, fk, lk) in zip(kb, kmeta):
+            if c == 0:
+                continue
+            refs_l.append(r)
+            first_l.append(fk)
+            last_l.append(lk)
+            counts_l.append(c)
+        key_refs.append(refs_l)
+        key_first.append(np.asarray(first_l, dtype=np.int64))
+        key_last.append(np.asarray(last_l, dtype=np.int64))
+        key_offsets.append(np.concatenate(
+            ([0], np.cumsum(np.asarray(counts_l, dtype=np.int64)))
+        ))
+
+    @ray.remote
+    def _dim_of(t: pa.Table) -> int:
+        return int(_to_matrix(t[vec_col][:1]).shape[1])
+
+    dim = int(ray.get(_dim_of.remote(groups[0][0])))
+    return ShardedGraphIndex(
+        n=n, dim=dim, L=L, K=K, W=W, seed=seed, id_fences=id_fences,
+        shard_refs=shard_refs, key_refs=key_refs, key_first=key_first,
+        key_last=key_last, key_offsets=key_offsets,
+    )
+
+
+class _ShardView:
+    """Per-task lazy cache over a ShardedGraphIndex: fetches a shard or key
+    chunk the first time the beam touches it (zero-copy plasma read), then
+    serves vectorized gathers keyed by node ID."""
+
+    def __init__(self, h: ShardedGraphIndex):
+        self.h = h
+        self._packs: list = [None] * len(h.shard_refs)
+        self._kchunks: list = [[None] * len(r) for r in h.key_refs]
+
+    def _pack(self, s: int) -> GraphShard:
+        if self._packs[s] is None:
+            self._packs[s] = ray.get(self.h.shard_refs[s])
+        return self._packs[s]
+
+    def _keys(self, l: int, c: int):
+        if self._kchunks[l][c] is None:
+            t = ray.get(self.h.key_refs[l][c])
+            self._kchunks[l][c] = (
+                t["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        return self._kchunks[l][c]
+
+    def _gather(self, ids: np.ndarray, what: str) -> np.ndarray:
+        sh = np.searchsorted(self.h.id_fences, ids, side="right") - 1
+        first = self._pack(int(sh[0]))
+        arr0 = getattr(first, what)
+        out = np.empty((len(ids),) + arr0.shape[1:], dtype=arr0.dtype)
+        for u in np.unique(sh):
+            m = sh == u
+            p = self._pack(int(u))
+            out[m] = getattr(p, what)[np.searchsorted(p.ids, ids[m])]
+        return out
+
+    def gather_mat(self, ids: np.ndarray) -> np.ndarray:
+        return self._gather(ids, "mat")
+
+    def gather_hashes(self, ids: np.ndarray) -> np.ndarray:
+        return self._gather(ids, "hashes")
+
+    def nbrs(self, nid: int) -> np.ndarray:
+        s = int(np.searchsorted(self.h.id_fences, nid, side="right") - 1)
+        p = self._pack(s)
+        r = int(np.searchsorted(p.ids, nid))
+        return p.nbr_ids[p.indptr[r]: p.indptr[r + 1]]
+
+    def probe(self, l: int, key: int, want: int) -> np.ndarray:
+        """Ids in the dense path's padded probe window [lo, hi) of table
+        l's globally sorted key array — computed from chunk fences +
+        within-chunk searchsorted, fetching only boundary/window chunks."""
+        first, last = self.h.key_first[l], self.h.key_last[l]
+        off = self.h.key_offsets[l]
+        n = int(off[-1])
+        c_lo = int(np.searchsorted(last, key, side="left"))
+        if c_lo >= len(last):
+            lo = n
+        else:
+            lo = int(off[c_lo]) + int(
+                np.searchsorted(self._keys(l, c_lo)[0], key, side="left")
+            )
+        c_hi = int(np.searchsorted(first, key, side="right")) - 1
+        if c_hi < 0:
+            hi = 0
+        else:
+            hi = int(off[c_hi]) + int(
+                np.searchsorted(self._keys(l, c_hi)[0], key, side="right")
+            )
+        if hi - lo < want:  # same widen rule as _search_one
+            pad = (want - (hi - lo) + 1) // 2
+            lo, hi = max(0, lo - pad), min(n, hi + pad)
+        if hi <= lo:
+            return np.empty(0, np.int64)
+        parts = []
+        c = int(np.searchsorted(off, lo, side="right")) - 1
+        pos = lo
+        while pos < hi:
+            end = min(hi, int(off[c + 1]))
+            ids_c = self._keys(l, c)[1]
+            parts.append(ids_c[pos - int(off[c]): end - int(off[c])])
+            pos = end
+            c += 1
+        return np.concatenate(parts)
+
+
+def _search_one_sharded(view: _ShardView, q: np.ndarray, qkeys: np.ndarray,
+                        k: int, ef: int, budget: int,
+                        exclude_id: int | None,
+                        coeffq: float | None = None,
+                        qh: np.ndarray | None = None,
+                        lsh_seeds: bool = True):
+    """`_search_one` (stages/graph.py) over a shard view — identical seeds,
+    expansion order, tie-breaking and prune; bookkeeping is by node ID
+    (dense row order IS id order, so (dist, id) heap ties match (dist, row)
+    ties bit-exactly). Returns (ids, dists, cost, pruned)."""
+    import heapq
+
+    h = view.h
+    if lsh_seeds:
+        want = max(1, budget // h.L)
+        seed_parts = [view.probe(l, int(qkeys[l]), want) for l in range(h.L)]
+        seeds = (
+            np.unique(np.concatenate(seed_parts))[:budget]
+            if seed_parts else np.empty(0, np.int64)
+        )
+    else:
+        seeds = np.empty(0, np.int64)
+    if len(seeds) == 0:
+        seeds = h.id_fences[:1].copy()  # smallest id == dense row 0
+    d = ((view.gather_mat(seeds) - q) ** 2).sum(axis=1)
+    cost = len(seeds)
+    visited = set(seeds.tolist())
+    frontier = list(zip(d.tolist(), seeds.tolist()))
+    heapq.heapify(frontier)
+    results: list[tuple[float, int]] = []
+    for dd, nid in frontier:
+        heapq.heappush(results, (-dd, nid))
+    while len(results) > ef:
+        heapq.heappop(results)
+    pruned = 0
+    while frontier:
+        dd, nid = heapq.heappop(frontier)
+        if len(results) >= ef and dd > -results[0][0]:
+            break
+        nbrs = view.nbrs(int(nid))
+        if len(nbrs):
+            keep = np.fromiter(
+                (x not in visited for x in nbrs.tolist()), bool, len(nbrs)
+            )
+            fresh = nbrs[keep]
+        else:
+            fresh = nbrs
+        if len(fresh) == 0:
+            continue
+        visited.update(fresh.tolist())
+        if coeffq is not None and len(results) >= ef:
+            worst_now = -results[0][0]
+            hd = ((view.gather_hashes(fresh) - qh) ** 2).sum(axis=1)
+            keep_m = hd * coeffq <= worst_now
+            pruned += int((~keep_m).sum())
+            fresh = fresh[keep_m]
+            if len(fresh) == 0:
+                continue
+        nd = ((view.gather_mat(fresh) - q) ** 2).sum(axis=1)
+        cost += len(fresh)
+        worst = -results[0][0] if len(results) >= ef else np.inf
+        for dj, rj in zip(nd.tolist(), fresh.tolist()):
+            if dj < worst or len(results) < ef:
+                heapq.heappush(frontier, (dj, rj))
+                heapq.heappush(results, (-dj, rj))
+                if len(results) > ef:
+                    heapq.heappop(results)
+                worst = -results[0][0] if len(results) >= ef else np.inf
+    ids_arr = np.array([i for _, i in results], dtype=np.int64)
+    dists = np.array([-s for s, _ in results], dtype=np.float64)
+    if exclude_id is not None:
+        keep = ids_arr != exclude_id
+        ids_arr, dists = ids_arr[keep], dists[keep]
+    order = np.lexsort((ids_arr, np.round(dists, ROUND_DECIMALS)))[:k]
+    return ids_arr[order], np.round(dists[order], ROUND_DECIMALS), cost, pruned
+
+
+def graph_knn_sharded(
+    index: ShardedGraphIndex,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    ef: int = 200,
+    lsh_budget: int | None = None,
+    exclude_self: bool = True,
+    chunk: int = 32,
+    prob_q: float | None = None,
+    lsh_seeds: bool = True,
+):
+    """graph_knn over a ShardedGraphIndex: remote tasks per query chunk,
+    each holding a lazy shard cache — identical protocol columns
+    (query_id, neighbor_id, rank, dist, cost, pruned) and bit-identical
+    results to the dense path (pytest-gated)."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_matrix, dtype=np.float64)
+
+    @ray.remote
+    def search_chunk(h: ShardedGraphIndex, qi: np.ndarray, qm: np.ndarray):
+        view = _ShardView(h)
+        budget = lsh_budget or max(1, int(4 * h.L * np.log(max(h.n, 2))))
+        tb = get_e2lsh_tables(h.dim, L=h.L, K=h.K, W=h.W, seed=h.seed)
+        qkeys = tb.keys(qm)
+        coeffq = None
+        qh_all = None
+        if prob_q is not None:
+            coeffq = (h.W ** 2) / chi2_quantile(prob_q, h.L * h.K)
+            qh_all = (qm @ tb.A.T + tb.B) / tb.W
+        out_q, out_n, out_d, out_r, out_c, out_p = [], [], [], [], [], []
+        for i in range(len(qi)):
+            nids, dists, cost, pruned = _search_one_sharded(
+                view, qm[i], qkeys[i], k, ef, budget,
+                int(qi[i]) if exclude_self else None,
+                coeffq=coeffq,
+                qh=qh_all[i] if qh_all is not None else None,
+                lsh_seeds=lsh_seeds,
+            )
+            out_q.append(np.full(len(nids), qi[i], np.int64))
+            out_n.append(nids)
+            out_d.append(dists)
+            out_r.append(np.arange(1, len(nids) + 1, dtype=np.int64))
+            out_c.append(np.full(len(nids), cost, np.int64))
+            out_p.append(np.full(len(nids), pruned, np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q), pa.int64()),
+                "neighbor_id": pa.array(cat(out_n), pa.int64()),
+                "rank": pa.array(cat(out_r), pa.int64()),
+                "dist": pa.array(cat(out_d), pa.float64()),
+                "cost": pa.array(cat(out_c), pa.int64()),
+                "pruned": pa.array(cat(out_p), pa.int64()),
+            }
+        )
+
+    futs = [
+        search_chunk.remote(index, qids[i: i + chunk], qmat[i: i + chunk])
+        for i in range(0, len(qids), chunk)
+    ]
+    tables = ray.get(futs)
+    return pa.concat_tables(tables) if tables else None

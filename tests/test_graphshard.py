@@ -1,0 +1,162 @@
+"""Sharded graph index (stages/graphshard.py) — the no-single-object
+residency path (VERDICT r4 item 2).
+
+Contracts gated here:
+  1. graph_knn over a ShardedGraphIndex is BIT-IDENTICAL to the dense
+     GraphIndex on every query mode (plain, chi2-prune, noseed ablation,
+     div construction) — same seeds, expansion order, tie-breaking, COST.
+  2. Max-object-size bound: every shard pack and every key chunk is a
+     bounded fraction of the whole index; the driver-side handle holds no
+     per-row arrays (O(shards) metadata only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shard_fixture():
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n, dim, c = 3000, 24, 30
+    centers = rng.standard_normal((c, dim)) * 3.0
+    x = centers[np.repeat(np.arange(c), n // c)] + rng.standard_normal((n, dim)) * 0.4
+    # non-contiguous ids so id-fence routing is actually exercised
+    ids = np.arange(n, dtype=np.int64) * 7 + 3
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x.astype(np.float64)), pa.list_(pa.float64())),
+        }
+    )
+    return rd.from_arrow(t).repartition(8).materialize(), ids, x
+
+
+def _run(ix, qids, qmat, **kw):
+    from lsh_apg_ray.stages.graph import graph_knn
+
+    return (
+        graph_knn(ix, qids, qmat, 10, ef=64, **kw)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sharded_bitexact_all_modes(ray_session, shard_fixture):
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.graph import build_graph
+    from lsh_apg_ray.stages.graphshard import build_graph_sharded
+
+    ds, ids, x = shard_fixture
+    cfg = DedupConfig(threshold=0.5, join_partitions=4)
+    kw = dict(T=12, L=4, K=4, W=16.0, cfg=cfg)
+    dense = build_graph(ds, verify_mode="join", **kw)
+    sharded = build_graph_sharded(ds, shards=5, **kw)
+    assert len(sharded.shard_refs) >= 3
+    qids, qmat = ids[:20], x[:20]
+    for mode in (
+        {},
+        {"prob_q": 0.9},
+        {"lsh_seeds": False},
+        {"exclude_self": False},
+    ):
+        a = _run(dense, qids, qmat, **mode)
+        b = _run(sharded, qids, qmat, **mode)
+        assert a.equals(b), f"sharded != dense for mode {mode}"
+
+
+def test_sharded_bitexact_div_mode(ray_session, shard_fixture):
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.graph import build_graph
+    from lsh_apg_ray.stages.graphshard import build_graph_sharded
+
+    ds, ids, x = shard_fixture
+    cfg = DedupConfig(threshold=0.5, join_partitions=4)
+    kw = dict(T=8, L=4, K=4, W=16.0, cfg=cfg, div=True)
+    dense = build_graph(ds, verify_mode="join", **kw)
+    sharded = build_graph_sharded(ds, shards=4, **kw)
+    qids, qmat = ids[:10], x[:10]
+    assert _run(dense, qids, qmat).equals(_run(sharded, qids, qmat))
+
+
+def test_sharded_object_size_bound(ray_session, shard_fixture):
+    """No plasma object larger than ~one shard: every GraphShard pack and
+    every key chunk is a bounded fraction of the total index bytes, and the
+    driver handle carries only O(shards) metadata."""
+    import ray
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.graphshard import build_graph_sharded
+
+    ds, ids, x = shard_fixture
+    cfg = DedupConfig(threshold=0.5, join_partitions=4)
+    ix = build_graph_sharded(ds, T=12, L=4, K=4, W=16.0, cfg=cfg, shards=5)
+    S = len(ix.shard_refs)
+    assert S >= 3
+
+    @ray.remote
+    def shard_bytes(s) -> tuple:
+        return (
+            s.ids.nbytes + s.mat.nbytes + s.indptr.nbytes
+            + s.nbr_ids.nbytes + s.hashes.nbytes,
+            len(s.ids),
+        )
+
+    sizes_rows = ray.get([shard_bytes.remote(r) for r in ix.shard_refs])
+    sizes = [b for b, _ in sizes_rows]
+    rows = [m for _, m in sizes_rows]
+    assert sum(rows) == len(ids)
+    # each shard is a bounded fraction (2/S allows block-granularity slack)
+    assert max(sizes) <= sum(sizes) * 2.0 / S
+
+    @ray.remote
+    def chunk_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    for l in range(ix.L):
+        crows = ray.get([chunk_rows.remote(r) for r in ix.key_refs[l]])
+        assert sum(crows) == len(ids)
+        # key chunks are Ray sort blocks: bounded by the block size, and in
+        # particular never the whole table in one object when several exist
+        if len(crows) > 1:
+            assert max(crows) < len(ids)
+        assert np.array_equal(
+            ix.key_offsets[l], np.concatenate(([0], np.cumsum(crows)))
+        )
+    # driver handle: O(shards) metadata only
+    assert ix.id_fences.nbytes <= 8 * S
+    assert ix.n == len(ids)
+
+
+def test_sharded_isolated_nodes(ray_session):
+    """Nodes that draw no candidate pairs still land in a shard with empty
+    adjacency, and queries over them terminate (beam just stops)."""
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.graph import build_graph
+    from lsh_apg_ray.stages.graphshard import build_graph_sharded
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 8
+    x = rng.standard_normal((n, dim))
+    x[-1] += 500.0  # far outlier: likely bucket-isolated
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    cfg = DedupConfig(threshold=0.5, join_partitions=2)
+    kw = dict(T=6, L=4, K=4, W=8.0, cfg=cfg)
+    dense = build_graph(ds, verify_mode="join", **kw)
+    sharded = build_graph_sharded(ds, shards=3, **kw)
+    qids, qmat = ids[-3:], x[-3:]
+    assert _run(dense, qids, qmat).equals(_run(sharded, qids, qmat))
