@@ -493,13 +493,26 @@ def insert_into_graph(
 
     The new-node count per call is bounded by the single assemble task's
     memory (delta x efC candidate rows + delta^2 distance tiles); the base
-    graph can be arbitrarily large. Returns ObjectRef[GraphIndex].
+    graph can be arbitrarily large, and the delta itself never lands in
+    plasma as ONE object — it stays as the id-sorted block objects of the
+    delta Dataset (pytest-forced multi-block in tests/test_graph.py), each
+    beam-searched independently. Returns ObjectRef[GraphIndex].
     """
-    delta_ref = collect_matrix_ref(delta_embeddings, id_col, vec_col)
+    dblocks = (
+        delta_embeddings.select_columns([id_col, vec_col])
+        .sort(id_col)
+        .materialize()
+        .to_arrow_refs()
+    )
 
     @ray.remote
-    def search_delta(ix: GraphIndex, delta_pack, lo: int, hi: int):
-        ids_d, mat_d = delta_pack
+    def _block_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def search_delta(ix: GraphIndex, block: pa.Table, lo: int, hi: int):
+        ids_d = block[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat_d = _to_matrix(block[vec_col])
         n = len(ix.ids)
         budget = max(1, int(4 * ix.L * np.log(max(n, 2))))
         tb = get_e2lsh_tables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W,
@@ -521,8 +534,21 @@ def insert_into_graph(
         )
 
     @ray.remote
-    def assemble(ix: GraphIndex, delta_pack, *cand_parts):
-        ids_d, mat_d = delta_pack
+    def assemble(ix: GraphIndex, n_blocks: int, *parts):
+        blocks, cand_parts = parts[:n_blocks], parts[n_blocks:]
+        ids_parts, mats = [], []
+        for b in blocks:
+            if b.num_rows == 0:
+                continue
+            ids_parts.append(
+                b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            mats.append(_to_matrix(b[vec_col]))
+        # sorted-disjoint blocks concat to the globally id-sorted delta
+        ids_d = (np.concatenate(ids_parts) if ids_parts
+                 else np.empty(0, np.int64))
+        mat_d = (np.ascontiguousarray(np.vstack(mats)) if mats
+                 else np.empty((0, ix.mat.shape[1])))
         m = len(ids_d)
         if m == 0:
             return ix
@@ -626,16 +652,12 @@ def insert_into_graph(
             keys_sorted=ks, rows_sorted=rws, hashes=h0, **params,
         )
 
-    @ray.remote
-    def _count(pack) -> int:
-        return len(pack[0])
-
-    m = ray.get(_count.remote(delta_ref))  # count only — matrix stays in plasma
-    futs = [
-        search_delta.remote(index_ref, delta_ref, lo, min(lo + chunk, m))
-        for lo in range(0, m, chunk)
-    ]
-    return assemble.remote(index_ref, delta_ref, *futs)
+    rows = ray.get([_block_rows.remote(b) for b in dblocks])
+    futs = []
+    for b, r in zip(dblocks, rows):
+        for lo in range(0, r, chunk):
+            futs.append(search_delta.remote(index_ref, b, lo, min(lo + chunk, r)))
+    return assemble.remote(index_ref, len(dblocks), *dblocks, *futs)
 
 
 def _derived_tables(mat: np.ndarray, L: int, K: int, W: float, seed: int):

@@ -310,6 +310,40 @@ def test_insert_into_graph_recall_and_invariants(ray_session, clustered_embeddin
     assert r_inc >= r_full - 0.01, (r_inc, r_full)
 
 
+def test_insert_into_graph_multiblock_delta(ray_session, clustered_embeddings):
+    """The delta never lands in plasma as one object: insert consumes the
+    delta Dataset's own sorted block objects. Forcing the delta through
+    many small blocks (and a chunk smaller than a block) must produce a
+    bit-identical index to a single-block delta."""
+    import ray
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.graph import build_graph, insert_into_graph
+
+    emb, ids, x = clustered_embeddings
+    n_delta = 120
+    base_ids, delta_ids = ids[:-n_delta], ids[-n_delta:]
+
+    def subset(sel_ids, parts):
+        t = pa.table(
+            {
+                "vec_id": pa.array(sel_ids),
+                "embedding": pa.array(
+                    list(x[sel_ids].astype(np.float32)), pa.list_(pa.float32())
+                ),
+            }
+        )
+        return rd.from_arrow(t).repartition(parts).materialize()
+
+    base_ix = build_graph(subset(base_ids, 4), T=12)
+    a = ray.get(insert_into_graph(base_ix, subset(delta_ids, 1), T=12))
+    b = ray.get(insert_into_graph(base_ix, subset(delta_ids, 6), T=12, chunk=16))
+    assert np.array_equal(a.ids, b.ids)
+    assert np.array_equal(a.indptr, b.indptr)
+    assert np.array_equal(a.nbr, b.nbr)
+    assert np.array_equal(a.mat, b.mat)
+
+
 def test_insert_into_graph_rejects_overlap(ray_session, clustered_embeddings):
     import ray
 
