@@ -372,13 +372,21 @@ def _list_parquet_files(spec: str | list[str]) -> list[str]:
     return sorted(spec)
 
 
+_HEX_TABLE = np.array([format(i, "02x") for i in range(256)], dtype="U2")
+
+
 def sha_hex_df(df):
     """Assignment output surface: hex-encode the raw 32-byte sha digests the
     pipeline carries internally (32 B/doc through shuffles/materializations
-    vs 68 B of hex; encoded exactly once, here). No-op when already hex."""
+    vs 68 B of hex; encoded exactly once, here). Vectorized: one C-level
+    buffer join + a 256-entry byte->"%02x" lookup table, no per-row Python
+    on this corpus-cardinality path. No-op when already hex."""
     col = df["sha"]
     if len(col) and isinstance(col.iloc[0], (bytes, bytearray)):
-        df["sha"] = [x.hex() for x in col]
+        raw = np.frombuffer(b"".join(col.tolist()), dtype=np.uint8)
+        width = raw.size // len(col)
+        hx = np.ascontiguousarray(_HEX_TABLE[raw.reshape(-1, width)])
+        df["sha"] = hx.view(f"U{2 * width}").ravel()
     return df
 
 

@@ -31,7 +31,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ray.data.aggregate import Count
 
 from lsh_apg_ray.config import DedupConfig
 from lsh_apg_ray.hashing import mix64
@@ -213,10 +212,17 @@ def candidate_pairs(band_ds, cfg: DedupConfig, overflow_counter=None):
 
 
 def bucket_stats(band_ds, cfg: DedupConfig):
-    """Skew metrics over band buckets (cheap vectorized count aggregate):
-    returns a small pandas frame {n_buckets, max_bucket, overflow_buckets,
-    skipped_pairs}. Never-silent-truncation contract of the bucket cap."""
-    counts = band_ds.groupby("band_hash").aggregate(Count(alias_name="n"))
+    """Skew metrics over band buckets: returns a small pandas frame
+    {n_buckets, max_bucket, overflow_buckets, skipped_pairs}.
+    Never-silent-truncation contract of the bucket cap.
+
+    Counts flow through the coarse-partition run-length pattern
+    (code._count_by_key: join_partitions hash groups, one vectorized
+    np.unique pass each) — NOT a per-distinct-key Dataset aggregate, so
+    turning collect_metrics on at scale costs one bounded exchange."""
+    from lsh_apg_ray.stages.code import _count_by_key
+
+    counts = _count_by_key(band_ds, "band_hash", "n", cfg.join_partitions)
 
     def summarize(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["n"].to_numpy(dtype=np.int64)
