@@ -42,8 +42,33 @@ def _corpus_dir(sf: float, mult: int = 1) -> tuple[str, int]:
     return f"/tmp/lsh_apg_bench_corpus_sf{sf}_x{mult}", n
 
 
+def host_canary() -> dict:
+    """Fixed engine-independent host-speed microbench (~0.5 s, numpy only),
+    embedded in every artifact so a BENCH_rN is interpretable standalone:
+    this VM's wall-clock drifts 2-5x with memory-pressure episodes
+    (BASELINE.md), and the drift's signature is FIRST-TOUCH page-allocation
+    throughput. Two numbers: (a) fresh-allocation page-touch MB/s (the
+    drift source), (b) in-cache integer-mix Mops (steady compute)."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.empty(256 * 1024 * 1024 // 8, dtype=np.int64)
+    a[::512] = 1  # one write per 4 KiB page -> faults every page
+    page_mb_s = 256.0 / max(time.time() - t0, 1e-9)
+    del a
+    b = np.arange(4_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(5):
+        b = (b ^ (b >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    mix_mops = 20.0 / max(time.time() - t0, 1e-9)
+    return {"page_touch_mb_s": round(page_mb_s, 1),
+            "mix_mops": round(mix_mops, 1)}
+
+
 def run_bench() -> dict:
     import ray
+
+    canary_start = host_canary()
 
     if not ray.is_initialized():
         ray.init(
@@ -154,6 +179,11 @@ def run_bench() -> dict:
         "corpus_files": n_files,
         "files_per_sec": round(n_files / headline_sec, 1),
         "headline_reps_sec": rep_secs,
+        # host-state canaries bracketing the measurement: r3->r4 the driver
+        # artifact moved 2x on UNCHANGED code; these make each artifact
+        # self-interpreting (compare canaries before comparing timings)
+        "canary_start": canary_start,
+        "canary_end": host_canary(),
     }
     ray.shutdown()
     return result
@@ -222,6 +252,8 @@ def run_scaling() -> dict:
         "files_per_sec_high": tp_hi,
         "sf": r_lo["sf"],
         "corpus_files": r_lo["corpus_files"],
+        "canary_low": r_lo.get("canary_end"),
+        "canary_high": r_hi.get("canary_end"),
     }
 
 

@@ -350,6 +350,34 @@ class FrameSample:
                     ) >> 1
                     out.append((fi, src, float(y.mean() / 255.0), fh))
                 return out
+        elif self._av is not None and len(p) >= 12:
+            # compressed container (mp4/mkv/webm...): real pyav decode of the
+            # first video stream into grayscale planes, then the SAME
+            # evenly-spaced sampling rule as the Y4M path. Decode failure
+            # falls through to the deterministic fake (batch never dies).
+            import io
+
+            try:
+                with self._av.open(io.BytesIO(p)) as cont:
+                    planes = [
+                        f.to_ndarray(format="gray")
+                        for f in cont.decode(video=0)
+                    ]
+            except Exception:
+                planes = None
+            if planes:
+                total = len(planes)
+                n = min(self.n_frames, total)
+                out = []
+                for fi in range(n):
+                    src = (fi * total) // n
+                    y = np.asarray(planes[src], dtype=np.uint8)
+                    fh = int.from_bytes(
+                        hashlib.blake2b(y.tobytes(), digest_size=8).digest(),
+                        "little",
+                    ) >> 1
+                    out.append((fi, src, float(y.mean() / 255.0), fh))
+                return out
         feats = _stable_floats(p, self.n_frames, b"video")
         return [
             (fi, fi, float(feats[fi]), int(feats[fi] * 2**62))

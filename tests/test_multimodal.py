@@ -3,6 +3,7 @@ deterministic stub in this container; the Ray-side schema/actor contract is
 what's under test)."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -196,3 +197,67 @@ def test_y4m_roundtrip_and_even_sampling(ray_session):
     )
     out2 = sample_frames(rd.from_arrow(t2), n_frames=4).to_pandas()
     assert out2["src_frame"].tolist() == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Conditional REAL-codec tests: skipped in this container (PIL / av absent),
+# they run automatically the moment a container upgrade provides the
+# libraries — so the compressed-format paths gain real-decode evidence with
+# zero code change (VERDICT r4 item 7).
+# ---------------------------------------------------------------------------
+
+
+def test_pil_compressed_image_decode_real():
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from lsh_apg_ray.stages.multimodal import ImageDecode
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, format="PNG")
+    dec = ImageDecode(embed_dim=4)
+    assert dec._pil is not None  # real path active
+    w, h, luma, emb = dec._decode(buf.getvalue())
+    assert (w, h) == (8, 6)
+    expected = np.asarray(
+        Image.fromarray(arr, "RGB").convert("L"), dtype=np.float64
+    ).mean() / 255.0
+    assert abs(luma - expected) < 1e-9
+    assert emb.shape == (4,)
+
+
+def test_av_compressed_video_frame_sample_real():
+    av = pytest.importorskip("av")
+    import io
+
+    from lsh_apg_ray.stages.multimodal import FrameSample
+
+    buf = io.BytesIO()
+    try:
+        with av.open(buf, mode="w", format="mp4") as cont:
+            stream = cont.add_stream("mpeg4", rate=10)
+            stream.width, stream.height = 32, 16
+            stream.pix_fmt = "yuv420p"
+            for i in range(8):
+                frame = av.VideoFrame.from_ndarray(
+                    np.full((16, 32, 3), 20 * i, dtype=np.uint8), format="rgb24"
+                )
+                for pkt in stream.encode(frame):
+                    cont.mux(pkt)
+            for pkt in stream.encode():
+                cont.mux(pkt)
+    except Exception as e:  # encoder not built into this av — evidence n/a
+        pytest.skip(f"av present but mpeg4 encode unavailable: {e}")
+    fs = FrameSample(n_frames=4)
+    assert fs._av is not None
+    rows = fs._sample_one(buf.getvalue())
+    assert len(rows) == 4
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    assert [r[1] for r in rows] == [0, 2, 4, 6]  # evenly spaced over 8
+    # luminance must rise monotonically with the source brightness ramp
+    lumas = [r[2] for r in rows]
+    assert all(b > a for a, b in zip(lumas, lumas[1:]))
