@@ -241,6 +241,31 @@ def build_graph_sharded(
     ]
 
     # --- 3. per-table sorted key chunks -----------------------------------
+    key_refs, key_first, key_last, key_offsets = _key_chunks(
+        embeddings, params, id_col, vec_col
+    )
+
+    @ray.remote
+    def _dim_of(t: pa.Table) -> int:
+        return int(_to_matrix(t[vec_col][:1]).shape[1])
+
+    dim = int(ray.get(_dim_of.remote(groups[0][0])))
+    return ShardedGraphIndex(
+        n=n, dim=dim, L=L, K=K, W=W, seed=seed, id_fences=id_fences,
+        shard_refs=shard_refs, key_refs=key_refs, key_first=key_first,
+        key_last=key_last, key_offsets=key_offsets,
+    )
+
+
+def _key_chunks(embeddings, params: dict, id_col: str, vec_col: str):
+    """Per-table globally sorted (key, id) chunk refs + fences — the probe
+    arrays of the sharded index. One slim (band, key, id) scan of the
+    vectors, then L sorts of 24 B/row datasets. Sorting by (key, id)
+    equals the dense stable argsort-by-key because dense row order is
+    ascending id. Shared by the builder and the loader, so a loaded index
+    probes bit-identically to a built one."""
+    L = params["L"]
+
     def emit_keys(t: pa.Table) -> pa.Table:
         x = _to_matrix(t[vec_col])
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -283,16 +308,123 @@ def build_graph_sharded(
         key_offsets.append(np.concatenate(
             ([0], np.cumsum(np.asarray(counts_l, dtype=np.int64)))
         ))
+    return key_refs, key_first, key_last, key_offsets
+
+
+def save_sharded_index(index: ShardedGraphIndex, out_dir: str) -> str:
+    """Persist a ShardedGraphIndex as one Parquet directory PER SHARD plus
+    a params sidecar — the divGraph::save analogue (divGraph.h:1336-1389)
+    without a single serialized blob. Layout:
+
+      shard=K/nodes.parquet  (doc_id, vec:list<float64>, deg)
+      shard=K/nbr.parquet    (nbr_id:int64)  — neighbor IDS, CSR order
+      params.json            {L,K,W,seed,dim,n,id_fences,shards,...}
+
+    Each shard is written by its own worker task reading the pack
+    zero-copy (never lands on the driver); per-shard row/edge counts land
+    in params.json so the loader can verify integrity. Prune projections
+    and key chunks are seed-deterministic functions of (vectors, params)
+    and are rebuilt on load through the SAME code paths the builder uses,
+    so load(save(ix)) answers queries bit-identically. Atomic via tmp-dir
+    + os.replace."""
+    import json
+    import os
+    import shutil
 
     @ray.remote
-    def _dim_of(t: pa.Table) -> int:
-        return int(_to_matrix(t[vec_col][:1]).shape[1])
+    def _save_shard(s: GraphShard, d: str) -> tuple:
+        import pyarrow.parquet as pq
 
-    dim = int(ray.get(_dim_of.remote(groups[0][0])))
+        os.makedirs(d, exist_ok=True)
+        dim = int(s.mat.shape[1])
+        flat = pa.array(np.ascontiguousarray(s.mat).reshape(-1), pa.float64())
+        nodes = pa.table({
+            "doc_id": pa.array(s.ids, pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(flat, dim),
+            "deg": pa.array(np.diff(s.indptr), pa.int64()),
+        })
+        pq.write_table(nodes, os.path.join(d, "nodes.parquet"))
+        pq.write_table(
+            pa.table({"nbr_id": pa.array(s.nbr_ids, pa.int64())}),
+            os.path.join(d, "nbr.parquet"),
+        )
+        return len(s.ids), len(s.nbr_ids)
+
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    counts = ray.get([
+        _save_shard.remote(r, os.path.join(tmp, f"shard={i}"))
+        for i, r in enumerate(index.shard_refs)
+    ])
+    params = {
+        "L": index.L, "K": index.K, "W": index.W, "seed": index.seed,
+        "dim": index.dim, "n": index.n,
+        "id_fences": index.id_fences.tolist(),
+        "shard_rows": [int(c[0]) for c in counts],
+        "shard_edges": [int(c[1]) for c in counts],
+    }
+    with open(os.path.join(tmp, "params.json"), "w") as f:
+        json.dump(params, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def load_sharded_index(in_dir: str) -> ShardedGraphIndex:
+    """Load a persisted sharded index: one worker task per shard rebuilds
+    its GraphShard (hashes recomputed from the seed-derived family), key
+    chunks rebuilt from the persisted vectors through the shared
+    `_key_chunks` sorts. No object larger than a shard at any point."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(in_dir, "params.json")) as f:
+        p = json.load(f)
+    params = dict(L=p["L"], K=p["K"], W=p["W"], seed=p["seed"])
+    S = len(p["shard_rows"])
+
+    @ray.remote
+    def _load_shard(d: str, want_rows: int, want_edges: int) -> GraphShard:
+        import pyarrow.parquet as pq
+
+        nodes = pq.read_table(os.path.join(d, "nodes.parquet"))
+        nbr = (
+            pq.read_table(os.path.join(d, "nbr.parquet"))["nbr_id"]
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ids = nodes["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(nodes["vec"])
+        deg = nodes["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) != want_rows or len(nbr) != want_edges:
+            raise RuntimeError(
+                f"sharded index checkpoint corrupt at {d} (size mismatch)"
+            )
+        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(deg, out=indptr[1:])
+        tb = get_e2lsh_tables(mat.shape[1], **params)
+        h0 = (mat @ tb.A.T + tb.B) / tb.W
+        return GraphShard(ids=ids, mat=mat, indptr=indptr, nbr_ids=nbr,
+                          hashes=h0)
+
+    shard_refs = [
+        _load_shard.remote(os.path.join(in_dir, f"shard={i}"),
+                           p["shard_rows"][i], p["shard_edges"][i])
+        for i in range(S)
+    ]
+    emb = rd.read_parquet(
+        [os.path.join(in_dir, f"shard={i}", "nodes.parquet") for i in range(S)],
+        columns=["doc_id", "vec"],
+    )
+    key_refs, key_first, key_last, key_offsets = _key_chunks(
+        emb, params, "doc_id", "vec"
+    )
     return ShardedGraphIndex(
-        n=n, dim=dim, L=L, K=K, W=W, seed=seed, id_fences=id_fences,
+        n=p["n"], dim=p["dim"], id_fences=np.asarray(p["id_fences"], np.int64),
         shard_refs=shard_refs, key_refs=key_refs, key_first=key_first,
-        key_last=key_last, key_offsets=key_offsets,
+        key_last=key_last, key_offsets=key_offsets, **params,
     )
 
 

@@ -160,3 +160,32 @@ def test_sharded_isolated_nodes(ray_session):
     sharded = build_graph_sharded(ds, shards=3, **kw)
     qids, qmat = ids[-3:], x[-3:]
     assert _run(dense, qids, qmat).equals(_run(sharded, qids, qmat))
+
+
+def test_sharded_save_load_bitexact(ray_session, shard_fixture, tmp_path):
+    """save -> load roundtrip of the sharded index answers every query mode
+    bit-identically to the in-memory build (the divGraph::save contract at
+    the no-single-object tier), with per-shard layout on disk."""
+    import os
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.graphshard import (
+        build_graph_sharded,
+        load_sharded_index,
+        save_sharded_index,
+    )
+
+    ds, ids, x = shard_fixture
+    cfg = DedupConfig(threshold=0.5, join_partitions=4)
+    ix = build_graph_sharded(ds, T=12, L=4, K=4, W=16.0, cfg=cfg, shards=4)
+    d = str(tmp_path / "shidx")
+    save_sharded_index(ix, d)
+    S = len(ix.shard_refs)
+    assert sorted(os.listdir(d)) == sorted(
+        ["params.json"] + [f"shard={i}" for i in range(S)]
+    )
+    ix2 = load_sharded_index(d)
+    assert ix2.n == ix.n and len(ix2.shard_refs) == S
+    qids, qmat = ids[:15], x[:15]
+    for mode in ({}, {"prob_q": 0.9}):
+        assert _run(ix, qids, qmat, **mode).equals(_run(ix2, qids, qmat, **mode))
