@@ -280,10 +280,14 @@ def q_dup_clusters_dataset_cc(sf_dir: str):
     pure-Dataset connected-components backend (cc_distributed: co-grouped
     hash-min + pointer jumping, cfg.cc_backend="dataset") — the >5M-edge
     scale fallback that otherwise only pytest exercises. Shares
-    SQL_DUP_CLUSTERS, so the driver value-hash gates backend equivalence."""
+    SQL_DUP_CLUSTERS, so the driver value-hash gates backend equivalence.
+    cc_driver_max_edges=0 disables the small-edge driver union-find fast
+    path (attach_clusters would otherwise never consult cc_backend at this
+    scale — the forcing mechanism tests/test_cc.py uses)."""
     from lsh_apg_ray.stages.cc import attach_clusters
 
-    cfg = _cfg(max_bucket=1_000_000, cc_backend="dataset")
+    cfg = _cfg(max_bucket=1_000_000, cc_backend="dataset",
+               cc_driver_max_edges=0)
     pairs, feats = _exact_pairs(sf_dir)
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
     docs = feats.select_columns(["doc_id"])

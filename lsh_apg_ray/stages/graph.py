@@ -511,17 +511,20 @@ def insert_into_graph(
 
     @ray.remote
     def search_delta(ix: GraphIndex, block: pa.Table, lo: int, hi: int):
+        # slice the Arrow block BEFORE converting: each chunk task converts
+        # only its own rows, not the whole block per task
+        block = block.slice(lo, hi - lo)
         ids_d = block[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat_d = _to_matrix(block[vec_col])
         n = len(ix.ids)
         budget = max(1, int(4 * ix.L * np.log(max(n, 2))))
         tb = get_e2lsh_tables(ix.mat.shape[1], L=ix.L, K=ix.K, W=ix.W,
                               seed=ix.seed)
-        qkeys = tb.keys(mat_d[lo:hi])
+        qkeys = tb.keys(mat_d)
         srcs, dsts, ds_ = [], [], []
-        for i in range(lo, hi):
+        for i in range(len(ids_d)):
             rows, dists, _, _ = _search_one(
-                ix, mat_d[i], qkeys[i - lo], efC, efC, budget, None
+                ix, mat_d[i], qkeys[i], efC, efC, budget, None
             )
             srcs.append(np.full(len(rows), ids_d[i], np.int64))
             dsts.append(ix.ids[rows])

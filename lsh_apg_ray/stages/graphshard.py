@@ -31,7 +31,11 @@ Query-time beam search (`_search_one_sharded`) mirrors `_search_one`
 bit-exactly — same seeds (identical padded probe windows over the same
 globally-sorted key order), same tie-breaking (neighbor ids ascend exactly
 like dense row indices, because dense rows ARE ascending ids), same
-chi-squared prune — but gathers vectors/neighbor lists through a lazy
+chi-squared prune (caveat: the prune projections are per-shard GEMMs vs
+the dense full-matrix GEMM — exact-mode queries are elementwise and
+bit-safe, while prob_q-mode equality additionally assumes the BLAS gives
+shape-invariant rounding, which the pytest gate checks on this build) —
+but gathers vectors/neighbor lists through a lazy
 per-task shard cache: only the shards a beam actually touches are fetched
 (zero-copy from plasma locally; shard-granular transfers on a real
 cluster). Equality with the dense path is pytest-gated
@@ -126,7 +130,7 @@ def _build_shard(shard_idx: int, L: int, K: int, W: float, seed: int,
     ids = np.concatenate(ids_parts)   # sorted: blocks are globally sorted
     mat = np.ascontiguousarray(np.vstack(mats))
     m = len(ids)
-    srcs, dsts, dists = [], [], []
+    srcs, dsts = [], []
     for r in edge_refs:
         b = ray.get(r)
         if b.num_rows == 0 or "src" not in b.schema.names:
@@ -136,7 +140,6 @@ def _build_shard(shard_idx: int, L: int, K: int, W: float, seed: int,
             continue
         srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
         dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
-        dists.append(b["dist"].to_numpy(zero_copy_only=False))
     if srcs:
         src = np.concatenate(srcs)
         dst = np.concatenate(dsts)
@@ -322,11 +325,15 @@ def save_sharded_index(index: ShardedGraphIndex, out_dir: str) -> str:
 
     Each shard is written by its own worker task reading the pack
     zero-copy (never lands on the driver); per-shard row/edge counts land
-    in params.json so the loader can verify integrity. Prune projections
-    and key chunks are seed-deterministic functions of (vectors, params)
-    and are rebuilt on load through the SAME code paths the builder uses,
-    so load(save(ix)) answers queries bit-identically. Atomic via tmp-dir
-    + os.replace."""
+    in params.json so the loader can verify integrity. REQUIRES a
+    filesystem shared by all nodes (NFS/object-store mount) on a
+    multi-node cluster — shard tasks write where they run, exactly like
+    every other per-partition Parquet sink in this repo (the same
+    requirement the dense save_graph_index has for its single task).
+    Prune projections and key chunks are seed-deterministic functions of
+    (vectors, params) and are rebuilt on load through the SAME code paths
+    the builder uses, so load(save(ix)) answers queries bit-identically.
+    Atomic via tmp-dir + os.replace."""
     import json
     import os
     import shutil
