@@ -1095,6 +1095,28 @@ def q_pq_knn(sf_dir: str):
 SQL_PQ_KNN = _sql_knn_protocol("pq_knn")
 
 
+def q_ivfpq_knn(sf_dir: str):
+    """IVF+PQ composite ANN (coarse lists bound WHICH rows a query touches,
+    PQ codes bound WHAT each row costs) — the canonical resident-index plan
+    for a 100-TB embedding corpus, scored through the same independent
+    recall/ratio protocol as the other tiers. See stages/ann.py:ivfpq_knn."""
+    from lsh_apg_ray.stages.ann import ivfpq_knn, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    out = ivfpq_knn(
+        emb, qids, qmat, KNN_K,
+        n_centroids=32, nprobe=8, m_subspaces=8, n_codes=16, rerank=96,
+    )
+    return _knn_protocol(
+        sf_dir, "ivfpq_knn",
+        out.select_columns(["query_id", "neighbor_id", "rank", "dist"]), KNN_K,
+    )
+
+
+SQL_IVFPQ_KNN = _sql_knn_protocol("ivfpq_knn")
+
+
 # ---------------------------------------------------------------------------
 # windowed / session operators over the events log (SURVEY.md §2.9 — batch
 # re-expression of stream-shaped semantics; ordering assumptions in
@@ -3219,6 +3241,73 @@ FROM lens l LEFT JOIN per p USING (doc_id) ORDER BY l.doc_id
 """
 
 
+def q_strip_dup_spans(sf_dir: str):
+    """Exact-substring dedup SURGERY (Lee et al. 2022): tokens covered by a
+    cross-doc-duplicated k-gram are removed everywhere except the gram's
+    owner doc (min doc_id). The oracle is PURE SQL — DuckDB rebuilds the
+    k-grams as literal token strings (lead() window), recomputes df/owner,
+    expands removal spans with a range join, and reconstructs the kept text
+    with string_agg — so both the census/ownership decisions and the text
+    surgery are independently verified end to end.
+    See stages/textstats.py:strip_dup_spans."""
+    from lsh_apg_ray.stages.textstats import strip_dup_spans
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return strip_dup_spans(ds, _cfg(), k=5)
+
+
+SQL_STRIP_DUP_SPANS = """
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         CAST(unnest(generate_series(1, len(arr))) - 1 AS BIGINT) AS pos
+  FROM arrs
+),
+grams0 AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+             || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (SELECT * FROM grams0 WHERE gram IS NOT NULL),
+own AS (
+  SELECT gram, min(doc_id) AS owner, count(DISTINCT doc_id) AS df
+  FROM grams GROUP BY gram
+),
+rem AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN own o USING (gram)
+  WHERE o.df >= 2 AND g.doc_id <> o.owner
+),
+covered AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN rem r ON r.doc_id = t.doc_id
+       AND t.pos BETWEEN r.pos AND r.pos + 4
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM arrs),
+nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+       FROM covered GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text, nt.n_tokens,
+       coalesce(nr.n_removed, 0) AS n_removed
+FROM documents d
+JOIN nt USING (doc_id)
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN nr ON d.doc_id = nr.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality-aware representative selection: per near-dup cluster, keep the
 # best copy (longest doc) instead of the min-id default
@@ -4105,6 +4194,9 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "image_decode_stats": q_image_decode_stats,
     "audio_decode_stats": q_audio_decode_stats,
+    # -- round-5 additions (pytest + in-repo oracle; outside the window) --
+    "ivfpq_knn": q_ivfpq_knn,
+    "strip_dup_spans": q_strip_dup_spans,
 }
 
 ORACLE_SQL = {
@@ -4177,6 +4269,8 @@ ORACLE_SQL = {
     "graph_knn_sharded": SQL_GRAPH_KNN_SHARDED,
     "ivf_knn": SQL_IVF_KNN,
     "pq_knn": SQL_PQ_KNN,
+    "ivfpq_knn": SQL_IVFPQ_KNN,
+    "strip_dup_spans": SQL_STRIP_DUP_SPANS,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built
     # deterministically from doc_id; the oracle predicts the decoded stats
     # analytically, so the value-hash gates the REAL decode kernels.

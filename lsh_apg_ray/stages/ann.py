@@ -1088,6 +1088,146 @@ def pq_knn(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def ivfpq_knn(
+    embeddings,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    kmeans_iters: int = 10,
+    train_max_rows: int = 200_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF+PQ composite kNN — the canonical resident-index scale path for a
+    100-TB embedding corpus: the IVF coarse quantizer bounds WHICH rows a
+    query touches (only the `nprobe` nearest inverted lists), while PQ codes
+    bound WHAT each touched row costs (m bytes + one LUT gather-sum instead
+    of a 4·dim float read). Candidates are cut by rounded (ADC, id) — a
+    prefix of a global row order restricted to the probed set, so the merged
+    candidate set is independent of batch boundaries — then exactly reranked.
+
+    Ray shape: coarse centroids and PQ codebooks train in remote tasks over
+    one bounded deterministic sample (never the full matrix); each batch
+    assigns rows to lists, encodes codes, and emits per-query partial
+    candidates; one small groupby merges. Vectors never shuffle. Same
+    recall/ratio protocol surface as the other ANN tiers (alg.h:98-134).
+    Returns (query_id, neighbor_id, rank, dist [squared L2, exact])."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    pack_ref = sample_matrix_ref(embeddings, train_max_rows, id_col, vec_col)
+    cent_ref = train_kmeans_ref(pack_ref, n_centroids, kmeans_iters, seed)
+    rerank = max(int(rerank), k)
+
+    @ray.remote
+    def train_books(pack):
+        _, mat = pack
+        n, dim = mat.shape
+        m = min(m_subspaces, dim) or 1
+        dsub = -(-dim // m)
+        if dim < m * dsub:
+            mat = np.hstack([mat, np.zeros((n, m * dsub - dim))])
+        c = min(n_codes, max(1, n))
+        books = np.empty((m, c, dsub))
+        for s in range(m):
+            # seed offset per subspace, disjoint from the coarse trainer's
+            books[s] = _lloyd(
+                mat[:, s * dsub: (s + 1) * dsub], c, kmeans_iters,
+                seed + 1_000 + s,
+            )
+        return books
+
+    book_ref = train_books.remote(pack_ref)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
+
+    def probe(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        books = ray.get(book_ref)
+        qids, qmat = ray.get(qref)
+        m, c, dsub = books.shape
+        x = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "adc": pa.array([], pa.float64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        n = len(ids)
+        if n == 0:
+            return empty
+        # coarse list assignment for the batch rows (vectorized)
+        dd = ((x ** 2).sum(1)[:, None] - 2 * x @ cent.T
+              + (cent ** 2).sum(1)[None, :])
+        row_cid = dd.argmin(1)
+        # per-query probed lists (tiny: Q x n_centroids)
+        qd = ((qmat ** 2).sum(1)[:, None] - 2 * qmat @ cent.T
+              + (cent ** 2).sum(1)[None, :])
+        probed = np.argsort(qd, axis=1, kind="stable")[:, : min(nprobe, cent.shape[0])]
+        # PQ-encode the batch rows once (shared by every query probing them)
+        dim = x.shape[1]
+        xp = x if dim == m * dsub else np.hstack(
+            [x, np.zeros((n, m * dsub - dim))])
+        qp = qmat if qmat.shape[1] == m * dsub else np.hstack(
+            [qmat, np.zeros((qmat.shape[0], m * dsub - qmat.shape[1]))])
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            sub = xp[:, s * dsub: (s + 1) * dsub]
+            sd = ((sub ** 2).sum(1)[:, None] - 2 * sub @ books[s].T
+                  + (books[s] ** 2).sum(1)[None, :])
+            codes[:, s] = sd.argmin(1)
+        Q = qp.shape[0]
+        qsub = qp.reshape(Q, m, dsub)
+        lut = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        out_q, out_n, out_a, out_d = [], [], [], []
+        for qi in range(Q):
+            mask = np.isin(row_cid, probed[qi])
+            mask &= ids != qids[qi]
+            ci = np.flatnonzero(mask)
+            if not len(ci):
+                continue
+            # ADC over the probed rows only: m gathers + sums, no float read
+            a = np.zeros(len(ci))
+            for s in range(m):
+                a += lut[qi, s, codes[ci, s]]
+            a = np.round(a, ROUND_DECIMALS)
+            kk = min(rerank, len(ci))
+            sel = np.lexsort((ids[ci], a))[:kk]
+            ci, a = ci[sel], a[sel]
+            d = np.round(((xp[ci] - qp[qi]) ** 2).sum(axis=1), ROUND_DECIMALS)
+            out_q.append(np.full(len(ci), qids[qi], np.int64))
+            out_n.append(ids[ci])
+            out_a.append(a)
+            out_d.append(d)
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc": pa.array(np.concatenate(out_a), pa.float64()),
+                "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(probe, batch_format="pyarrow")
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "neighbor_id"], ascending=True).head(rerank)
+        g = g.sort_values(["dist", "neighbor_id"], ascending=True).head(k)
+        g = g.drop(columns=["adc"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def semantic_dedup(
     embeddings,
     threshold: float = 0.4,

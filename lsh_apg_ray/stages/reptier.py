@@ -47,6 +47,37 @@ def pack_sorted_map(*blocks, key: str, val: str):
     return k[order], v[order]
 
 
+_VOID32 = np.dtype((np.void, 32))
+
+
+def sha_void(col) -> np.ndarray:
+    """32-byte binary column -> zero-copy-ish np.void(32) view. Void compare
+    is memcmp, so argsort/searchsorted give the same exact-match semantics a
+    dict lookup did, fully vectorized (round-4 verdict finding #4: the dict
+    path was the one per-row Python loop on a corpus-cardinality path)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    fsb = pc.cast(arr, pa.binary(32))
+    raw = np.frombuffer(fsb.buffers()[1], np.uint8)
+    lo = fsb.offset * 32
+    return raw[lo:lo + len(fsb) * 32].reshape(-1, 32).view(_VOID32).ravel()
+
+
+@ray.remote
+def pack_sorted_sha_map(*blocks, val: str):
+    """Sorted (sha:void32, val:int64) arrays — the full-digest analogue of
+    pack_sorted_map, exact at any key width with no per-row Python."""
+    kp, vp = [], []
+    for b in blocks:
+        if b.num_rows == 0:
+            continue
+        kp.append(sha_void(b["sha"]))
+        vp.append(b[val].to_numpy(zero_copy_only=False).astype(np.int64))
+    k = np.concatenate(kp) if kp else np.empty(0, _VOID32)
+    v = np.concatenate(vp) if vp else np.empty(0, np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
 @ray.remote
 def uniq_int_column(*blocks, col: str):
     parts = [
@@ -86,21 +117,17 @@ def attach_rep(meta, rep_by_key, group_key: str, cfg: DedupConfig,
             meta_schema.append(pa.field("rep_id", pa.int64())),
         )
     if n_unique <= cfg.broadcast_max_ids:
-        # exact full-sha mode: dict broadcast (exact at any scale per key);
-        # keys are the raw 32-byte digests
-        rep_map: dict[bytes, int] = {}
-        for b in rep_by_key.iter_batches(batch_size=1 << 16,
-                                         batch_format="pandas"):
-            rep_map.update(zip(b["sha"], b["rep_id"]))
-        rep_map_ref = ray.put(rep_map)
+        # exact full-sha mode: sorted void32 broadcast (exact at any scale
+        # per key); keys are the raw 32-byte digests, compared by memcmp
+        rep_map_ref = pack_sorted_sha_map.remote(
+            *rep_by_key.to_arrow_refs(), val="rep_id"
+        )
 
         def attach_sha(t: pa.Table) -> pa.Table:
-            m = ray.get(rep_map_ref)
-            reps = np.fromiter(
-                (m[s] for s in t["sha"].to_pylist()), np.int64,
-                count=t.num_rows,
-            )
-            return t.append_column("rep_id", pa.array(reps, pa.int64()))
+            k, r = ray.get(rep_map_ref)  # zero-copy plasma views
+            sk = sha_void(t["sha"])
+            pos = np.clip(np.searchsorted(k, sk), 0, max(0, len(k) - 1))
+            return t.append_column("rep_id", pa.array(r[pos], pa.int64()))
 
         return (
             meta.map_batches(attach_sha, batch_format="pyarrow"),

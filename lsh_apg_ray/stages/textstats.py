@@ -656,3 +656,193 @@ def dup_span_stats(ds, cfg: DedupConfig, k: int = 5,
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def strip_dup_spans(ds, cfg: DedupConfig, k: int = 5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int = 16):
+    """Exact-substring dedup SURGERY (the transform behind Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"): every token
+    covered by a k-gram that appears in >= 2 distinct docs is REMOVED,
+    except in the gram's OWNER doc (global min doc_id containing it), which
+    keeps all its occurrences. Deterministic keep-first rule, same ownership
+    discipline as curation.para_dedup's cross-doc owner map.
+
+    Output (every input doc): (id, text, n_tokens, n_removed) where `text`
+    is the kept tokens on the TOKEN-NORMALIZED surface (lowered,
+    single-space-joined — the same surface the tokenizer defines, so the
+    contract is exactly SQL-replayable), n_tokens the doc's original token
+    count and n_removed how many tokens were cut.
+
+    Plan (dup_span_stats' two-scan shape, plus the owner column): census =
+    per-batch per-doc-distinct (gram, partial_df, partial_min_owner) -> ONE
+    coarse hash-partition exchange -> run-length reduce -> the df>=2
+    (gram -> owner) map packed sorted in a worker task and broadcast by ref
+    (bounded by duplicated-gram volume). Second scan recomputes each doc's
+    gram sequence, marks removal occurrences with one searchsorted + owner
+    sign test, expands spans to a token coverage mask with a +-1
+    delta/cumsum over the batch's flat token space, and rebuilds the kept
+    text INSIDE Arrow (dictionary take -> ListArray -> binary_join) — no
+    per-token Python strings on the vectorized path. Content never
+    shuffles; the widest exchange carries 24 B/distinct-gram."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.hashing import run_bounds
+
+    _U64 = np.uint64
+    hasher = TokenHasher(cfg.token_pattern)
+
+    def _batch_toks(batch: pa.Table):
+        """(ids, flat gram hashes, gram offsets, token counts, kept-text
+        builder). The builder closes over the batch's Arrow token buffers
+        (or the fallback Python token lists) and turns a flat keep-mask
+        into the output string column."""
+        ids_in = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = arrow_token_index(batch[text_col], cfg.token_pattern)
+        if ti is not None:
+            indices, offsets, dictionary = ti
+            dict_h = hasher.token_hashes(dictionary)
+            flat_h = dict_h[indices] if len(indices) else np.empty(0, _U64)
+
+            def build_text(keep: np.ndarray) -> pa.Array:
+                kept_idx = indices[keep]
+                cs = np.zeros(len(keep) + 1, np.int64)
+                np.cumsum(keep, out=cs[1:])
+                new_off = cs[offsets]
+                vals = pc.cast(
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(kept_idx, pa.int32()),
+                        pa.array(dictionary, pa.string()),
+                    ),
+                    pa.string(),
+                )
+                la = pa.ListArray.from_arrays(
+                    pa.array(new_off, pa.int32()), vals
+                )
+                return pc.binary_join(la, " ")
+        else:  # non-char-class token pattern: per-row fallback
+            toks = [hasher.tokenize(t)
+                    for t in batch[text_col].to_pylist()]
+            lens = np.asarray([len(t) for t in toks], np.int64)
+            offsets = np.zeros(len(toks) + 1, np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            flat_h = (np.concatenate(
+                [hasher.token_hashes(t) for t in toks]
+            ).astype(_U64) if len(toks) and offsets[-1] else
+                np.empty(0, _U64))
+
+            def build_text(keep: np.ndarray) -> pa.Array:
+                out = []
+                for i, t in enumerate(toks):
+                    m = keep[offsets[i]: offsets[i + 1]]
+                    out.append(" ".join(w for w, kp in zip(t, m) if kp))
+                return pa.array(out, pa.string())
+
+        n_docs = len(ids_in)
+        ntoks = np.diff(offsets).astype(np.int64)
+        ghs, glens = [], []
+        for i in range(n_docs):
+            h = kgram_hashes(flat_h[offsets[i]: offsets[i + 1]], k)
+            ghs.append(h)
+            glens.append(len(h))
+        flat = np.concatenate(ghs) if ghs else np.empty(0, _U64)
+        goff = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(np.asarray(glens, np.int64), out=goff[1:])
+        return ids_in, flat, goff, np.asarray(offsets, np.int64), ntoks, build_text
+
+    def census(batch: pa.Table) -> pa.Table:
+        ids_in, flat, goff, _, _, _ = _batch_toks(batch)
+        empty = pa.table({"kh": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "owner": pa.array([], pa.int64()),
+                          "__gpart": pa.array([], pa.int64())})
+        if not len(flat):
+            return empty
+        doc_of = np.repeat(np.arange(len(goff) - 1, dtype=np.int64),
+                           np.diff(goff))
+        order = np.lexsort((flat.view(np.int64), doc_of))
+        d_s, h_s = doc_of[order], flat.view(np.int64)[order]
+        keep = np.ones(len(h_s), bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        dh, dd = h_s[keep], ids_in[d_s[keep]]
+        o2 = np.argsort(dh, kind="stable")
+        dh, dd = dh[o2], dd[o2]
+        bounds = run_bounds(dh)
+        uh = dh[bounds[:-1]]
+        df = np.diff(bounds)
+        owner = np.minimum.reduceat(dd, bounds[:-1])
+        part = (mix64(uh.view(_U64)) % _U64(num_partitions)).astype(np.int64)
+        return pa.table({"kh": pa.array(uh, pa.int64()),
+                         "df": pa.array(df.astype(np.int64), pa.int64()),
+                         "owner": pa.array(owner, pa.int64()),
+                         "__gpart": pa.array(part, pa.int64())})
+
+    def dup_owner(g: pa.Table) -> pa.Table:
+        h = g["kh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"kh": pa.array([], pa.int64()),
+                          "owner": pa.array([], pa.int64())})
+        if not len(h):
+            return empty
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ow = g["owner"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        h_s, df_s, ow_s = h[order], df[order], ow[order]
+        bounds = run_bounds(h_s)
+        totals = segment_sums(df_s, bounds)
+        owner = np.minimum.reduceat(ow_s, bounds[:-1])
+        m = totals >= 2
+        return pa.table({"kh": pa.array(h_s[bounds[:-1]][m], pa.int64()),
+                         "owner": pa.array(owner[m], pa.int64())})
+
+    from lsh_apg_ray.stages.reptier import pack_sorted_map
+
+    dup_ref = pack_sorted_map.remote(
+        *ds.select_columns([id_col, text_col])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(dup_owner, batch_format="pyarrow")
+        .to_arrow_refs(),
+        key="kh", val="owner",
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dupkh, owners = ray.get(dup_ref)
+        ids_in, flat, goff, toff, ntoks, build_text = _batch_toks(batch)
+        n_docs = len(ids_in)
+        total_toks = int(toff[-1]) if len(toff) else 0
+        keep = np.ones(total_toks, bool)
+        n_removed = np.zeros(n_docs, np.int64)
+        if len(flat) and len(dupkh):
+            fh = flat.view(np.int64)
+            pos_s = np.searchsorted(dupkh, fh)
+            member = (pos_s < len(dupkh)) & (
+                dupkh[np.minimum(pos_s, len(dupkh) - 1)] == fh
+            )
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                               np.diff(goff))
+            member &= owners[np.minimum(pos_s, len(dupkh) - 1)] != ids_in[doc_of]
+            sel = np.flatnonzero(member)
+            if len(sel):
+                d_sel = doc_of[sel]
+                p_sel = sel - goff[d_sel]
+                starts = toff[d_sel] + p_sel
+                ends = toff[d_sel] + np.minimum(p_sel + k, ntoks[d_sel])
+                delta = np.zeros(total_toks + 1, np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, ends, -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                keep = ~covered
+                tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), ntoks)
+                n_removed = np.bincount(
+                    tok_doc[covered], minlength=n_docs
+                ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids_in, pa.int64()),
+                "text": build_text(keep),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -357,3 +357,36 @@ def test_sample_matrix_ref_identity_and_bound(ray_session):
     pos = np.searchsorted(ids_full, packs[0][0])
     np.testing.assert_array_equal(ids_full[pos], packs[0][0])
     np.testing.assert_array_equal(mat_full[pos], packs[0][1])
+
+
+def test_ivfpq_knn_recall_and_batch_independence(emb_ds):
+    """IVF+PQ composite: coarse lists bound which rows are touched, PQ ADC
+    bounds per-row cost, exact rerank restores distances. High recall on
+    clustered data; identical output across block layouts (per-batch cut is
+    a prefix of the global (adc, id) order restricted to the probed lists,
+    and list assignment is row-local)."""
+    from lsh_apg_ray.stages.ann import ivfpq_knn
+
+    ds, X = emb_ds
+    qids = np.arange(8, dtype=np.int64)
+    k = 5
+    got = ivfpq_knn(ds, qids, X[:8], k=k, n_centroids=24, nprobe=6,
+                    m_subspaces=8, n_codes=16, rerank=48).to_pandas()
+    hits = total = 0
+    for q in qids:
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want = set(np.argsort(d, kind="stable")[:k])
+        g = set(got[got.query_id == q]["neighbor_id"].tolist())
+        assert len(g) == k
+        hits += len(g & want)
+        total += k
+    assert hits / total >= 0.9, hits / total
+    got2 = ivfpq_knn(ds.repartition(8), qids, X[:8], k=k, n_centroids=24,
+                     nprobe=6, m_subspaces=8, n_codes=16,
+                     rerank=48).to_pandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "dist"]].equals(
+        b[["query_id", "neighbor_id", "dist"]]
+    )

@@ -114,3 +114,30 @@ def test_single_doc_and_empty_corpus():
     assert len(one) == 1 and (one.cluster_id == one.doc_id).all()
     empty = dedup_pipeline(rd.from_arrow(_tiny_corpus([])), cfg).assignments.to_pandas()
     assert len(empty) == 0
+
+
+def test_sha_void_memcmp_order_and_lookup():
+    """sha_void (reptier) must order 32-byte digests exactly like Python
+    bytes comparison and support exact searchsorted lookup — the vectorized
+    replacement for the old per-row dict broadcast (round-4 verdict #4)."""
+    import hashlib
+
+    from lsh_apg_ray.stages.reptier import sha_void
+
+    digests = [hashlib.sha256(str(i).encode()).digest() for i in range(257)]
+    col = pa.chunked_array([
+        pa.array(digests[:100], pa.binary()),
+        pa.array(digests[100:], pa.binary()),
+    ])
+    v = sha_void(col)
+    assert v.shape == (257,)
+    assert [bytes(x) for x in v] == digests
+    order = np.argsort(v)
+    assert [bytes(v[i]) for i in order] == sorted(digests)
+    # exact lookup: every key finds itself after sorting
+    k = v[order]
+    pos = np.searchsorted(k, v)
+    assert all(bytes(k[p]) == d for p, d in zip(pos, digests))
+    # sliced arrays (non-zero offset) must view the right bytes
+    sl = col.combine_chunks().slice(5, 17)
+    assert [bytes(x) for x in sha_void(sl)] == digests[5:22]

@@ -328,3 +328,66 @@ def test_dup_span_stats_matches_naive(ray_session, nblocks):
             row["dup_covered"],
         ) == (n, ng, nd, cov), f"doc {d}"
         assert row["dup_frac"] == pytest.approx(frac, abs=0)
+
+
+def test_strip_dup_spans_matches_naive(ray_session):
+    """Surgery parity against a naive recompute: dup k-gram = in >= 2
+    distinct docs; owner (min doc_id) keeps every occurrence; every other
+    doc loses the covered token span. Output text is the token-normalized
+    surface (lowered, single-space). Identical across block layouts."""
+    from lsh_apg_ray.stages.textstats import strip_dup_spans
+
+    k = 3
+    docs = {
+        0: "The quick brown fox jumps over the lazy dog today",
+        1: "prefix words the quick brown fox jumps and more stuff",
+        2: "unrelated content entirely here with nothing shared at all",
+        3: "the quick brown fox jumps",      # fully covered non-owner
+        4: "",                                # no tokens
+        5: "two words",                       # < k tokens, no grams
+        6: "The quick brown FOX jumps over the lazy dog today",  # dup of 0
+    }
+
+    def toks(s):
+        import re
+        return re.findall(r"[a-z0-9_]+", s.lower())
+
+    grams = {}
+    for d, s in docs.items():
+        t = toks(s)
+        for p in range(len(t) - k + 1):
+            grams.setdefault(tuple(t[p:p + k]), set()).add(d)
+    dup_owner = {g: min(ds_) for g, ds_ in grams.items() if len(ds_) >= 2}
+
+    want = {}
+    for d, s in docs.items():
+        t = toks(s)
+        covered = np.zeros(len(t), bool)
+        for p in range(len(t) - k + 1):
+            g = tuple(t[p:p + k])
+            if g in dup_owner and dup_owner[g] != d:
+                covered[p:p + k] = True
+        kept = [w for w, c in zip(t, covered) if not c]
+        want[d] = (" ".join(kept), len(t), int(covered.sum()))
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[d] for d in sorted(docs)], pa.string()),
+        }
+    )
+    for nblocks in (1, 4):
+        got = (
+            strip_dup_spans(
+                rd.from_arrow(tbl).repartition(nblocks), DedupConfig(), k=k,
+                num_partitions=3,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert set(got.index) == set(want)
+        for d, (txt, n, nr) in want.items():
+            row = got.loc[d]
+            assert row["text"] == txt, f"doc {d} blocks {nblocks}"
+            assert (row["n_tokens"], row["n_removed"]) == (n, nr), f"doc {d}"
