@@ -89,6 +89,13 @@ class DedupConfig:
     # stage falls back to a partitioned hash join with identical semantics.
     min_doc_tokens: int = 1      # docs with fewer tokens are passed through as
                                  # singletons (nothing to shingle)
+    bloom_bits_per_key: int = 10
+    # cross-corpus probe pre-filter (stages/bloom.py): above the broadcast
+    # cap, a Bloom bitmap of the base key set (bits_per_key/8 bytes per key;
+    # 10 -> ~1% FP at 7 hashes) short-circuits definite-miss delta rows to
+    # "no match" BEFORE the partitioned join — no false negatives, so
+    # semantics are identical; FPs just ride the join and resolve to -1.
+    # 0 disables the pre-filter (every row joins).
     exact_sha_grouping: bool = False
     # False: the exact tier groups on the 64-bit sha256 prefix (sha_key) and
     # broadcasts the rep map as two numpy arrays (zero-copy) — collision

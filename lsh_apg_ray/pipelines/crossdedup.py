@@ -30,9 +30,13 @@ with remediation instead of silently losing recall (the containment_pairs /
 SimHash contract).
 
 100-TB stance: every lookup map has a broadcast path under
-cfg.broadcast_max_ids and a partitioned left-join path above it; the
-shingle payload exists only for pair-involved docs per side; nothing
-delta- or base-sized is ever driver-resident.
+cfg.broadcast_max_ids and a partitioned left-join path above it; above the
+cap a Bloom bitmap of the base key set (stages/bloom.py,
+cfg.bloom_bits_per_key — 1.25 B/key at 10 bits vs 8 B/key for the sorted
+array) short-circuits definite-miss delta rows before the join, shrinking
+the shuffle's left side to roughly the duplicate rate; the shingle payload
+exists only for pair-involved docs per side; nothing delta- or base-sized
+is ever driver-resident.
 """
 
 from __future__ import annotations
@@ -87,8 +91,41 @@ def _attach_lookup(ds, key_col: str, out_col: str, map_ds, map_key: str,
     from lsh_apg_ray.arrowutil import rename_ds
     from lsh_apg_ray.joins import hash_join
 
+    probe = ds
+    miss = None
+    if cfg.bloom_bits_per_key > 0:
+        # Bloom pre-filter (stages/bloom.py): definite-miss rows — for a
+        # new crawl probed against a training set, almost all of them —
+        # short-circuit to out_col=-1 and never enter the shuffle join. No
+        # false negatives, so semantics are identical; false positives
+        # (~1% at 10 bits/key) ride the join and resolve to -1 there.
+        from lsh_apg_ray.stages.bloom import build_bloom_ref, maybe_member
+
+        bm_ref, m_bits, kh = build_bloom_ref(
+            map_ds.select_columns([map_key]), map_key, n_map,
+            bits_per_key=cfg.bloom_bits_per_key,
+        )
+
+        def split(t: pa.Table, want_hit: bool) -> pa.Table:
+            bm = ray.get(bm_ref)  # zero-copy plasma view
+            x = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = maybe_member(bm, x, m_bits, kh)
+            kept = t.filter(pa.array(hit if want_hit else ~hit))
+            if want_hit:
+                return kept
+            return kept.append_column(
+                out_col, pa.array(np.full(kept.num_rows, _NEG), pa.int64())
+            )
+
+        probe = ds.map_batches(
+            lambda t: split(t, True), batch_format="pyarrow"
+        )
+        miss = ds.map_batches(
+            lambda t: split(t, False), batch_format="pyarrow"
+        )
+
     joined = hash_join(
-        ds,
+        probe,
         rename_ds(map_ds.select_columns([map_key, map_val]),
                   {map_key: key_col, map_val: out_col}),
         key_col,
@@ -97,13 +134,14 @@ def _attach_lookup(ds, key_col: str, out_col: str, map_ds, map_key: str,
         left_schema=ds_schema,
         right_schema=pa.schema([(key_col, pa.int64()), (out_col, pa.int64())]),
     )
-    return joined.map_batches(
+    out = joined.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index(out_col), out_col,
             pc.fill_null(t[out_col], pa.scalar(-1, pa.int64())),
         ),
         batch_format="pyarrow",
     )
+    return out.union(miss) if miss is not None else out
 
 
 def dedup_against(

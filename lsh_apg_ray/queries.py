@@ -3011,6 +3011,35 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_against_joinpath(sf_dir: str):
+    """dedup_against with broadcast_max_ids=0: EVERY lookup/rep/band/verify
+    stage runs its partitioned-join scale dataflow, and the exact-tier
+    probe runs behind the Bloom pre-filter (stages/bloom.py — definite
+    misses short-circuit, maybe-members join). Identical semantics to
+    dedup_against by construction (no false negatives), gated by the SAME
+    cross-side SQL — this row externally verifies the 100-TB fallback
+    machinery end to end, not just the broadcast fast paths."""
+    from lsh_apg_ray.pipelines.crossdedup import dedup_against
+
+    corpus, _, _ = _corpus_and_dump(sf_dir)
+    cid = corpus.map_batches(_with_doc_id, batch_format="pyarrow")
+
+    def side(want_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (ids % 5) == 3
+            return t.filter(pa.array(m if want_delta else ~m))
+
+        return cid.map_batches(f, batch_format="pyarrow")
+
+    return dedup_against(side(False), side(True),
+                         _cfg(broadcast_max_ids=0),
+                         content_col="content", id_col="doc_id")
+
+
+SQL_DEDUP_AGAINST_JOINPATH = SQL_DEDUP_AGAINST
+
+
 def q_quota_sample(sf_dir: str):
     """Per-group quota (mixture) sampling over documents: 25 docs per lang
     (the whole group where smaller — 'de' gets an effectively-unbounded
@@ -4197,6 +4226,7 @@ QUERIES = {
     # -- round-5 additions (pytest + in-repo oracle; outside the window) --
     "ivfpq_knn": q_ivfpq_knn,
     "strip_dup_spans": q_strip_dup_spans,
+    "dedup_against_joinpath": q_dedup_against_joinpath,
 }
 
 ORACLE_SQL = {
@@ -4271,6 +4301,7 @@ ORACLE_SQL = {
     "pq_knn": SQL_PQ_KNN,
     "ivfpq_knn": SQL_IVFPQ_KNN,
     "strip_dup_spans": SQL_STRIP_DUP_SPANS,
+    "dedup_against_joinpath": SQL_DEDUP_AGAINST_JOINPATH,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built
     # deterministically from doc_id; the oracle predicts the decoded stats
     # analytically, so the value-hash gates the REAL decode kernels.

@@ -1,0 +1,107 @@
+"""Distributed Bloom filter over an int64 key column — the memory-bounded
+membership PRE-FILTER for cross-corpus probes.
+
+At 100-TB scale the base corpus's distinct-key table can be too big to
+broadcast as a sorted array (8 B/key) while a partitioned join of the WHOLE
+delta against it shuffles every delta row. A Bloom bitmap costs
+`bits_per_key/8` bytes per base key (10 bits -> 1.25 B/key, ~1% false
+positives at k=7) and has NO false negatives, so the standard two-phase
+plan is exact end to end: rows failing the bloom short-circuit to "no
+match" without entering the shuffle; only maybe-members (true matches plus
+~1% FP) pay the join, where the FPs resolve to a null/-1 like any other
+miss. For a web-crawl delta deduped against a training set, the expected
+survivor fraction is the duplicate rate — typically a few percent — so the
+join's left side shrinks by ~25-100x.
+
+Ray shape: one remote task per base block builds a partial bitmap from the
+block's keys (double hashing, splitmix64-derived, fully vectorized); partial
+bitmaps OR-reduce in a binary tree of remote tasks (never through the
+driver); the final bitmap is ONE plasma object read zero-copy by every
+probe task. Reference analogue: the bucket-membership probe of
+e2lsh.cpp:131-200, with the bucket array compressed to 1 bit/slot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from lsh_apg_ray.hashing import mix64
+
+_U64 = np.uint64
+_SALT = _U64(0xA5B35705987C2E6D)
+
+
+def _hash_pair(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent u64 hash streams for double hashing (Kirsch &
+    Mitzenmacher: h1 + i*h2 preserves the Bloom FP asymptotics)."""
+    x = np.asarray(keys).astype(np.int64).view(_U64)
+    h1 = mix64(x)
+    h2 = mix64(x ^ _SALT) | _U64(1)  # odd: full period mod any m
+    return h1, h2
+
+
+def _set_bits(bitmap: np.ndarray, keys: np.ndarray, m_bits: int, k: int):
+    h1, h2 = _hash_pair(keys)
+    m = _U64(m_bits)
+    for i in range(k):
+        idx = (h1 + _U64(i) * h2) % m
+        np.bitwise_or.at(
+            bitmap, (idx >> _U64(6)).astype(np.int64),
+            np.left_shift(_U64(1), idx & _U64(63)),
+        )
+
+
+def maybe_member(bitmap: np.ndarray, keys: np.ndarray, m_bits: int,
+                 k: int) -> np.ndarray:
+    """Vectorized membership test: True = key MAY be in the set (FP ~
+    (1 - e^{-kn/m})^k), False = key is DEFINITELY absent."""
+    if len(keys) == 0:
+        return np.zeros(0, bool)
+    h1, h2 = _hash_pair(keys)
+    m = _U64(m_bits)
+    res = np.ones(len(h1), bool)
+    for i in range(k):
+        idx = (h1 + _U64(i) * h2) % m
+        word = bitmap[(idx >> _U64(6)).astype(np.int64)]
+        res &= ((word >> (idx & _U64(63))) & _U64(1)).astype(bool)
+    return res
+
+
+@ray.remote
+def _block_bitmap(block: pa.Table, col: str, m_bits: int, k: int):
+    bm = np.zeros((m_bits + 63) // 64, _U64)
+    if block.num_rows:
+        keys = block[col].to_numpy(zero_copy_only=False)
+        _set_bits(bm, keys, m_bits, k)
+    return bm
+
+
+@ray.remote
+def _or2(a: np.ndarray, b: np.ndarray):
+    return np.bitwise_or(a, b)
+
+
+def build_bloom_ref(ds, col: str, n_keys: int, bits_per_key: int = 10,
+                    k_hashes: int = 7):
+    """-> (ObjectRef[u64 bitmap], m_bits, k). Partial bitmaps per block,
+    OR-combined in a binary tree of remote tasks; keys never pass through
+    the driver. `n_keys` sizes the bitmap (an upper bound is fine — FP only
+    improves)."""
+    m_bits = max(64, int(bits_per_key) * max(1, int(n_keys)))
+    refs = [
+        _block_bitmap.remote(b, col, m_bits, k_hashes)
+        for b in ds.to_arrow_refs()
+    ]
+    if not refs:
+        refs = [ray.put(np.zeros((m_bits + 63) // 64, _U64))]
+    while len(refs) > 1:
+        nxt = [
+            _or2.remote(refs[i], refs[i + 1])
+            for i in range(0, len(refs) - 1, 2)
+        ]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    return refs[0], m_bits, k_hashes

@@ -1,0 +1,50 @@
+"""Distributed Bloom membership pre-filter (stages/bloom.py): no false
+negatives ever; false-positive rate near the analytic bound; tree-OR build
+equals a single-task build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from lsh_apg_ray.stages.bloom import (
+    _set_bits,
+    build_bloom_ref,
+    maybe_member,
+)
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    rng = np.random.default_rng(11)
+    keys = rng.choice(2**62, size=20_000, replace=False).astype(np.int64)
+    members, probes = keys[:10_000], keys[10_000:]
+    bits_per_key, k = 10, 7
+    m_bits = bits_per_key * len(members)
+    bm = np.zeros((m_bits + 63) // 64, np.uint64)
+    _set_bits(bm, members, m_bits, k)
+    # every member must test positive
+    assert maybe_member(bm, members, m_bits, k).all()
+    # non-members: FP ~ 0.8% analytic at 10 bits/key, 7 hashes; allow 3x
+    fp = maybe_member(bm, probes, m_bits, k).mean()
+    assert fp <= 0.03, fp
+    assert maybe_member(bm, np.empty(0, np.int64), m_bits, k).shape == (0,)
+
+
+def test_build_bloom_ref_tree_or_equals_single(ray_session):
+    rng = np.random.default_rng(5)
+    keys = rng.choice(2**62, size=5_000, replace=False).astype(np.int64)
+    t = pa.table({"sha_key": pa.array(keys, pa.int64())})
+    ds = rd.from_arrow(t).repartition(7)  # force a multi-block tree OR
+    ref, m_bits, k = build_bloom_ref(ds, "sha_key", len(keys))
+    bm = ray.get(ref)
+    want = np.zeros_like(bm)
+    _set_bits(want, keys, m_bits, k)
+    assert np.array_equal(bm, want)
+    assert maybe_member(bm, keys, m_bits, k).all()
+    # empty dataset -> all-miss filter, never a crash
+    ref0, m0, k0 = build_bloom_ref(
+        rd.from_arrow(t.slice(0, 0)), "sha_key", 1
+    )
+    assert not maybe_member(ray.get(ref0), keys, m0, k0).any()

@@ -81,16 +81,22 @@ def _tables(base_docs, delta_docs):
     return tab(base_docs), tab(delta_docs)
 
 
-@pytest.mark.parametrize("broadcast_max_ids", [5_000_000, 1])
-def test_dedup_against_matches_naive(broadcast_max_ids):
+@pytest.mark.parametrize(
+    "broadcast_max_ids,bloom_bits", [(5_000_000, 10), (1, 10), (1, 0)]
+)
+def test_dedup_against_matches_naive(broadcast_max_ids, bloom_bits):
     """broadcast_max_ids=1 forces every lookup/rep/band/verify stage onto
-    its partitioned-join scale path; results must be identical."""
+    its partitioned-join scale path; results must be identical. The join
+    path runs twice: with the Bloom pre-filter (default — definite misses
+    short-circuit, maybe-members join) and with it disabled (bloom_bits=0,
+    every row joins)."""
     cfg = DedupConfig(
         threshold=0.7,
         join_partitions=4,
         signer_concurrency=2,
         batch_size=64,
         broadcast_max_ids=broadcast_max_ids,
+        bloom_bits_per_key=bloom_bits,
     )
     base_docs, delta_docs = _corpora()
     bt, dt = _tables(base_docs, delta_docs)
