@@ -2506,6 +2506,73 @@ ORDER BY i.doc_id, g.ci
 """
 
 
+def q_lm_doc_scores(sf_dir: str):
+    """CCNet-style bigram-LM scoring (stages/lm.py): train an add-0.5
+    smoothed bigram LM over the corpus's own top-64 vocabulary (OOV ->
+    <unk>), score every doc. The oracle gates the EXACT integer census
+    sufficient statistics (sum of head unigram counts, sum of bigram counts,
+    corpus-novel bigram count) — the distributed part of the operator; the
+    float ppl derived from them is gated in-repo against a pure-Python
+    reference (tests/test_lm.py) to avoid float-summation-order hash
+    hazards."""
+    from lsh_apg_ray.stages.lm import lm_doc_scores
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return lm_doc_scores(docs, vocab_size=64).select_columns(
+        ["doc_id", "n_tokens", "sum_head_c", "sum_bi_c", "n_novel_bi"]
+    )
+
+
+SQL_LM_DOC_SCORES = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS tk
+  FROM documents
+), info AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks
+), pos AS (
+  SELECT i.doc_id, g.i AS p, i.tk[g.i] AS token
+  FROM info i CROSS JOIN generate_series(1, 100000) AS g(i)
+  WHERE g.i <= i.n
+), uni AS (
+  SELECT token, count(*) AS c FROM pos GROUP BY token
+), vocab AS (
+  SELECT token FROM uni ORDER BY c DESC, token ASC LIMIT 64
+), mapped AS (
+  SELECT p.doc_id, p.p, COALESCE(v.token, '<unk>') AS mt
+  FROM pos p LEFT JOIN vocab v USING (token)
+), c1 AS (
+  SELECT mt, count(*) AS c FROM mapped GROUP BY mt
+), bi AS (
+  SELECT doc_id, p, mt AS h,
+         lead(mt) OVER (PARTITION BY doc_id ORDER BY p) AS t2
+  FROM mapped
+), c2 AS (
+  SELECT h, t2, count(*) AS c FROM bi WHERE t2 IS NOT NULL GROUP BY h, t2
+), perdoc AS (
+  SELECT b.doc_id,
+    CAST(sum(c1.c) AS BIGINT) AS sum_head_c,
+    CAST(sum(c2.c) AS BIGINT) AS sum_bi_c,
+    CAST(sum(CASE WHEN c2.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_bi
+  FROM bi b
+  JOIN c2 ON b.h = c2.h AND b.t2 = c2.t2
+  JOIN c1 ON b.h = c1.mt
+  WHERE b.t2 IS NOT NULL
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(i.n, 0) AS n_tokens,
+  COALESCE(p.sum_head_c, 0) AS sum_head_c,
+  COALESCE(p.sum_bi_c, 0) AS sum_bi_c,
+  COALESCE(p.n_novel_bi, 0) AS n_novel_bi
+FROM documents d
+LEFT JOIN info i USING (doc_id)
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_oov_rate(sf_dir: str):
     """Per-doc OOV counts vs the corpus top-256 vocabulary (count DESC,
     token ASC boundary): census groupby + broadcast top-V, then one
@@ -4227,6 +4294,7 @@ QUERIES = {
     "ivfpq_knn": q_ivfpq_knn,
     "strip_dup_spans": q_strip_dup_spans,
     "dedup_against_joinpath": q_dedup_against_joinpath,
+    "lm_doc_scores": q_lm_doc_scores,
 }
 
 ORACLE_SQL = {
@@ -4302,6 +4370,7 @@ ORACLE_SQL = {
     "ivfpq_knn": SQL_IVFPQ_KNN,
     "strip_dup_spans": SQL_STRIP_DUP_SPANS,
     "dedup_against_joinpath": SQL_DEDUP_AGAINST_JOINPATH,
+    "lm_doc_scores": SQL_LM_DOC_SCORES,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built
     # deterministically from doc_id; the oracle predicts the decoded stats
     # analytically, so the value-hash gates the REAL decode kernels.

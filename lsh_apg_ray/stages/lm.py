@@ -1,0 +1,255 @@
+"""CCNet-style n-gram language-model scoring — the perplexity-filter tier
+of a training-data curation pipeline (Wenzek et al., "CCNet", 2020: docs are
+kept/bucketed by LM perplexity; the reference's quality gate is the same
+show-stats scan shape, mainAlg.h:61-96 `showDataset`).
+
+Model: a bigram LM over the corpus's own top-`vocab_size` tokens (count
+DESC, token ASC — a total order, so the V-boundary is deterministic on both
+engine sides); out-of-vocab tokens map to `<unk>` (the token pattern is a
+char class that can never produce `<unk>`, so no collision). Add-alpha
+smoothing:
+
+    P(x_0)           = (C1(x_0) + a) / (N + a*(V+1))
+    P(x_i | x_{i-1}) = (C2(x_{i-1}, x_i) + a) / (C1(x_{i-1}) + a*(V+1))
+
+ppl(doc) = exp(-logprob / n_tokens). Alongside the float ppl the stage
+emits the EXACT integer sufficient statistics (sum of head unigram counts,
+sum of bigram counts, number of corpus-novel bigrams) so the distributed
+census machinery is value-hash gateable without float-summation-order
+hazards; the ppl itself is a deterministic per-row map of those censuses
+and is gated in-repo (tests/test_lm.py pure-Python reference).
+
+100-TB shape — three streaming scans, nothing corpus-sized leaves a worker:
+1. unigram census: per-batch partial term counts (one bincount over the
+   batch's token dictionary) -> groupby-sum. Top-V selection is
+   DISTRIBUTED-exact: groupby output blocks are key-disjoint, so a
+   per-block top-V (remote task each) followed by one merge over the
+   <= V * n_blocks candidates equals the global top-V.
+2. bigram census: tokens unk-mapped to vocab ids per batch (one
+   searchsorted over the batch DICTIONARY, scattered through indices), pair
+   key = head*(V+1)+tail as int64 -> per-batch np.unique partials ->
+   groupby-sum. Model size is bounded by min(observed bigrams, (V+1)^2) —
+   independent of corpus size — and is broadcast as ONE plasma tuple
+   assembled in a remote task (never driver-resident).
+3. scoring scan: per batch, one searchsorted against the broadcast model
+   arrays + cumsum-diff per-doc reduction. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from lsh_apg_ray.hashing import arrow_token_index
+from lsh_apg_ray.stages.curation import _require_char_class
+
+_UNK = "<unk>"
+
+
+def _mapped_ids(t: pa.Table, text_col: str, token_pattern: str,
+                vocab: np.ndarray):
+    """-> (flat vocab-ids with OOV=V, per-doc offsets). The vocab lookup runs
+    once per unique batch-dictionary token, then scatters."""
+    ti = arrow_token_index(t[text_col], token_pattern)
+    assert ti is not None
+    indices, offsets, dictionary = ti
+    dic = np.asarray(dictionary, dtype=str)
+    v = len(vocab)
+    if len(dic) and v:
+        pos = np.minimum(np.searchsorted(vocab, dic), v - 1)
+        dicmap = np.where(vocab[pos] == dic, pos, v).astype(np.int64)
+    else:
+        dicmap = np.full(len(dic), v, np.int64)
+    ids = dicmap[indices] if len(indices) else np.empty(0, np.int64)
+    return ids, offsets
+
+
+def _bigram_keys(ids: np.ndarray, offsets: np.ndarray, v: int):
+    """-> (int64 keys head*(V+1)+tail, valid mask) over flat positions
+    0..len(ids)-2; pairs straddling a doc boundary are masked out."""
+    if len(ids) < 2:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    heads, tails = ids[:-1], ids[1:]
+    valid = np.ones(len(ids) - 1, bool)
+    b = offsets[1:-1]
+    b = b[(b > 0) & (b < len(ids))]
+    valid[b - 1] = False  # position b starts the next doc
+    return heads * np.int64(v + 1) + tails, valid
+
+
+def _per_doc_bigram_sums(vals: np.ndarray, valid: np.ndarray,
+                         offsets: np.ndarray) -> np.ndarray:
+    """Sum `vals` (aligned to flat bigram positions, zeros where invalid)
+    per doc via one cumsum — doc d's bigram positions are
+    [offsets[d], offsets[d+1]-1)."""
+    flat = np.where(valid, vals, 0)
+    cs = np.zeros(len(flat) + 1, np.int64 if flat.dtype.kind in "iu"
+                  else np.float64)
+    np.cumsum(flat, out=cs[1:])
+    s = offsets[:-1]
+    e = np.maximum(offsets[1:] - 1, s)
+    e = np.minimum(e, len(flat))
+    s = np.minimum(s, len(flat))
+    return cs[e] - cs[s]
+
+
+@ray.remote
+def _block_top(block: pa.Table, vocab_size: int):
+    """Per-census-block top-V candidates + block token total. Blocks of a
+    groupby are key-disjoint, so each token's count here is its FINAL
+    corpus count — per-block top-V then merge is exact."""
+    if block.num_rows == 0:
+        return np.empty(0, dtype="<U1"), np.empty(0, np.int64), 0
+    tok = np.asarray(block["token"].to_pylist(), dtype=str)
+    c = block["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((tok, -c))[:vocab_size]
+    return tok[order], c[order], int(c.sum())
+
+
+@ray.remote
+def _merge_vocab(vocab_size: int, *parts):
+    """-> (vocab sorted ASC, C1 aligned to it + unk at index V, N)."""
+    toks = [p[0] for p in parts if len(p[0])]
+    cs = [p[1] for p in parts if len(p[0])]
+    n_total = int(sum(p[2] for p in parts))
+    if not toks:
+        return np.empty(0, dtype="<U1"), np.array([0], np.int64), 0
+    tok = np.concatenate(toks)
+    c = np.concatenate(cs)
+    order = np.lexsort((tok, -c))[:vocab_size]  # count DESC, token ASC
+    tok, c = tok[order], c[order]
+    asc = np.argsort(tok)
+    tok, c = tok[asc], c[asc]
+    c1 = np.concatenate([c, [n_total - int(c.sum())]]).astype(np.int64)
+    return tok, c1, n_total
+
+
+@ray.remote
+def _assemble_model(vocab_part, *bi_blocks):
+    """-> (vocab, c1, bk sorted, bc, N) as one plasma tuple."""
+    vocab, c1, n_total = vocab_part
+    bks, bcs = [], []
+    for b in bi_blocks:
+        if b.num_rows:
+            bks.append(b["bk"].to_numpy(zero_copy_only=False).astype(np.int64))
+            bcs.append(b["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if bks:
+        bk = np.concatenate(bks)
+        bc = np.concatenate(bcs)
+        o = np.argsort(bk)
+        bk, bc = bk[o], bc[o]
+    else:
+        bk, bc = np.empty(0, np.int64), np.empty(0, np.int64)
+    return vocab, c1, bk, bc, n_total
+
+
+def train_bigram_lm(ds, vocab_size: int, text_col: str = "text",
+                    token_pattern: str = r"[a-z0-9_]+"):
+    """-> ObjectRef[(vocab, c1, bk, bc, N)] — the broadcastable model."""
+    from ray.data.aggregate import Sum
+
+    _require_char_class(token_pattern, "train_bigram_lm")
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], token_pattern)
+        assert ti is not None
+        indices, _, dictionary = ti
+        if len(indices) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        counts = np.bincount(indices, minlength=len(dictionary))
+        used = np.flatnonzero(counts)
+        return pa.table(
+            {"token": pa.array([dictionary[i] for i in used], pa.string()),
+             "c": pa.array(counts[used], pa.int64())}
+        )
+
+    census = (
+        ds.select_columns([text_col])
+        .map_batches(partial_tf, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    tops = [_block_top.remote(b, vocab_size) for b in census.to_arrow_refs()]
+    vocab_ref = _merge_vocab.remote(vocab_size, *tops)
+    vocab, _, _ = ray.get(vocab_ref)  # tiny: V tokens; needed by scan 2
+    v = len(vocab)
+
+    def partial_bi(t: pa.Table) -> pa.Table:
+        ids, offsets = _mapped_ids(t, text_col, token_pattern, vocab)
+        keys, valid = _bigram_keys(ids, offsets, v)
+        if not valid.any():
+            return pa.table({"bk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        uk, uc = np.unique(keys[valid], return_counts=True)
+        return pa.table({"bk": pa.array(uk, pa.int64()),
+                         "c": pa.array(uc, pa.int64())})
+
+    bi_census = (
+        ds.select_columns([text_col])
+        .map_batches(partial_bi, batch_format="pyarrow")
+        .groupby("bk")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    return _assemble_model.remote(vocab_ref, *bi_census.to_arrow_refs())
+
+
+def lm_doc_scores(ds, vocab_size: int, alpha: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  token_pattern: str = r"[a-z0-9_]+"):
+    """-> Dataset(id, n_tokens, sum_head_c, sum_bi_c, n_novel_bi, ppl).
+    Integer columns are the exact census sufficient statistics (oracle-
+    gateable); ppl is the smoothed bigram perplexity derived from them."""
+    _require_char_class(token_pattern, "lm_doc_scores")
+    model_ref = train_bigram_lm(ds, vocab_size, text_col, token_pattern)
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, c1, bk, bc, n_total = ray.get(model_ref)  # zero-copy view
+        v = len(vocab)
+        ids, offsets = _mapped_ids(t, text_col, token_pattern, vocab)
+        n_tokens = np.diff(offsets)
+        keys, valid = _bigram_keys(ids, offsets, v)
+        if len(keys):
+            pos = np.minimum(np.searchsorted(bk, keys), max(len(bk) - 1, 0))
+            found = (bk[pos] == keys) if len(bk) else np.zeros(len(keys), bool)
+            assert bool(found[valid].all()), \
+                "bigram missing from its own training census"
+            c2 = np.where(found, bc[pos] if len(bc) else 0, 0)
+            headc = c1[ids[:-1]]
+        else:
+            c2 = np.empty(0, np.int64)
+            headc = np.empty(0, np.int64)
+        sum_head = _per_doc_bigram_sums(headc, valid, offsets)
+        sum_bi = _per_doc_bigram_sums(c2, valid, offsets)
+        novel = _per_doc_bigram_sums((c2 == 1).astype(np.int64), valid,
+                                     offsets)
+        # logprob: first-token unigram term + bigram terms
+        denom_v = alpha * (v + 1)
+        if len(keys):
+            lp_bi = np.log((c2 + alpha) / (headc + denom_v))
+        else:
+            lp_bi = np.empty(0, np.float64)
+        lp = _per_doc_bigram_sums(lp_bi, valid, offsets)
+        first = offsets[:-1]
+        has_tok = n_tokens > 0
+        safe_first = np.minimum(first, max(len(ids) - 1, 0))
+        c1_first = c1[ids[safe_first]] if len(ids) else np.zeros(
+            len(first), np.int64)
+        lp0 = np.log((c1_first + alpha) / (n_total + denom_v))
+        lp = lp + np.where(has_tok, lp0, 0.0)
+        ppl = np.where(has_tok, np.exp(-lp / np.maximum(n_tokens, 1)), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "sum_head_c": pa.array(sum_head, pa.int64()),
+                "sum_bi_c": pa.array(sum_bi, pa.int64()),
+                "n_novel_bi": pa.array(novel, pa.int64()),
+                "ppl": pa.array(ppl, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

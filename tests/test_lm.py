@@ -1,0 +1,104 @@
+"""Bigram-LM scoring (stages/lm.py): exact-integer census sufficient
+statistics and smoothed perplexity against a pure-Python reference;
+batch-layout independence (census partials must merge exactly)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsh_apg_ray.stages.lm import lm_doc_scores
+
+DOCS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "a dog ran in the park the dog ran fast",
+    "",  # empty doc: all-zero stats, ppl 0
+    "singleton",  # one token: no bigrams, unigram-only logprob
+    "zz yy xx ww vv uu",  # rare tokens -> mostly <unk> at small V
+    "the the the the",  # degenerate repetition
+    "cat hat mat bat rat the cat",
+]
+
+
+def _reference(docs, vocab_size, alpha=0.5):
+    tok = [re.findall(r"[a-z0-9_]+", d.lower()) for d in docs]
+    uni = Counter(t for ts in tok for t in ts)
+    n_total = sum(uni.values())
+    vocab = set(
+        t for t, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:vocab_size]
+    )
+    mapped = [[t if t in vocab else "<unk>" for t in ts] for ts in tok]
+    c1 = Counter(t for ts in mapped for t in ts)
+    c2 = Counter(
+        (ts[i], ts[i + 1]) for ts in mapped for i in range(len(ts) - 1)
+    )
+    v1 = len(vocab) + 1
+    rows = []
+    for did, ts in enumerate(mapped):
+        n = len(ts)
+        pairs = [(ts[i], ts[i + 1]) for i in range(n - 1)]
+        sum_head = sum(c1[h] for h, _ in pairs)
+        sum_bi = sum(c2[p] for p in pairs)
+        novel = sum(1 for p in pairs if c2[p] == 1)
+        if n:
+            lp = math.log((c1[ts[0]] + alpha) / (n_total + alpha * v1))
+            for (h, t2), _ in zip(pairs, range(n)):
+                lp += math.log((c2[(h, t2)] + alpha) / (c1[h] + alpha * v1))
+            ppl = math.exp(-lp / n)
+        else:
+            ppl = 0.0
+        rows.append((did, n, sum_head, sum_bi, novel, ppl))
+    return rows
+
+
+def _run(docs, vocab_size, **ds_kw):
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+    ds = rd.from_arrow(t)
+    if ds_kw.get("parts"):
+        ds = ds.repartition(ds_kw["parts"])
+    out = lm_doc_scores(ds, vocab_size=vocab_size).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_lm_scores_match_reference(ray_session):
+    for v in (4, 64):
+        got = _run(DOCS, v)
+        ref = _reference(DOCS, v)
+        assert len(got) == len(ref)
+        for (did, n, sh, sb, nv, ppl), row in zip(ref, got.itertuples()):
+            assert row.doc_id == did
+            assert row.n_tokens == n
+            assert row.sum_head_c == sh, (did, v)
+            assert row.sum_bi_c == sb, (did, v)
+            assert row.n_novel_bi == nv, (did, v)
+            assert np.isclose(row.ppl, ppl, rtol=1e-12), (did, v)
+
+
+def test_lm_batch_layout_independent(ray_session):
+    """Census partials + per-batch scoring must be layout-invariant: one
+    block vs many tiny blocks give identical tables."""
+    docs = DOCS * 5
+    a = _run(docs, 8, parts=1)
+    b = _run(docs, 8, parts=9)
+    for col in ("n_tokens", "sum_head_c", "sum_bi_c", "n_novel_bi"):
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+    assert np.allclose(a["ppl"], b["ppl"], rtol=1e-12)
+
+
+def test_lm_repetition_scores_lower_ppl(ray_session):
+    """A doc made of the corpus's most common bigram chain must score lower
+    perplexity than one made of corpus-novel content."""
+    got = _run(DOCS, 64)
+    common = got.loc[got.doc_id == 6, "ppl"].item()  # "the the the the"
+    rare = got.loc[got.doc_id == 5, "ppl"].item()    # zz yy xx ...
+    assert 0 < common < rare
