@@ -509,6 +509,88 @@ ORDER BY query_id, rank
 """
 
 
+def q_knn_label_vote(sf_dir: str):
+    """kNN classification over the embeddings table's `label` column:
+    exact cosine top-k per query (the oracled brute-force tier), neighbor
+    labels fetched by ONE filtered column scan against a broadcast id set
+    (no shuffle join — the needed-ids side is bounded by queries*k), then
+    majority vote with ties to the smallest label. Driver-side work is
+    O(queries*k), never corpus-sized."""
+    import ray
+
+    from lsh_apg_ray.stages.ann import knn_cosine, load_queries
+
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, KNN_QUERIES)
+    knn = knn_cosine(emb, qids, qmat, KNN_K).to_pandas()
+
+    need_ref = ray.put(np.sort(np.unique(
+        knn["neighbor_id"].to_numpy().astype(np.int64))))
+
+    def pick(t: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(need):
+            pos = np.minimum(np.searchsorted(need, vid), len(need) - 1)
+            m = need[pos] == vid
+        else:
+            m = np.zeros(len(vid), bool)
+        return t.filter(pa.array(m))
+
+    lab = (
+        read_embeddings(sf_dir, columns=["vec_id", "label"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = knn.merge(
+        lab.rename(columns={"vec_id": "neighbor_id"}), on="neighbor_id"
+    )
+    votes = (
+        merged.groupby(["query_id", "label"]).size().reset_index(name="n")
+        .sort_values(["query_id", "n", "label"],
+                     ascending=[True, False, True])
+    )
+    top = votes.groupby("query_id").head(1)
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].astype(np.int64), pa.int64()),
+            "pred_label": pa.array(top["label"].astype(np.int64), pa.int64()),
+            "n_votes": pa.array(top["n"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_KNN_LABEL_VOTE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 12) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+    FROM s
+  ) WHERE rank <= {KNN_K}
+),
+v AS (
+  SELECT r.qid, CAST(e.label AS BIGINT) AS label, count(*) AS n
+  FROM r JOIN embeddings e ON e.vec_id = r.nid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, label AS pred_label, CAST(n AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+  FROM v
+) WHERE rn = 1 ORDER BY query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis: language-ID, quality features, winnowing fingerprints
 # ---------------------------------------------------------------------------
@@ -4107,6 +4189,36 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_user_retention(sf_dir: str):
+    """Cohort retention over events: cohort = a user's first active week,
+    cell (cohort_week, week_offset) counts distinct users active that many
+    weeks after their cohort week. Plan: per-batch dedupe of (user, week)
+    pairs, ONE hash-partition exchange co-locating each user, per-partition
+    cohort/offset derivation + partial cell counts, then a final groupby-sum
+    over the tiny (weeks x weeks) cell table. Only deduped pairs cross the
+    wire; nothing is per-event after the first scan."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import cohort_retention
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    return cohort_retention(ev)
+
+
+SQL_USER_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)/604800) AS BIGINT) AS week
+  FROM events
+), coh AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw u JOIN coh c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # forward as-of join: time-to-next-conversion
 # ---------------------------------------------------------------------------
@@ -4295,6 +4407,8 @@ QUERIES = {
     "strip_dup_spans": q_strip_dup_spans,
     "dedup_against_joinpath": q_dedup_against_joinpath,
     "lm_doc_scores": q_lm_doc_scores,
+    "knn_label_vote": q_knn_label_vote,
+    "user_retention": q_user_retention,
 }
 
 ORACLE_SQL = {
@@ -4371,6 +4485,8 @@ ORACLE_SQL = {
     "strip_dup_spans": SQL_STRIP_DUP_SPANS,
     "dedup_against_joinpath": SQL_DEDUP_AGAINST_JOINPATH,
     "lm_doc_scores": SQL_LM_DOC_SCORES,
+    "knn_label_vote": SQL_KNN_LABEL_VOTE,
+    "user_retention": SQL_USER_RETENTION,
     # multimodal decode: the payloads are real encoded PPM/WAV bytes built
     # deterministically from doc_id; the oracle predicts the decoded stats
     # analytically, so the value-hash gates the REAL decode kernels.

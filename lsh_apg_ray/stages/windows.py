@@ -350,3 +350,76 @@ def funnel(events, key: str, ts_col: str, type_col: str, stages: list[str],
         .groupby(_FPART)
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def cohort_retention(events, ts_col: str = "ts", user_col: str = "user_id",
+                     week_s: int = 7 * 86400, num_partitions: int = 16):
+    """Cohort retention: cohort = a user's first active week (epoch//week_s),
+    cell (cohort_week, week_offset) counts DISTINCT users active that many
+    weeks after their cohort week.
+
+    Plan: per-batch dedupe of (user, week) pairs -> ONE hash-partition
+    exchange co-locating each user -> per-partition cohort/offset derivation
+    and partial cell counts -> final groupby-sum over the tiny
+    (weeks x weeks) cell table. Only deduped pairs cross the wire; each user
+    contributes each (cohort, offset) cell at most once globally because a
+    user lives in exactly one partition, so the partial counts are already
+    distinct-user counts. -> Dataset(cohort_week, week_offset, n_users)."""
+    from lsh_apg_ray.hashing import mix64
+
+    week_us = int(week_s) * 1_000_000
+    npart = np.uint64(num_partitions)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        week = _epoch_us(t[ts_col]) // week_us
+        order = np.lexsort((week, uid))
+        u_s, w_s = uid[order], week[order]
+        keep = np.ones(len(u_s), bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        u_k, w_k = u_s[keep], w_s[keep]
+        part = (mix64(u_k.view(np.uint64)) % npart).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u_k, pa.int64()),
+                "week": pa.array(w_k, pa.int64()),
+                "__upart": pa.array(part, pa.int64()),
+            }
+        )
+
+    def cells(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {"cohort_week": pa.array([], pa.int64()),
+                 "week_offset": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        week = g["week"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((week, uid))
+        u_s, w_s = uid[order], week[order]
+        keep = np.ones(len(u_s), bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        u_k, w_k = u_s[keep], w_s[keep]
+        # users are contiguous and week-ascending: cohort = run's first week
+        starts = np.ones(len(u_k), bool)
+        starts[1:] = u_k[1:] != u_k[:-1]
+        cohort = w_k[np.maximum.accumulate(
+            np.where(starts, np.arange(len(u_k)), 0))]
+        key = np.stack([cohort, w_k - cohort], axis=1)
+        uq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uq[:, 0], pa.int64()),
+                "week_offset": pa.array(uq[:, 1], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(cells, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )

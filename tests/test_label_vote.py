@@ -1,0 +1,27 @@
+"""kNN label voting (q_knn_label_vote): majority label with ties to the
+smallest label, verified against a DuckDB replay on the sf0.001 tables."""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def test_knn_label_vote_duckdb_parity(ray_session):
+    from lsh_apg_ray.queries import SQL_KNN_LABEL_VOTE, q_knn_label_vote
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_knn_label_vote(sf)
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    ref = con.sql(SQL_KNN_LABEL_VOTE).df()
+    assert len(got) == len(ref) > 0
+    assert (got["query_id"].to_numpy() == ref["query_id"].to_numpy()).all()
+    assert (got["pred_label"].to_numpy() == ref["pred_label"].to_numpy()).all()
+    assert (got["n_votes"].to_numpy() == ref["n_votes"].to_numpy()).all()

@@ -174,3 +174,44 @@ def test_funnel_matches_naive(ray_session):
             row["funnel_depth"], row["ts_signup"], row["ts_click"],
             row["ts_purchase"],
         ) == (d, t1, t2, t3), u
+
+
+def test_cohort_retention_matches_naive(ray_session):
+    """Multi-partition cohort retention == DuckDB replay: cohort = first
+    active week, cells count distinct users, repeated events dedupe."""
+    import duckdb
+    import pandas as pd
+
+    from lsh_apg_ray.stages.windows import cohort_retention
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 6 * 604800, n), unit="s"
+            ),
+        }
+    )
+    got = (
+        cohort_retention(rd.from_pandas(df).repartition(5),
+                         num_partitions=4)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """WITH uw AS (
+             SELECT DISTINCT user_id,
+                    CAST(floor(epoch(ts)/604800) AS BIGINT) AS week
+             FROM df
+           ), coh AS (
+             SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+           )
+           SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+                  CAST(count(*) AS BIGINT) AS n_users
+           FROM uw u JOIN coh c USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
