@@ -4327,8 +4327,11 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "dup_clusters_dataset_cc": q_dup_clusters_dataset_cc,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "substring_pairs": q_substring_pairs,
-    "containment_pairs": q_containment_pairs,
+    # round-5 session-3 additions rotated INTO the window (final round —
+    # their only chance at an external value-hash row); the rotated-out
+    # entries below position 50 each hold two green rows (r03 + r04)
+    "dedup_against_joinpath": q_dedup_against_joinpath,
+    "lm_doc_scores": q_lm_doc_scores,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup": q_semantic_dedup,
@@ -4338,10 +4341,10 @@ QUERIES = {
     "e2lsh_knn": q_e2lsh_knn,
     "zorder_knn": q_zorder_knn,
     "graph_knn": q_graph_knn,
-    "graph_knn_incremental": q_graph_knn_incremental,
-    "graph_knn_noseed": q_graph_knn_noseed,
-    "ivf_knn": q_ivf_knn,
-    "pq_knn": q_pq_knn,
+    "ivfpq_knn": q_ivfpq_knn,
+    "strip_dup_spans": q_strip_dup_spans,
+    "knn_label_vote": q_knn_label_vote,
+    "user_retention": q_user_retention,
     "frame_sample": q_frame_sample,
     # -- first driver verification: round-4 additions ----------------------
     "dedup_against": q_dedup_against,
@@ -4373,6 +4376,12 @@ QUERIES = {
     "asof_next_purchase": q_asof_next_purchase,
     "graph_knn_sharded": q_graph_knn_sharded,
     # -- position > 50: two green driver rows already (r03 + r04) ---------
+    "substring_pairs": q_substring_pairs,
+    "containment_pairs": q_containment_pairs,
+    "graph_knn_incremental": q_graph_knn_incremental,
+    "graph_knn_noseed": q_graph_knn_noseed,
+    "ivf_knn": q_ivf_knn,
+    "pq_knn": q_pq_knn,
     "doc_stats": q_doc_stats,
     "token_counts": q_token_counts,
     "events_tumbling": q_events_tumbling,
@@ -4402,13 +4411,6 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "image_decode_stats": q_image_decode_stats,
     "audio_decode_stats": q_audio_decode_stats,
-    # -- round-5 additions (pytest + in-repo oracle; outside the window) --
-    "ivfpq_knn": q_ivfpq_knn,
-    "strip_dup_spans": q_strip_dup_spans,
-    "dedup_against_joinpath": q_dedup_against_joinpath,
-    "lm_doc_scores": q_lm_doc_scores,
-    "knn_label_vote": q_knn_label_vote,
-    "user_retention": q_user_retention,
 }
 
 ORACLE_SQL = {
