@@ -194,23 +194,35 @@ def oov_stats(ds, vocab_size: int, text_col: str = "text",
         .aggregate(Sum("c", alias_name="c"))
     )
 
+    # Distributed-exact top-V (the stages/lm.py pattern): census groupby
+    # blocks are key-disjoint, so each token's count in its block is FINAL —
+    # a per-block top-V followed by one merge over <= V * n_blocks
+    # candidates equals the global top-V; no task ever holds the full
+    # vocabulary census. count DESC, token ASC — tokens are lowercase ASCII
+    # so numpy code-point order == DuckDB binary varchar order.
     @ray.remote
-    def top_v(*blocks):
-        toks, cs = [], []
-        for b in blocks:
-            if b.num_rows:
-                toks.append(np.asarray(b["token"].to_pylist(), dtype=str))
-                cs.append(b["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+    def block_top(b: pa.Table):
+        if b.num_rows == 0:
+            return np.empty(0, dtype="<U1"), np.empty(0, np.int64)
+        tok = np.asarray(b["token"].to_pylist(), dtype=str)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tok, -c))[:vocab_size]
+        return tok[order], c[order]
+
+    @ray.remote
+    def top_v(*parts):
+        toks = [p[0] for p in parts if len(p[0])]
+        cs = [p[1] for p in parts if len(p[0])]
         if not toks:
             return np.empty(0, dtype="<U1")
         tok = np.concatenate(toks)
         c = np.concatenate(cs)
-        # count DESC, token ASC — tokens are lowercase ASCII so numpy
-        # code-point order == DuckDB binary varchar order
         order = np.lexsort((tok, -c))
         return np.sort(tok[order[:vocab_size]])
 
-    vocab_ref = top_v.remote(*census.to_arrow_refs())
+    vocab_ref = top_v.remote(
+        *[block_top.remote(b) for b in census.to_arrow_refs()]
+    )
 
     def per_doc(t: pa.Table) -> pa.Table:
         vocab = ray.get(vocab_ref)
