@@ -418,3 +418,14 @@ def exact_jaccard(set_a: np.ndarray, set_b: np.ndarray) -> tuple[int, int, float
     inter = len(np.intersect1d(set_a, set_b, assume_unique=True))
     union = len(set_a) + len(set_b) - inter
     return inter, union, (inter / union if union else 1.0)
+
+
+def sorted_member(sorted_arr: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Vectorized membership of `x` in an ASCENDING-sorted array: one
+    clamped searchsorted + equality. The shared primitive behind broadcast
+    id-set / vocabulary lookups (stages/lm.py, curation's OOV scan,
+    knn_label_vote's needed-id filter)."""
+    if len(sorted_arr) == 0 or len(x) == 0:
+        return np.zeros(len(x), bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, x), len(sorted_arr) - 1)
+    return sorted_arr[pos] == x

@@ -528,14 +528,11 @@ def q_knn_label_vote(sf_dir: str):
         knn["neighbor_id"].to_numpy().astype(np.int64))))
 
     def pick(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import sorted_member
+
         need = ray.get(need_ref)
         vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(need):
-            pos = np.minimum(np.searchsorted(need, vid), len(need) - 1)
-            m = need[pos] == vid
-        else:
-            m = np.zeros(len(vid), bool)
-        return t.filter(pa.array(m))
+        return t.filter(pa.array(sorted_member(need, vid)))
 
     lab = (
         read_embeddings(sf_dir, columns=["vec_id", "label"])
@@ -2615,8 +2612,7 @@ WITH toks AS (
   SELECT doc_id, tk, len(tk) AS n FROM toks
 ), pos AS (
   SELECT i.doc_id, g.i AS p, i.tk[g.i] AS token
-  FROM info i CROSS JOIN generate_series(1, 100000) AS g(i)
-  WHERE g.i <= i.n
+  FROM info i, LATERAL unnest(generate_series(1, i.n)) g(i)
 ), uni AS (
   SELECT token, count(*) AS c FROM pos GROUP BY token
 ), vocab AS (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from lsh_apg_ray.hashing import _split_pattern_of, arrow_token_index
 
@@ -155,23 +156,13 @@ def chunk_tokens(ds, chunk_size: int, overlap: int, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def oov_stats(ds, vocab_size: int, text_col: str = "text",
-              id_col: str = "doc_id",
-              token_pattern: str = r"[a-z0-9_]+"):
-    """Per-doc out-of-vocabulary stats against the corpus top-`vocab_size`
-    tokens by term frequency (ties broken by token ascending — a total
-    order, so the V-boundary is deterministic on both engine sides).
-
-    Two-phase small-side-broadcast plan: (1) census = per-batch partial
-    term counts -> one vocabulary-sized groupby-sum -> top-V selected and
-    SORTED in a worker task, broadcast as one plasma object; (2) a second
-    scan maps each batch's token dictionary to membership with one
-    searchsorted and reduces per-doc counts via cumsum-diff. Exchange bytes
-    are O(vocabulary), never O(corpus). Output: (id, n_tokens, n_oov)."""
-    import ray
+def token_census(ds, text_col: str, token_pattern: str):
+    """-> Dataset(token, c): corpus term frequencies. Per-batch partial
+    counts (one bincount over the batch's token dictionary) -> one
+    vocabulary-sized groupby-sum; exchange bytes are O(distinct tokens)
+    pre-aggregated per batch, never O(corpus tokens). The shared census
+    behind OOV stats and the bigram-LM trainer (stages/lm.py)."""
     from ray.data.aggregate import Sum
-
-    _require_char_class(token_pattern, "oov_stats")
 
     def partial_tf(t: pa.Table) -> pa.Table:
         ti = arrow_token_index(t[text_col], token_pattern)
@@ -187,27 +178,48 @@ def oov_stats(ds, vocab_size: int, text_col: str = "text",
              "c": pa.array(counts[used], pa.int64())}
         )
 
-    census = (
+    return (
         ds.select_columns([text_col])
         .map_batches(partial_tf, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("c", alias_name="c"))
     )
 
-    # Distributed-exact top-V (the stages/lm.py pattern): census groupby
-    # blocks are key-disjoint, so each token's count in its block is FINAL —
-    # a per-block top-V followed by one merge over <= V * n_blocks
-    # candidates equals the global top-V; no task ever holds the full
-    # vocabulary census. count DESC, token ASC — tokens are lowercase ASCII
-    # so numpy code-point order == DuckDB binary varchar order.
-    @ray.remote
-    def block_top(b: pa.Table):
-        if b.num_rows == 0:
-            return np.empty(0, dtype="<U1"), np.empty(0, np.int64)
-        tok = np.asarray(b["token"].to_pylist(), dtype=str)
-        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((tok, -c))[:vocab_size]
-        return tok[order], c[order]
+
+@ray.remote
+def census_block_top(block: pa.Table, vocab_size: int):
+    """Per-census-block top-V candidates + block token total. Census
+    groupby blocks are KEY-DISJOINT, so each token's count here is its
+    final corpus count — per-block top-V then one merge over
+    <= V * n_blocks candidates equals the global top-V; no task ever holds
+    the full vocabulary census. Tie-break: count DESC, token ASC — tokens
+    are lowercase ASCII so numpy code-point order == DuckDB binary varchar
+    order (the exactness contract both oracle-gated paths rely on)."""
+    if block.num_rows == 0:
+        return np.empty(0, dtype="<U1"), np.empty(0, np.int64), 0
+    tok = np.asarray(block["token"].to_pylist(), dtype=str)
+    c = block["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((tok, -c))[:vocab_size]
+    return tok[order], c[order], int(c.sum())
+
+
+def oov_stats(ds, vocab_size: int, text_col: str = "text",
+              id_col: str = "doc_id",
+              token_pattern: str = r"[a-z0-9_]+"):
+    """Per-doc out-of-vocabulary stats against the corpus top-`vocab_size`
+    tokens by term frequency (ties broken by token ascending — a total
+    order, so the V-boundary is deterministic on both engine sides).
+
+    Two-phase small-side-broadcast plan: (1) token_census -> distributed-
+    exact top-V (census_block_top per block, one candidate merge), SORTED
+    and broadcast as one plasma object; (2) a second scan maps each batch's
+    token dictionary to membership with one searchsorted and reduces
+    per-doc counts via cumsum-diff. Exchange bytes are O(vocabulary),
+    never O(corpus). Output: (id, n_tokens, n_oov)."""
+    import ray
+
+    _require_char_class(token_pattern, "oov_stats")
+    census = token_census(ds, text_col, token_pattern)
 
     @ray.remote
     def top_v(*parts):
@@ -221,7 +233,8 @@ def oov_stats(ds, vocab_size: int, text_col: str = "text",
         return np.sort(tok[order[:vocab_size]])
 
     vocab_ref = top_v.remote(
-        *[block_top.remote(b) for b in census.to_arrow_refs()]
+        *[census_block_top.remote(b, vocab_size)
+          for b in census.to_arrow_refs()]
     )
 
     def per_doc(t: pa.Table) -> pa.Table:
@@ -230,11 +243,9 @@ def oov_stats(ds, vocab_size: int, text_col: str = "text",
         assert ti is not None
         indices, offsets, dictionary = ti
         dic = np.asarray(dictionary, dtype=str)
-        if len(dic) and len(vocab):
-            i = np.minimum(np.searchsorted(vocab, dic), len(vocab) - 1)
-            known = vocab[i] == dic
-        else:
-            known = np.zeros(len(dic), dtype=bool)
+        from lsh_apg_ray.hashing import sorted_member
+
+        known = sorted_member(vocab, dic)
         oov_flat = ~known[indices] if len(indices) else np.empty(0, bool)
         cs = np.zeros(len(oov_flat) + 1, np.int64)
         np.cumsum(oov_flat, out=cs[1:])

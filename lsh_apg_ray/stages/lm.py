@@ -41,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from lsh_apg_ray.hashing import arrow_token_index
+from lsh_apg_ray.hashing import arrow_token_index, sorted_member
 from lsh_apg_ray.stages.curation import _require_char_class
 
 _UNK = "<unk>"
@@ -58,7 +58,7 @@ def _mapped_ids(t: pa.Table, text_col: str, token_pattern: str,
     v = len(vocab)
     if len(dic) and v:
         pos = np.minimum(np.searchsorted(vocab, dic), v - 1)
-        dicmap = np.where(vocab[pos] == dic, pos, v).astype(np.int64)
+        dicmap = np.where(sorted_member(vocab, dic), pos, v).astype(np.int64)
     else:
         dicmap = np.full(len(dic), v, np.int64)
     ids = dicmap[indices] if len(indices) else np.empty(0, np.int64)
@@ -92,19 +92,6 @@ def _per_doc_bigram_sums(vals: np.ndarray, valid: np.ndarray,
     e = np.minimum(e, len(flat))
     s = np.minimum(s, len(flat))
     return cs[e] - cs[s]
-
-
-@ray.remote
-def _block_top(block: pa.Table, vocab_size: int):
-    """Per-census-block top-V candidates + block token total. Blocks of a
-    groupby are key-disjoint, so each token's count here is its FINAL
-    corpus count — per-block top-V then merge is exact."""
-    if block.num_rows == 0:
-        return np.empty(0, dtype="<U1"), np.empty(0, np.int64), 0
-    tok = np.asarray(block["token"].to_pylist(), dtype=str)
-    c = block["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((tok, -c))[:vocab_size]
-    return tok[order], c[order], int(c.sum())
 
 
 @ray.remote
@@ -146,32 +133,17 @@ def _assemble_model(vocab_part, *bi_blocks):
 
 def train_bigram_lm(ds, vocab_size: int, text_col: str = "text",
                     token_pattern: str = r"[a-z0-9_]+"):
-    """-> ObjectRef[(vocab, c1, bk, bc, N)] — the broadcastable model."""
+    """-> ObjectRef[(vocab, c1, bk, bc, N)] — the broadcastable model.
+    Census + distributed-exact top-V are the shared curation helpers
+    (token_census / census_block_top — one exactness contract, one home)."""
     from ray.data.aggregate import Sum
 
+    from lsh_apg_ray.stages.curation import census_block_top, token_census
+
     _require_char_class(token_pattern, "train_bigram_lm")
-
-    def partial_tf(t: pa.Table) -> pa.Table:
-        ti = arrow_token_index(t[text_col], token_pattern)
-        assert ti is not None
-        indices, _, dictionary = ti
-        if len(indices) == 0:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        counts = np.bincount(indices, minlength=len(dictionary))
-        used = np.flatnonzero(counts)
-        return pa.table(
-            {"token": pa.array([dictionary[i] for i in used], pa.string()),
-             "c": pa.array(counts[used], pa.int64())}
-        )
-
-    census = (
-        ds.select_columns([text_col])
-        .map_batches(partial_tf, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="c"))
-    )
-    tops = [_block_top.remote(b, vocab_size) for b in census.to_arrow_refs()]
+    census = token_census(ds, text_col, token_pattern)
+    tops = [census_block_top.remote(b, vocab_size)
+            for b in census.to_arrow_refs()]
     vocab_ref = _merge_vocab.remote(vocab_size, *tops)
     vocab, _, _ = ray.get(vocab_ref)  # tiny: V tokens; needed by scan 2
     v = len(vocab)

@@ -370,14 +370,21 @@ def cohort_retention(events, ts_col: str = "ts", user_col: str = "user_id",
     week_us = int(week_s) * 1_000_000
     npart = np.uint64(num_partitions)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        week = _epoch_us(t[ts_col]) // week_us
+    def _dedupe_user_week(uid: np.ndarray, week: np.ndarray):
+        """Distinct sorted (user, week) pairs. Called per BATCH in pairs()
+        (shrinks the exchange) and again per PARTITION in cells() — the
+        batch-level pass dedupes only within a batch, so the partition pass
+        must re-dedupe across batches before deriving cohorts."""
         order = np.lexsort((week, uid))
         u_s, w_s = uid[order], week[order]
         keep = np.ones(len(u_s), bool)
         keep[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
-        u_k, w_k = u_s[keep], w_s[keep]
+        return u_s[keep], w_s[keep]
+
+    def pairs(t: pa.Table) -> pa.Table:
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        week = _epoch_us(t[ts_col]) // week_us
+        u_k, w_k = _dedupe_user_week(uid, week)
         part = (mix64(u_k.view(np.uint64)) % npart).astype(np.int64)
         return pa.table(
             {
@@ -396,11 +403,7 @@ def cohort_retention(events, ts_col: str = "ts", user_col: str = "user_id",
             )
         uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         week = g["week"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((week, uid))
-        u_s, w_s = uid[order], week[order]
-        keep = np.ones(len(u_s), bool)
-        keep[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
-        u_k, w_k = u_s[keep], w_s[keep]
+        u_k, w_k = _dedupe_user_week(uid, week)
         # users are contiguous and week-ascending: cohort = run's first week
         starts = np.ones(len(u_k), bool)
         starts[1:] = u_k[1:] != u_k[:-1]
