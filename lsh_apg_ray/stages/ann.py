@@ -649,13 +649,10 @@ class E2LSHTables:
         # values with random integer weights instead of a polynomial fold
         self.weights = rng.integers(1, 1 << 30, size=(L, K)).astype(np.uint64)
 
-    def keys(self, X: np.ndarray) -> np.ndarray:
-        """(n, dim) -> (n, L) int64 bucket keys."""
+    def _fold(self, Hk: np.ndarray) -> np.ndarray:
+        """(n, L, K) uint64 per-coordinate hashes -> (n, L) int64 keys."""
         from lsh_apg_ray.hashing import mix64
 
-        H = np.floor((X @ self.A.T + self.B) / self.W).astype(np.int64)
-        n = len(X)
-        Hk = H.reshape(n, self.L, self.K).view(np.uint64)
         if self.key_mode == "weighted":
             key = (Hk * self.weights[None, :, :]).sum(axis=2, dtype=np.uint64)
             return mix64(key).view(np.int64)
@@ -664,6 +661,73 @@ class E2LSHTables:
         for j in range(1, self.K):
             key = (key * g) ^ Hk[:, :, j]
         return mix64(key).view(np.int64)
+
+    def keys(self, X: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, L) int64 bucket keys."""
+        H = np.floor((X @ self.A.T + self.B) / self.W).astype(np.int64)
+        n = len(X)
+        return self._fold(H.reshape(n, self.L, self.K).view(np.uint64))
+
+    def probe_keys(self, X: np.ndarray, T: int) -> np.ndarray:
+        """Multi-probe key sequences (Lv et al., VLDB'07 "Multi-Probe LSH"):
+        (n, dim) -> (n, L, T) int64 keys. keys[:, :, 0] is the base bucket
+        (identical to `keys()`); columns 1..T-1 are the T-1 best perturbed
+        buckets per (query, table), generated by the paper's min-heap over
+        perturbation sets scored by squared boundary distance — the query's
+        nearest non-home buckets, letting FEWER tables reach the same
+        recall (the operator's point: index memory ~ L).
+
+        Query-side only (n = #queries, small): the per-(query, table) heap
+        is a driver-side loop; the data side still hashes with `keys()` and
+        the probe stage stays fully vectorized."""
+        import heapq
+
+        n = len(X)
+        L, K, W = self.L, self.K, self.W
+        raw = (X @ self.A.T + self.B) / W
+        H = np.floor(raw).astype(np.int64).reshape(n, L, K)
+        frac = raw.reshape(n, L, K) - H  # in [0, 1): position inside the cell
+        dH = np.zeros((n, L, T, K), np.int64)
+        coords = np.concatenate([np.arange(K), np.arange(K)])
+        deltas = np.concatenate([np.full(K, -1, np.int64), np.full(K, 1, np.int64)])
+        for i in range(n):
+            for l in range(L):
+                f = frac[i, l]
+                # squared distance from the query to the slab boundary the
+                # perturbation crosses: delta=-1 crosses the lower boundary
+                # (distance f*W), delta=+1 the upper ((1-f)*W)
+                scores = np.concatenate([(f * W) ** 2, ((1.0 - f) * W) ** 2])
+                order = np.argsort(scores, kind="stable")
+                v = scores[order]
+                c = coords[order]
+                d = deltas[order]
+                # heap over perturbation sets (sorted-slot subsets); "shift"
+                # and "expand" enumerate sets in nondecreasing score order
+                heap = [(v[0], (0,))]
+                emitted = 0
+                seen = set()
+                while heap and emitted < T - 1:
+                    s, st = heapq.heappop(heap)
+                    if st in seen:
+                        continue
+                    seen.add(st)
+                    last = st[-1]
+                    if last + 1 < 2 * K:
+                        heapq.heappush(
+                            heap, (s - v[last] + v[last + 1], st[:-1] + (last + 1,))
+                        )
+                        heapq.heappush(heap, (s + v[last + 1], st + (last + 1,)))
+                    # valid = no coordinate perturbed twice
+                    cc = c[list(st)]
+                    if len(np.unique(cc)) != len(cc):
+                        continue
+                    emitted += 1
+                    for slot in st:
+                        dH[i, l, emitted, c[slot]] += d[slot]
+        Hp = H[:, :, None, :] + dH  # (n, L, T, K)
+        flat = Hp.transpose(0, 2, 1, 3).reshape(n * T, L, K)
+        keys = self._fold(flat.view(np.uint64))  # (n*T, L)
+        return keys.reshape(n, T, L).transpose(0, 2, 1)
 
 
 _E2LSH_CACHE: dict = {}
@@ -696,6 +760,7 @@ def e2lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_expand: bool = True,
+    multiprobe_t: int = 1,
 ):
     """LSH-bucketed approximate kNN (squared-L2, USE_SQRDIST parity with
     def.h:3): probe the L tables with each query's keys, exact-rerank only
@@ -712,10 +777,21 @@ def e2lsh_knn(
 
     Query keys are broadcast; each batch emits (query_id, candidate distance)
     partial top-k for its co-hashed rows; a final groupby(query_id) merge
-    yields global top-k. Returns (query_id, neighbor_id, rank, dist)."""
+    yields global top-k. Returns (query_id, neighbor_id, rank, dist).
+
+    multiprobe_t > 1 probes the T best perturbed buckets per (query, table)
+    in addition to the home bucket (Lv et al. multi-probe LSH — see
+    E2LSHTables.probe_keys): same candidate-union + exact-rerank dataflow,
+    just T keys per table instead of one, so recall at a given L rises
+    without growing the index. The bucket-miss expansion pad applies to the
+    HOME key only (perturbed probes are allowed to miss)."""
     q = np.asarray(query_matrix, dtype=np.float64)
     tables = get_e2lsh_tables(q.shape[1], L=L, K=K, W=W, seed=seed)
-    qkeys = tables.keys(q)  # (Q, L)
+    T = max(1, int(multiprobe_t))
+    if T > 1:
+        qkeys = tables.probe_keys(q, T)  # (Q, L, T)
+    else:
+        qkeys = tables.keys(q)[:, :, None]  # (Q, L, 1)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, qkeys))
     params = dict(L=L, K=K, W=W, seed=seed)
 
@@ -747,13 +823,18 @@ def e2lsh_knn(
         # (query, row) pair flattening in numpy — no per-query Python loop.
         qr_parts, rw_parts = [], []
         arange_q = np.arange(nq, dtype=np.int64)
+        nt = qk.shape[2]  # probes per (query, table); 1 = classic single-probe
+        qidx_flat = np.repeat(arange_q, nt)
+        is_home = (np.arange(nq * nt, dtype=np.int64) % nt) == 0
         for l in range(tb.L):
             order_l = np.argsort(xkeys[:, l], kind="stable")
             sk = xkeys[order_l, l]
-            lo = np.searchsorted(sk, qk[:, l], "left").astype(np.int64)
-            hi = np.searchsorted(sk, qk[:, l], "right").astype(np.int64)
+            flat = qk[:, l, :].ravel()  # (Q*T,) — home key first per query
+            lo = np.searchsorted(sk, flat, "left").astype(np.int64)
+            hi = np.searchsorted(sk, flat, "right").astype(np.int64)
             if want:
-                narrow = (hi - lo) < want
+                # expansion pad applies to the HOME probe only
+                narrow = ((hi - lo) < want) & is_home
                 if narrow.any():
                     pad = np.where(narrow, (want - (hi - lo) + 1) // 2, 0)
                     lo = np.maximum(0, lo - pad)
@@ -764,7 +845,7 @@ def e2lsh_knn(
                 continue
             base = np.cumsum(lens) - lens
             offs = np.arange(tot, dtype=np.int64) - np.repeat(base, lens)
-            qr_parts.append(np.repeat(arange_q, lens))
+            qr_parts.append(np.repeat(qidx_flat, lens))
             rw_parts.append(order_l[np.repeat(lo, lens) + offs])
         if not qr_parts:
             return empty

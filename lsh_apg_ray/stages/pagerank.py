@@ -1,0 +1,341 @@
+"""Distributed PageRank in exact int64 fixed-point arithmetic.
+
+The iterative-graph-analytics tier (beyond the reference's one iterative op,
+connected components — stages/cc.py): rank mass propagates along directed
+edges for a fixed number of rounds. The recurrence is defined ENTIRELY over
+integers so that any two correct executions — different batch splits,
+different partition counts, a DuckDB replay — produce bit-identical ranks
+(int64 sums are order-free; no float summation-order hazard ever reaches
+the value-hash gate):
+
+    n        = |nodes|,  SCALE = 10^12
+    rank_0[v]    = SCALE // n
+    contrib_t[v] = sum over in-edges (u, v) of rank_t[u] // outdeg[u]
+    dangling_t   = sum of rank_t[u] over u with outdeg[u] = 0
+    rank_{t+1}[v] = ((den-num) * SCALE) // (den * n)
+                    + (num * (contrib_t[v] + dangling_t // n)) // den
+
+with damping num/den = 85/100. This is standard damped PageRank with
+uniform dangling redistribution, quantized at 1e-12 — the floor losses are
+deterministic and identical on every engine that follows the recurrence.
+
+Two dataflows, selected by node count (the repo-wide broadcast/join dual):
+
+  - broadcast (nodes <= broadcast_max_nodes): the (sorted nodes, outdeg,
+    rank) vectors live in ONE plasma object re-put per iteration; each edge
+    batch computes per-batch partial (dst, sum) tables, a groupby-sum
+    reduces them, and the driver folds the <= n-row contrib table into the
+    next rank vector. Driver state is O(nodes), never O(edges).
+  - join (scale path, pytest-forced): ranks and degrees stay Datasets;
+    each iteration is edges >< rank_rows (hash_join on src) -> per-batch
+    rank//outdeg partial sums -> groupby(dst) sum -> nodes left-join
+    contrib. Nothing is ever resident in one object; bytes per iteration
+    are O(edges + nodes) through the partitioned exchange.
+
+Edges are exact-deduplicated first (multi-edges must not double-count):
+per-batch lexsort dedupe, then one coarse hash-partition exchange with a
+per-partition global dedupe — a (src, dst) pair lives in exactly one
+partition, so the pass is exact (the events_window_distinct discipline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ray.data.aggregate import Sum
+
+SCALE = 10**12
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def _dedupe_batch(t: pa.Table, src: str, dst: str, parts: int) -> pa.Table:
+    from lsh_apg_ray.hashing import mix64
+
+    s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(s) == 0:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "__epart": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    keep = np.ones(len(s), bool)
+    keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    s, d = s[keep], d[keep]
+    part = (
+        mix64(s.view(np.uint64) ^ mix64(d.view(np.uint64))) % np.uint64(parts)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "__epart": pa.array(part, pa.int64()),
+        }
+    )
+
+
+def _dedupe_part(g: pa.Table) -> pa.Table:
+    s = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    keep = np.ones(len(s), bool)
+    if len(s):
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    return pa.table(
+        {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
+    )
+
+
+def distinct_edges(edges, src: str = "src", dst: str = "dst", parts: int = 16):
+    """Exact global (src, dst) dedupe: per-batch dedupe, one coarse
+    hash-partition exchange, per-partition dedupe. Returns a materialized
+    Dataset with columns (src, dst) — materialized because every PageRank
+    iteration rescans it (the scan is the per-iteration input, exactly the
+    thing a 100-TB run would checkpoint to Parquet once)."""
+    ds = (
+        edges.map_batches(
+            lambda t: _dedupe_batch(t, src, dst, parts), batch_format="pyarrow"
+        )
+        .groupby("__epart")
+        .map_groups(_dedupe_part, batch_format="pyarrow")
+    )
+    return ds.materialize()
+
+
+@ray.remote
+def _pack_nodes(*blocks):
+    """Sorted node vector + aligned outdeg vector, assembled in a worker
+    task (rows never pass through the driver)."""
+    ns, ds = [], []
+    for b in blocks:
+        if b.num_rows:
+            ns.append(b["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+            ds.append(b["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64))
+    n = np.concatenate(ns) if ns else np.empty(0, np.int64)
+    d = np.concatenate(ds) if ds else np.empty(0, np.int64)
+    order = np.argsort(n)
+    return n[order], d[order]
+
+
+def _node_table(edges):
+    """(node, outdeg) Dataset: outdeg from a partial-aggregated groupby over
+    src; dst-only nodes join in with outdeg 0."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sc = np.unique(s, return_counts=True)
+        du = np.unique(d)
+        node = np.concatenate([su, du])
+        deg = np.concatenate([sc.astype(np.int64), np.zeros(len(du), np.int64)])
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "outdeg": pa.array(deg, pa.int64())}
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+        .map_batches(
+            lambda df: df.assign(outdeg=df["outdeg"].astype("int64")),
+            batch_format="pandas",
+        )
+    )
+
+
+def _rank_next(base: int, contrib: np.ndarray, share_d: int) -> np.ndarray:
+    # object-dtype arithmetic is NOT needed: contrib <= SCALE (total mass),
+    # so DAMP_NUM * (contrib + share_d) < 9e18 fits int64 exactly
+    return base + (DAMP_NUM * (contrib + share_d)) // DAMP_DEN
+
+
+def pagerank(
+    edges,
+    *,
+    iters: int = 5,
+    broadcast_max_nodes: int = 5_000_000,
+    join_partitions: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+):
+    """Ranks after `iters` rounds of the integer recurrence above.
+
+    Returns a pyarrow Table (node:int64, rank_scaled:int64) sorted by node —
+    the rank table is O(nodes); callers at true scale would take the join
+    path's Dataset form instead (see `pagerank_ds`)."""
+    e = distinct_edges(edges, src=src, dst=dst)
+    nodes_ds = _node_table(e).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank_scaled": pa.array([], pa.int64())}
+        )
+    if n_nodes <= broadcast_max_nodes:
+        return _pagerank_broadcast(e, nodes_ds, n_nodes, iters)
+    return _pagerank_join(e, nodes_ds, n_nodes, iters,
+                          join_partitions=join_partitions)
+
+
+def _pagerank_broadcast(e, nodes_ds, n_nodes: int, iters: int) -> pa.Table:
+    node_vec, outdeg = ray.get(
+        _pack_nodes.remote(*nodes_ds.to_arrow_refs())
+    )
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n_nodes)
+    rank = np.full(n_nodes, SCALE // n_nodes, np.int64)
+    dangling_mask = outdeg == 0
+    safe_deg = np.maximum(outdeg, 1)
+
+    for _ in range(iters):
+        state_ref = ray.put((node_vec, rank // safe_deg))
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            nv, val = ray.get(state_ref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = val[np.searchsorted(nv, s)]
+            du, inv = np.unique(d, return_inverse=True)
+            sums = np.zeros(len(du), np.int64)
+            np.add.at(sums, inv, v)
+            return pa.table(
+                {"dst": pa.array(du, pa.int64()), "c": pa.array(sums, pa.int64())}
+            )
+
+        contrib_df = (
+            e.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()  # <= n_nodes rows — bounded by the broadcast cap
+        )
+        contrib = np.zeros(n_nodes, np.int64)
+        idx = np.searchsorted(node_vec, contrib_df["dst"].to_numpy().astype(np.int64))
+        contrib[idx] = contrib_df["c"].to_numpy().astype(np.int64)
+        share_d = int(rank[dangling_mask].sum()) // n_nodes
+        rank = _rank_next(base, contrib, share_d)
+
+    return pa.table(
+        {
+            "node": pa.array(node_vec, pa.int64()),
+            "rank_scaled": pa.array(rank, pa.int64()),
+        }
+    )
+
+
+def _pagerank_join(e, nodes_ds, n_nodes: int, iters: int, *,
+                   join_partitions: int):
+    """Scale dataflow: ranks stay a Dataset end-to-end. Per iteration:
+    edges >< rank rows on src (partitioned hash join), per-batch
+    rank//outdeg partial sums, groupby(dst) sum, nodes LEFT-join contrib.
+    The dangling sum is the only driver-held value (one int64)."""
+    import pandas as pd
+
+    from lsh_apg_ray.joins import hash_join
+
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n_nodes)
+    r0 = SCALE // n_nodes
+
+    i64 = pa.int64()
+    edge_schema = pa.schema([("src", i64), ("dst", i64)])
+    rank_schema = pa.schema([("node", i64), ("outdeg", i64), ("rank", i64)])
+    contrib_schema = pa.schema([("node", i64), ("c", i64)])
+    nd_schema = pa.schema([("node", i64), ("outdeg", i64)])
+
+    # ranks: (node, outdeg, rank) — carrying outdeg with the rank row saves
+    # a second join in every iteration
+    ranks = nodes_ds.map_batches(
+        lambda df: df.assign(rank=np.full(len(df), r0, np.int64)),
+        batch_format="pandas",
+    ).materialize()
+
+    nodes_only = nodes_ds.select_columns(["node"]).materialize()
+
+    for _ in range(iters):
+        dangling = ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {"dm": [int(df.loc[df["outdeg"] == 0, "rank"].sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("dm")
+        dangling = int(dangling or 0)
+        share_d = dangling // n_nodes
+
+        joined = hash_join(
+            e,
+            ranks,
+            left_on="src",
+            right_on="node",
+            num_partitions=join_partitions,
+            left_schema=edge_schema,
+            right_schema=rank_schema,
+        )
+
+        def val_partial(t: pa.Table) -> pa.Table:
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            od = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = r // np.maximum(od, 1)
+            du, inv = np.unique(d, return_inverse=True)
+            sums = np.zeros(len(du), np.int64)
+            np.add.at(sums, inv, v)
+            return pa.table(
+                {"node": pa.array(du, pa.int64()), "c": pa.array(sums, pa.int64())}
+            )
+
+        contrib = (
+            joined.map_batches(val_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(
+                lambda df: df.assign(c=df["c"].astype("int64")),
+                batch_format="pandas",
+            )
+        )
+
+        withc = hash_join(
+            ranks.select_columns(["node", "outdeg"]),
+            contrib,
+            left_on="node",
+            num_partitions=join_partitions,
+            how="left",
+            left_schema=nd_schema,
+            right_schema=contrib_schema,
+        )
+
+        def fold(df):
+            c = df["c"].fillna(0).astype(np.int64).to_numpy()
+            return pd.DataFrame(
+                {
+                    "node": df["node"].astype(np.int64),
+                    "outdeg": df["outdeg"].astype(np.int64),
+                    "rank": _rank_next(base, c, share_d),
+                }
+            )
+
+        ranks = withc.map_batches(fold, batch_format="pandas").materialize()
+
+    from lsh_apg_ray.arrowutil import rename_ds
+
+    return rename_ds(ranks.select_columns(["node", "rank"]),
+                     {"rank": "rank_scaled"})
+
+
+def pagerank_table(edges, **kw) -> pa.Table:
+    """pagerank() with the join-path Dataset collapsed to a sorted pyarrow
+    Table (test/query surface — result is O(nodes) rows)."""
+    out = pagerank(edges, **kw)
+    if isinstance(out, pa.Table):
+        return out.sort_by("node")
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "node": pa.array(df["node"].astype(np.int64), pa.int64()),
+            "rank_scaled": pa.array(df["rank_scaled"].astype(np.int64), pa.int64()),
+        }
+    )

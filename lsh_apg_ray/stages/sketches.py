@@ -175,3 +175,112 @@ def heavy_hitters(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def kmv_flip(h: np.ndarray) -> np.ndarray:
+    """u64 hash -> int64 whose SIGNED order equals the unsigned order
+    (sign-flip trick). Both the engine's register ranking and the DuckDB
+    oracle's ORDER BY then agree on plain int64 comparison."""
+    return (h ^ _SIGN).view(np.int64)
+
+
+def kmv_estimate(hkeys_sorted: np.ndarray, k: int) -> float:
+    """KMV distinct-count estimator (Bar-Yossef et al., RANDOM'02; the
+    unbiased form from Beyer et al., SIGMOD'07): with h_(k) the k-th
+    smallest distinct hash mapped into [0, 1), D ~= (k - 1) / h_(k).
+    Deterministic given the registers; gated in pytest (float), while the
+    integer register table itself is the driver-gated surface."""
+    if len(hkeys_sorted) < k:
+        return float(len(hkeys_sorted))  # saw fewer distincts than k: exact
+    u = (hkeys_sorted[k - 1].astype(np.int64).view(np.uint64) ^ _SIGN)
+    frac = (float(u) + 1.0) / float(1 << 64)
+    return (k - 1) / frac
+
+
+def kmv_distinct(ds, cfg: DedupConfig, k: int = 16,
+                 group_col: str = "lang", text_col: str = "text",
+                 concurrency=None):
+    """Per-group distinct-token KMV sketch: the k smallest DISTINCT 64-bit
+    token hashes per group — the mergeable bounded-register alternative to
+    an exact vocabulary census (token_doc_freq shuffles every unique token;
+    this moves <= k rows per (group, block) no matter the vocabulary size).
+
+    Per-batch: one vectorized tokenize, (group, token-hash) dedupe, per-group
+    k smallest; merge = groupby(group) -> distinct-sort -> first k. Returns
+    (group, rank 1..k, hkey) with hkey sign-flipped so int64 order == u64
+    order (kmv_flip). `kmv_estimate` turns a group's register vector into
+    the distinct-count estimate."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.hashing import TokenHasher
+
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "hkey": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], pattern)
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        de = pc.dictionary_encode(grp)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        v = np.int64(len(dictionary))
+        pair = codes[doc_row] * v + indices  # (group, token) occurrence
+        upair = np.unique(pair)
+        g_idx = (upair // v).astype(np.int64)
+        t_idx = (upair % v).astype(np.int64)
+        hk = kmv_flip(hasher.token_hashes(dictionary))[t_idx]
+        # per-group k smallest (groups arrive sorted from np.unique)
+        order = np.lexsort((hk, g_idx))
+        gs, hs = g_idx[order], hk[order]
+        newrun = np.empty(len(gs), bool)
+        newrun[0] = True
+        newrun[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(newrun)
+        rank = np.arange(len(gs)) - starts[np.cumsum(newrun) - 1]
+        keep = rank < k
+        return pa.table(
+            {
+                group_col: de.dictionary.take(pa.array(gs[keep], pa.int64())),
+                "hkey": pa.array(hs[keep], pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        grp = g[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        hk = np.unique(g["hkey"].to_numpy(zero_copy_only=False))[:k]
+        name = grp[0].as_py() if len(grp) else ""
+        return pa.table(
+            {
+                group_col: pa.array([name] * len(hk), pa.string()),
+                "rank": pa.array(np.arange(1, len(hk) + 1), pa.int64()),
+                "hkey": pa.array(hk, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -846,3 +846,388 @@ def strip_dup_spans(ds, cfg: DedupConfig, k: int = 5,
         )
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# inverted index build + n-gram diversity census
+# ---------------------------------------------------------------------------
+
+def inverted_index(ds, cfg: DedupConfig, text_col: str = "text",
+                   id_col: str = "doc_id", join_partitions: int = 8):
+    """Build an inverted index: one row per (token, doc) posting with term
+    frequency, first position (1-based, for phrase/proximity scoring), the
+    document's token length `dl` (the BM25 length-normalization statistic)
+    and the token's global document frequency `df` (the idf statistic) — a
+    self-contained retrieval index.
+
+    Dataflow: ONE tokenize scan emits exact per-doc postings (a document
+    lives in exactly one input row, so per-batch postings are final — no
+    combiner shuffle); the df census is a partial-aggregated groupby over
+    the postings; df rides back onto postings through a partitioned hash
+    join on token (scale-safe by construction — no broadcast of the
+    vocabulary, which at corpus scale is NOT small). At 100-TB scale the
+    postings table is the index: write it partitioned by token-hash range
+    and each range is an independently servable shard.
+    """
+    from ray.data.aggregate import Count
+
+    from lsh_apg_ray.joins import hash_join
+
+    pattern = cfg.token_pattern
+
+    def postings(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], pattern)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        n = t.num_rows
+        lens = np.diff(offsets)
+        doc_row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.arange(len(indices), dtype=np.int64) - np.repeat(
+            offsets[:-1], lens
+        )
+        v = np.int64(len(dictionary))
+        pair = doc_row * v + indices
+        order = np.argsort(pair, kind="stable")  # stable: first occurrence
+        ps, pp = pair[order], pos[order]         # stays first within a run
+        newrun = np.empty(len(ps), bool)
+        if len(ps):
+            newrun[0] = True
+            newrun[1:] = ps[1:] != ps[:-1]
+        starts = np.flatnonzero(newrun)
+        tf = np.diff(np.append(starts, len(ps)))
+        upair = ps[starts]
+        tok_idx = (upair % v).astype(np.int64)
+        dict_arr = pa.array(dictionary, pa.string())
+        drow = (upair // v).astype(np.int64)
+        return pa.table(
+            {
+                "token": dict_arr.take(pa.array(tok_idx, pa.int64())),
+                "doc_id": pa.array(ids[drow], pa.int64()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+                "first_pos": pa.array(pp[starts] + 1, pa.int64()),
+                "dl": pa.array(lens[drow].astype(np.int64), pa.int64()),
+            }
+        )
+
+    post = ds.map_batches(postings, batch_format="pyarrow").materialize()
+    df = (
+        post.select_columns(["token"])
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda d: d.assign(df=d["df"].astype("int64")), batch_format="pandas"
+        )
+    )
+    i64, s = pa.int64(), pa.string()
+    return hash_join(
+        post,
+        df,
+        left_on="token",
+        num_partitions=join_partitions,
+        left_schema=pa.schema(
+            [("token", s), ("doc_id", i64), ("tf", i64), ("first_pos", i64),
+             ("dl", i64)]
+        ),
+        right_schema=pa.schema([("token", s), ("df", i64)]),
+    )
+
+
+def bm25_topk(ds, cfg: DedupConfig, n_terms: int = 5, topk: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              join_partitions: int = 8):
+    """BM25 retrieval over the inverted index: score every posting of the
+    n_terms RAREST tokens (df asc, token asc — the discriminative head a
+    real query hits) and return each term's top-k documents.
+
+    Scoring uses the rational-idf BM25 form
+
+        score = ((N - df + 0.5) / (df + 0.5))
+              * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+
+    — every operation is IEEE-double +,-,*,/ evaluated in a FIXED written
+    order with no transcendentals, so numpy and DuckDB produce bit-identical
+    doubles and the driver value-hash gates the float scores exactly (the
+    log-idf variant is a monotone reweighting of the same statistics; the
+    no-log form keeps the cross-engine contract exact). Dataflow: postings
+    from inverted_index (partitioned join, no vocab broadcast); the term
+    list is a bounded partial-top-k merge; per-batch score + per-term
+    partial top-k, one tiny final merge — the K1/K2 discipline."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    post = inverted_index(ds, cfg, text_col=text_col, id_col=id_col,
+                          join_partitions=join_partitions).materialize()
+
+    # corpus stats (N, total token volume) from one column-pruned scan
+    def vol(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], cfg.token_pattern)
+        lens = np.diff(ti[1]) if ti is not None else np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "tot": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(vol, batch_format="pyarrow")
+        .sum(["n_docs", "tot"])
+    )
+    n_docs, tot = int(stats["sum(n_docs)"]), int(stats["sum(tot)"])
+    avgdl = np.float64(tot) / np.float64(n_docs)
+
+    # rarest-term selection: per-block distinct (token, df) partial top-n,
+    # one tiny global sort+limit (the token_doc_freq idiom)
+    def tok_df(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        toks = tok.to_numpy(zero_copy_only=False)
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((toks, dfs))
+        ts, ds_ = toks[order], dfs[order]
+        keep = np.ones(len(ts), bool)
+        if len(ts):
+            keep[1:] = ts[1:] != ts[:-1]
+        sel = np.flatnonzero(keep)[: n_terms]
+        return pa.table(
+            {
+                "token": pa.array(ts[sel], pa.string()),
+                "df": pa.array(ds_[sel], pa.int64()),
+            }
+        )
+
+    # each block's partial top-n can repeat a token another block also kept,
+    # so dedupe across partials BEFORE taking the global head (bounded:
+    # blocks x n_terms rows reach the driver)
+    qterms = (
+        post.map_batches(tok_df, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("token")
+        .sort_values(["df", "token"], kind="mergesort")
+        .head(n_terms)
+    )
+    terms = set(qterms["token"])
+
+    kk1 = np.float64(k1)
+    bb = np.float64(b)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        toks = tok.to_numpy(zero_copy_only=False)
+        m = np.isin(toks, list(terms))
+        if not m.any():
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)[m]
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)[m]
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)[m]
+        N = np.float64(n_docs)
+        # FIXED evaluation order — mirrored literally in the SQL oracle
+        idf = (N - dfv + 0.5) / (dfv + 0.5)
+        tfn = (tf * (kk1 + 1.0)) / (tf + kk1 * ((1.0 - bb) + bb * (dl / avgdl)))
+        score = idf * tfn
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        # per-batch per-term partial top-k by (score desc, doc_id)
+        order = np.lexsort((ids, -score, toks[m]))
+        ts = toks[m][order]
+        newrun = np.empty(len(ts), bool)
+        newrun[0] = True
+        newrun[1:] = ts[1:] != ts[:-1]
+        starts = np.flatnonzero(newrun)
+        rank = np.arange(len(ts)) - starts[np.cumsum(newrun) - 1]
+        sel = order[rank < topk]
+        return pa.table(
+            {
+                "term": pa.array(toks[m][sel], pa.string()),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "score": pa.array(score[sel], pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(topk).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        post.map_batches(score_partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def ngram_diversity(ds, cfg: DedupConfig, k: int = 3,
+                    text_col: str = "text", lang_col: str = "lang",
+                    parts: int = 16):
+    """Per-language n-gram diversity census (the corpus-health report behind
+    type/token-ratio filtering): docs, token volume, k-gram volume, and the
+    EXACT count of distinct k-grams per language.
+
+    Identity contract: a k-gram is its 64-bit rolling-fold hash in the
+    engine while the oracle compares literal token strings — the value-hash
+    gate therefore also gates hash-based identity (the line_dedup /
+    decontam contract; collisions are bounded and would fail the gate).
+
+    Distinct counting never count-distincts raw rows: per-batch (lang,
+    gram) dedupe, ONE coarse exchange partitioned on the gram hash (a
+    (lang, gram) pair lives in exactly one partition), per-partition
+    dedupe + run-length count, then a per-lang sum — the
+    events_window_distinct discipline over an unbounded key space."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.hashing import arrow_token_hashes, batch_shingle_sets
+
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+
+    def volume(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], pattern)
+        lang = t[lang_col]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        n = t.num_rows
+        lens = (
+            np.diff(ti[1]) if ti is not None else np.zeros(n, np.int64)
+        )
+        tris = np.maximum(lens - (k - 1), 0)
+        import pyarrow.compute as pc
+
+        de = pc.dictionary_encode(lang)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.bincount(codes, minlength=len(de.dictionary))
+        tok = np.bincount(codes, weights=lens, minlength=len(de.dictionary))
+        tri = np.bincount(codes, weights=tris, minlength=len(de.dictionary))
+        return pa.table(
+            {
+                "lang": de.dictionary,
+                "n_docs": pa.array(nd.astype(np.int64), pa.int64()),
+                "total_tokens": pa.array(tok.astype(np.int64), pa.int64()),
+                "total_ngrams": pa.array(tri.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        lang = t[lang_col]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        tok = arrow_token_hashes(t[text_col], hasher, pattern)
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "gram": pa.array([], pa.int64()),
+                "__gpart": pa.array([], pa.int64()),
+            }
+        )
+        if tok is None:
+            return empty
+        flat_h, offsets = tok
+        sets = batch_shingle_sets(flat_h, offsets, k)
+        import pyarrow.compute as pc
+
+        de = pc.dictionary_encode(lang)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lg_parts, gr_parts = [], []
+        for i, s in enumerate(sets):
+            if len(s):
+                lg_parts.append(np.full(len(s), codes[i], np.int64))
+                gr_parts.append(s.view(np.int64))
+        if not lg_parts:
+            return empty
+        lg = np.concatenate(lg_parts)
+        gr = np.concatenate(gr_parts)
+        order = np.lexsort((gr, lg))
+        lg, gr = lg[order], gr[order]
+        keep = np.ones(len(lg), bool)
+        keep[1:] = (lg[1:] != lg[:-1]) | (gr[1:] != gr[:-1])
+        lg, gr = lg[keep], gr[keep]
+        names = de.dictionary.take(pa.array(lg, pa.int64()))
+        part = (mix64(gr.view(np.uint64)) % np.uint64(parts)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": names,
+                "gram": pa.array(gr, pa.int64()),
+                "__gpart": pa.array(part, pa.int64()),
+            }
+        )
+
+    def part_distinct(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = g["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        de = pc.dictionary_encode(lang)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gr = g["gram"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((gr, codes))
+        cs, gs = codes[order], gr[order]
+        keep = np.ones(len(cs), bool)
+        if len(cs):
+            keep[1:] = (cs[1:] != cs[:-1]) | (gs[1:] != gs[:-1])
+        cnt = np.bincount(cs[keep], minlength=len(de.dictionary))
+        used = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "lang": de.dictionary.take(pa.array(used, pa.int64())),
+                "distinct_ngrams": pa.array(cnt[used].astype(np.int64), pa.int64()),
+            }
+        )
+
+    vol = (
+        ds.map_batches(volume, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("total_ngrams", alias_name="total_ngrams"),
+        )
+        .to_pandas()  # one row per language — bounded small side
+    )
+    dis = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(part_distinct, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("distinct_ngrams", alias_name="distinct_ngrams"))
+        .to_pandas()
+    )
+    out = vol.merge(dis, on="lang", how="left")
+    out["distinct_ngrams"] = out["distinct_ngrams"].fillna(0)
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype(np.int64), pa.int64()),
+            "total_tokens": pa.array(
+                out["total_tokens"].astype(np.int64), pa.int64()
+            ),
+            "total_ngrams": pa.array(
+                out["total_ngrams"].astype(np.int64), pa.int64()
+            ),
+            "distinct_ngrams": pa.array(
+                out["distinct_ngrams"].astype(np.int64), pa.int64()
+            ),
+        }
+    )

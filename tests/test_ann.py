@@ -390,3 +390,68 @@ def test_ivfpq_knn_recall_and_batch_independence(emb_ds):
     assert a[["query_id", "neighbor_id", "dist"]].equals(
         b[["query_id", "neighbor_id", "dist"]]
     )
+
+
+def test_multiprobe_t1_bitcompat(emb_ds):
+    """multiprobe_t=1 must be bit-identical to the classic single-probe
+    path (same candidates, same distances, same merge order)."""
+    ds, X = emb_ds
+    qids = np.arange(6, dtype=np.int64)
+    a = (
+        e2lsh_knn(ds, qids, X[:6], k=5, L=8, K=4, W=8.0)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        e2lsh_knn(ds, qids, X[:6], k=5, L=8, K=4, W=8.0, multiprobe_t=1)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_multiprobe_probe_keys_structure():
+    """probe_keys: column 0 is the home key; every perturbed key differs
+    from home; sets are generated deterministically."""
+    t = E2LSHTables(dim=16, L=4, K=4, W=4.0, seed=3)
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((7, 16))
+    pk = t.probe_keys(X, T=6)
+    assert pk.shape == (7, 4, 6)
+    assert np.array_equal(pk[:, :, 0], t.keys(X))
+    # perturbed probes land in different buckets than home
+    for ti in range(1, 6):
+        assert np.all(pk[:, :, ti] != pk[:, :, 0])
+    pk2 = E2LSHTables(dim=16, L=4, K=4, W=4.0, seed=3).probe_keys(X, T=6)
+    assert np.array_equal(pk, pk2)
+
+
+def test_multiprobe_lifts_recall_at_fixed_L(emb_ds):
+    """The operator's reason to exist: at a fixed (small) table count and
+    with bucket-miss expansion OFF, probing T perturbed buckets must find
+    strictly more true neighbors than single-probe."""
+    ds, X = emb_ds
+    qids = np.arange(10, dtype=np.int64)
+    k = 5
+
+    def recall(out):
+        if "query_id" not in out.columns:  # zero candidates anywhere
+            return 0.0
+        hits = total = 0
+        for q in qids:
+            d = ((X - X[q]) ** 2).sum(axis=1)
+            d[q] = np.inf
+            want = set(np.argsort(d, kind="stable")[:k])
+            g = set(out[out.query_id == q]["neighbor_id"].tolist())
+            hits += len(g & want)
+            total += k
+        return hits / total
+
+    base = recall(
+        e2lsh_knn(ds, qids, X[:10], k=k, L=2, K=4, W=16.0,
+                  probe_expand=False).to_pandas()
+    )
+    multi = recall(
+        e2lsh_knn(ds, qids, X[:10], k=k, L=2, K=4, W=16.0,
+                  probe_expand=False, multiprobe_t=10).to_pandas()
+    )
+    assert multi > base, (base, multi)
+    assert multi >= 0.9, multi

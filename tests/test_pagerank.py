@@ -1,0 +1,103 @@
+"""PageRank (stages/pagerank.py): the integer recurrence must match a naive
+in-memory replay bit-for-bit, the broadcast and join dataflows must agree,
+multi-edges must not double-count, and dangling mass must be conserved."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.stages.pagerank import (
+    DAMP_DEN,
+    DAMP_NUM,
+    SCALE,
+    pagerank_table,
+)
+
+
+def naive_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Pure-Python replay of the documented recurrence (arbitrary-precision
+    ints, no numpy) — the semantic reference the distributed plans must hit."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        outdeg[s] += 1
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        dangling = sum(rank[v] for v in nodes if outdeg[v] == 0)
+        share = dangling // n
+        rank = {
+            v: base + (DAMP_NUM * (contrib[v] + share)) // DAMP_DEN
+            for v in nodes
+        }
+    return rank
+
+
+def _edges_ds(edges: list[tuple[int, int]], blocks: int = 3):
+    t = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], pa.int64()),
+            "dst": pa.array([d for _, d in edges], pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def _rank_map(tbl: pa.Table) -> dict[int, int]:
+    return dict(
+        zip(tbl["node"].to_pylist(), tbl["rank_scaled"].to_pylist())
+    )
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.default_rng(7)
+    # 60 nodes, ~300 directed edges incl. repeats (multi-edge dedup check)
+    # and guaranteed dangling sinks (nodes 50..59 never appear as src)
+    src = rng.integers(0, 50, 300)
+    dst = rng.integers(0, 60, 300)
+    edges = [(int(s), int(d)) for s, d in zip(src, dst) if s != d]
+    edges += edges[:40]  # explicit duplicates
+    return edges
+
+
+def test_matches_naive_replay(random_graph):
+    want = naive_pagerank(random_graph, iters=5)
+    got = _rank_map(pagerank_table(_edges_ds(random_graph), iters=5))
+    assert got == want
+
+
+def test_join_path_equals_broadcast(random_graph):
+    bc = _rank_map(pagerank_table(_edges_ds(random_graph), iters=3))
+    jn = _rank_map(
+        pagerank_table(
+            _edges_ds(random_graph), iters=3, broadcast_max_nodes=1,
+            join_partitions=3,
+        )
+    )
+    assert jn == bc
+
+
+def test_dangling_and_mass():
+    # pure chain into a sink: 0 -> 1 -> 2 (2 is dangling)
+    edges = [(0, 1), (1, 2)]
+    got = _rank_map(pagerank_table(_edges_ds(edges, blocks=1), iters=4))
+    want = naive_pagerank(edges, iters=4)
+    assert got == want
+    # total mass stays within floor loss of SCALE (never inflates)
+    assert sum(got.values()) <= SCALE
+    assert sum(got.values()) >= SCALE - 10 * len(got) * 5
+
+
+def test_batch_split_independence(random_graph):
+    a = _rank_map(pagerank_table(_edges_ds(random_graph, blocks=1), iters=2))
+    b = _rank_map(pagerank_table(_edges_ds(random_graph, blocks=7), iters=2))
+    assert a == b

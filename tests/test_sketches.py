@@ -5,6 +5,7 @@ import collections
 import re
 
 import numpy as np
+import pandas as pd
 import pytest
 import ray.data as rd
 
@@ -59,3 +60,73 @@ def test_heavy_hitters_raises_when_proof_fails(ray_session):
     ds = rd.from_items(docs).repartition(4)
     with pytest.raises(RuntimeError, match="exactness proof failed"):
         heavy_hitters(ds, k=5, budget=8)
+
+
+def test_kmv_registers_exact_and_split_independent(test_cfg):
+    """Registers must equal the k smallest distinct true token hashes per
+    group, regardless of how batches split the corpus."""
+    import ray.data as rd
+
+    from lsh_apg_ray.hashing import TokenHasher
+    from lsh_apg_ray.stages.sketches import kmv_distinct, kmv_flip
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    for i in range(120):
+        toks = [vocab[j] for j in rng.integers(0, 500, 30)]
+        rows.append({"lang": "en" if i % 3 else "fr", "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    k = 12
+    outs = []
+    for blocks in (1, 5):
+        out = (
+            kmv_distinct(rd.from_pandas(df).repartition(blocks), test_cfg, k=k)
+            .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    hasher = TokenHasher(test_cfg.token_pattern)
+    for lang in ("en", "fr"):
+        toks = set()
+        for t in df[df["lang"] == lang]["text"]:
+            toks |= set(t.split())
+        want = np.unique(kmv_flip(hasher.token_hashes(sorted(toks))))[:k]
+        got = outs[0][outs[0]["lang"] == lang]["hkey"].to_numpy()
+        assert np.array_equal(got, want)
+
+
+def test_kmv_estimate_accuracy(test_cfg):
+    """KMV estimate within ~3/sqrt(k) of the true distinct count."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.sketches import kmv_distinct, kmv_estimate
+
+    rng = np.random.default_rng(4)
+    n_distinct = 3000
+    vocab = [f"w{i}" for i in range(n_distinct)]
+    rows = [
+        {"lang": "en", "text": " ".join(vocab[j] for j in rng.integers(0, n_distinct, 60))}
+        for _ in range(400)
+    ]
+    # ensure every vocab word appears at least once
+    rows.append({"lang": "en", "text": " ".join(vocab)})
+    k = 128
+    out = (
+        kmv_distinct(rd.from_pandas(pd.DataFrame(rows)), test_cfg, k=k)
+        .to_pandas().sort_values("rank")
+    )
+    est = kmv_estimate(out["hkey"].to_numpy(), k)
+    assert abs(est - n_distinct) / n_distinct < 3 / np.sqrt(k), est
+
+
+def test_kmv_fewer_distincts_than_k_is_exact(test_cfg):
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.sketches import kmv_distinct, kmv_estimate
+
+    df = pd.DataFrame({"lang": ["en"] * 3, "text": ["a b", "b c", "c a"]})
+    out = kmv_distinct(rd.from_pandas(df), test_cfg, k=64).to_pandas()
+    assert len(out) == 3  # a, b, c
+    assert kmv_estimate(out.sort_values("rank")["hkey"].to_numpy(), 64) == 3.0

@@ -391,3 +391,134 @@ def test_strip_dup_spans_matches_naive(ray_session):
             row = got.loc[d]
             assert row["text"] == txt, f"doc {d} blocks {nblocks}"
             assert (row["n_tokens"], row["n_removed"]) == (n, nr), f"doc {d}"
+
+
+def test_inverted_index_matches_naive(test_cfg):
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.textstats import inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                "a b a c b a",
+                "c c d",
+                "",
+            ],
+        }
+    )
+    got = (
+        inverted_index(rd.from_pandas(docs).repartition(2), test_cfg,
+                       join_partitions=2)
+        .to_pandas()
+        .sort_values(["token", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # naive: tf / 1-based first position / doc length / df
+    want = pd.DataFrame(
+        [
+            ("a", 10, 3, 1, 6, 1),
+            ("b", 10, 2, 2, 6, 1),
+            ("c", 10, 1, 4, 6, 2),
+            ("c", 11, 2, 1, 3, 2),
+            ("d", 11, 1, 3, 3, 1),
+        ],
+        columns=["token", "doc_id", "tf", "first_pos", "dl", "df"],
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_bm25_topk_matches_naive(test_cfg):
+    import re
+
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.textstats import bm25_topk
+
+    rng = np.random.default_rng(12)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "rare1", "rare2"]
+    probs = np.array([0.3, 0.25, 0.2, 0.1, 0.1, 0.03, 0.02])
+    rows = []
+    for i in range(60):
+        toks = rng.choice(vocab, size=rng.integers(3, 20), p=probs)
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    got = (
+        bm25_topk(rd.from_pandas(df).repartition(4), test_cfg,
+                  n_terms=3, topk=5, join_partitions=3)
+        .to_pandas().sort_values(["term", "rank"]).reset_index(drop=True)
+    )
+
+    # naive replay (same fixed-order float arithmetic)
+    posting: dict = {}
+    dl = {}
+    for r in rows:
+        toks = re.findall("[a-z0-9_]+", r["text"])
+        dl[r["doc_id"]] = len(toks)
+        for t in set(toks):
+            posting[(t, r["doc_id"])] = toks.count(t)
+    dfreq: dict = {}
+    for (t, _d), _ in posting.items():
+        dfreq[t] = dfreq.get(t, 0) + 1
+    N = np.float64(len(rows))
+    avgdl = np.float64(sum(dl.values())) / N
+    qterms = sorted(dfreq, key=lambda t: (dfreq[t], t))[:3]
+    want_rows = []
+    for term in sorted(qterms):
+        scored = []
+        for (t, d), tf in posting.items():
+            if t != term:
+                continue
+            tf = np.float64(tf)
+            idf = (N - np.float64(dfreq[t]) + 0.5) / (np.float64(dfreq[t]) + 0.5)
+            tfn = (tf * (np.float64(1.2) + 1.0)) / (
+                tf + np.float64(1.2) * ((1.0 - np.float64(0.75))
+                                        + np.float64(0.75) * (np.float64(dl[d]) / avgdl))
+            )
+            scored.append((d, float(idf * tfn)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rk, (d, s) in enumerate(scored[:5], 1):
+            want_rows.append({"term": term, "doc_id": d, "score": s, "rank": rk})
+    want = pd.DataFrame(want_rows)
+    pd.testing.assert_frame_equal(
+        got[["term", "doc_id", "score", "rank"]], want, check_dtype=False
+    )
+
+
+def test_ngram_diversity_matches_naive(test_cfg):
+    import re
+
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.textstats import ngram_diversity
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(40):
+        toks = [vocab[j] for j in rng.integers(0, 4, rng.integers(0, 9))]
+        rows.append({"text": " ".join(toks), "lang": "en" if i % 2 else "de"})
+    df = pd.DataFrame(rows)
+    got = (
+        ngram_diversity(rd.from_pandas(df).repartition(4), test_cfg, k=3)
+        .to_pandas()
+        .set_index("lang")
+    )
+    for lang in ["en", "de"]:
+        sub = df[df["lang"] == lang]
+        grams = set()
+        tot_tok = tot_tri = 0
+        for t in sub["text"]:
+            toks = re.findall("[a-z0-9_]+", t.lower())
+            tot_tok += len(toks)
+            tris = [tuple(toks[i:i + 3]) for i in range(max(len(toks) - 2, 0))]
+            tot_tri += len(tris)
+            grams |= set(tris)
+        row = got.loc[lang]
+        assert row["n_docs"] == len(sub)
+        assert row["total_tokens"] == tot_tok
+        assert row["total_ngrams"] == tot_tri
+        assert row["distinct_ngrams"] == len(grams)
