@@ -1,0 +1,101 @@
+"""Corpus snapshot diff: added / removed / changed docs between two
+versions of a corpus, compared by content sha256 (the per-row invariant the
+north-star enforces end-to-end).
+
+Dataset-versioning primitive for incremental training-data refreshes: a new
+crawl lands as a second Parquet snapshot, and downstream work (incremental
+dedup — pipelines/incremental.py, delta graph insert — stages/graph.py)
+wants exactly the changed/added rows. Only (doc_id, 32-byte sha) ever cross
+the shuffle — content stays at rest in the snapshots.
+
+Plan (all partitioned hash joins, no broadcast, no driver residency):
+  changed  = base >< delta on doc_id (inner), keep sha_base != sha_delta
+  added    = delta ANTI base on doc_id
+  removed  = base  ANTI delta on doc_id
+output = union of the three, (doc_id, status).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.arrowutil import rename_ds
+from lsh_apg_ray.joins import hash_join
+
+
+def sha_rows(t: pa.Table, id_col: str = "doc_id",
+             text_col: str = "text") -> pa.Table:
+    """(id, sha256(text)) rows — the cheap-pass prep contract
+    (stages/prep.py:31): per-row digest of utf-8 bytes, nothing else ships."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    shas = [hashlib.sha256((s or "").encode("utf-8")).digest()
+            for s in col.to_pylist()]
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "sha": pa.array(shas, pa.binary(32)),
+        }
+    )
+
+
+def snapshot_diff(base, delta, *, id_col: str = "doc_id",
+                  join_partitions: int = 8):
+    """base / delta: Datasets of (id_col, sha:binary(32)). Returns a Dataset
+    (doc_id, status) with status in {'added', 'removed', 'changed'} —
+    unchanged rows are not emitted (at 10^12 rows they are the bulk and
+    carry no information)."""
+    import pyarrow.compute as pc
+
+    i64 = pa.int64()
+    sha_t = pa.binary(32)
+    bb = rename_ds(base, {"sha": "sha_base"})
+    dd = rename_ds(delta, {"sha": "sha_delta"})
+    bschema = pa.schema([(id_col, i64), ("sha_base", sha_t)])
+    dschema = pa.schema([(id_col, i64), ("sha_delta", sha_t)])
+
+    both = hash_join(bb, dd, left_on=id_col,
+                     num_partitions=join_partitions,
+                     left_schema=bschema, right_schema=dschema)
+
+    def changed_rows(t: pa.Table) -> pa.Table:
+        neq = pc.invert(pc.equal(t["sha_base"], t["sha_delta"]))
+        kept = t.filter(neq)
+        return pa.table(
+            {
+                "doc_id": kept[id_col],
+                "status": pa.array(["changed"] * kept.num_rows, pa.string()),
+            }
+        )
+
+    changed = both.map_batches(changed_rows, batch_format="pyarrow")
+
+    def tag(status: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t[id_col],
+                    "status": pa.array([status] * t.num_rows, pa.string()),
+                }
+            )
+        return fn
+
+    added = hash_join(
+        delta.select_columns([id_col]), base.select_columns([id_col]),
+        left_on=id_col, how="anti", num_partitions=join_partitions,
+        left_schema=pa.schema([(id_col, i64)]),
+        right_schema=pa.schema([(id_col, i64)]),
+    ).map_batches(tag("added"), batch_format="pyarrow")
+
+    removed = hash_join(
+        base.select_columns([id_col]), delta.select_columns([id_col]),
+        left_on=id_col, how="anti", num_partitions=join_partitions,
+        left_schema=pa.schema([(id_col, i64)]),
+        right_schema=pa.schema([(id_col, i64)]),
+    ).map_batches(tag("removed"), batch_format="pyarrow")
+
+    return changed.union(added).union(removed)

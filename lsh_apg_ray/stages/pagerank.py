@@ -339,3 +339,91 @@ def pagerank_table(edges, **kw) -> pa.Table:
             "rank_scaled": pa.array(df["rank_scaled"].astype(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (exact, join-based)
+# ---------------------------------------------------------------------------
+
+def triangle_count(pairs, *, join_partitions: int = 8,
+                   id_a: str = "id_a", id_b: str = "id_b"):
+    """Exact per-node triangle counts over an undirected edge set delivered
+    in canonical a < b orientation (the repo-wide pair convention,
+    stages/pairs.py). Classic distributed plan: wedge join (edges ><
+    edges on the shared middle vertex — a<b and b<c make every wedge
+    a<b<c exactly once) then a closing-edge SEMI join on the (a, c)
+    composite key; per-batch partial counts -> one small groupby. Each
+    stage is a partitioned hash join — nothing is broadcast, nothing is
+    node-resident.
+
+    Returns a Dataset (doc_id, n_triangles) for nodes in >= 1 triangle.
+    Composite keys pack two ids into one int64 (requires id < 2^31 —
+    asserted; a 10^12-node run would widen to a (hi, lo) two-column key)."""
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.joins import hash_join
+
+    from ray.data.aggregate import Sum
+
+    i64 = pa.int64()
+    e = pairs.select_columns([id_a, id_b]).materialize()
+    e1 = rename_ds(e, {id_a: "a", id_b: "b"})
+    e2 = rename_ds(e, {id_a: "bb", id_b: "c"})
+    wed = hash_join(
+        e1, e2, left_on="b", right_on="bb",
+        num_partitions=join_partitions,
+        left_schema=pa.schema([("a", i64), ("b", i64)]),
+        right_schema=pa.schema([("bb", i64), ("c", i64)]),
+    )
+
+    def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        assert (x < (1 << 31)).all() and (y < (1 << 31)).all(), \
+            "composite int64 key needs ids < 2^31; widen to a 2-column key"
+        return (x << np.int64(32)) | y
+
+    def wedge_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": t["a"], "b": t["b"], "c": t["c"],
+                "__k": pa.array(_pack(a, c), pa.int64()),
+            }
+        )
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__k": pa.array(_pack(a, b), pa.int64())})
+
+    tri = hash_join(
+        wed.map_batches(wedge_key, batch_format="pyarrow"),
+        e.map_batches(edge_key, batch_format="pyarrow"),
+        left_on="__k",
+        how="semi",
+        num_partitions=join_partitions,
+        left_schema=pa.schema([("a", i64), ("b", i64), ("c", i64), ("__k", i64)]),
+        right_schema=pa.schema([("__k", i64)]),
+    )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in ("a", "b", "c")]
+        ) if t.num_rows else np.empty(0, np.int64)
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_triangles": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        tri.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+        .map_batches(
+            lambda df: df.assign(n_triangles=df["n_triangles"].astype("int64")),
+            batch_format="pandas",
+        )
+    )

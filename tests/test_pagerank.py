@@ -101,3 +101,48 @@ def test_batch_split_independence(random_graph):
     a = _rank_map(pagerank_table(_edges_ds(random_graph, blocks=1), iters=2))
     b = _rank_map(pagerank_table(_edges_ds(random_graph, blocks=7), iters=2))
     assert a == b
+
+
+def test_triangle_count_k4_plus_chain():
+    """K4 on {0,1,2,3}: every vertex sits in C(3,2)=3 triangles; the chain
+    10-11-12 contributes none; an open wedge (20-21, 21-22) contributes
+    none."""
+    from lsh_apg_ray.stages.pagerank import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(10, 11), (11, 12)] + [(20, 21), (21, 22)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = (
+        triangle_count(rd.from_arrow(t).repartition(3), join_partitions=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got["n_triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_snapshot_diff_statuses():
+    import pandas as pd
+
+    from lsh_apg_ray.stages.diff import sha_rows, snapshot_diff
+
+    base = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "cc", "dd"]}
+    )
+    delta = pd.DataFrame(
+        {"doc_id": [2, 3, 4, 5], "text": ["bb", "CHANGED", "dd", "ee"]}
+    )
+    b = rd.from_pandas(base).map_batches(sha_rows, batch_format="pyarrow")
+    d = rd.from_pandas(delta).map_batches(sha_rows, batch_format="pyarrow")
+    got = (
+        snapshot_diff(b.materialize(), d.materialize(), join_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"doc_id": [1, 3, 5], "status": ["removed", "changed", "added"]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
