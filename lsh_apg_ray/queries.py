@@ -4652,6 +4652,129 @@ FROM r{iters} ORDER BY node""")
 SQL_PAGERANK = _sql_pagerank(5)
 
 
+def q_text_sources(sf_dir: str):
+    """Source-format coverage gate: export the documents table to JSONL and
+    CSV (the formats crawl data actually arrives in), read each back
+    through the native Ray Data readers (read_json / read_csv -> Arrow
+    blocks, streaming), and prove content survival with order-free exact
+    aggregates (row count, id sum, char volume, tokenized-token volume —
+    the token census catches quoting/escaping corruption a length check
+    would miss). The oracle computes the same aggregates from the Parquet
+    view, once per format row."""
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    base = _dump_path(sf_dir, "text_sources")
+    paths = {"jsonl": os.path.join(base, "jsonl"),
+             "csv": os.path.join(base, "csv")}
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+    docs.write_json(paths["jsonl"])
+    docs.write_csv(paths["csv"])
+
+    pattern = _cfg().token_pattern
+
+    def stats(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.hashing import arrow_token_index
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        chars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        ti = arrow_token_index(col, pattern)
+        n_tok = int(len(ti[0])) if ti is not None else 0
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_doc_id": pa.array([int(ids.sum())], pa.int64()),
+                "total_chars": pa.array([int(chars.sum())], pa.int64()),
+                "total_tokens": pa.array([n_tok], pa.int64()),
+            }
+        )
+
+    rows = []
+    for fmt, reader in (("csv", rd.read_csv), ("jsonl", rd.read_json)):
+        agg = (
+            reader(paths[fmt])
+            .map_batches(stats, batch_format="pyarrow")
+            .sum(["n_rows", "sum_doc_id", "total_chars", "total_tokens"])
+        )
+        rows.append(
+            {
+                "format": fmt,
+                "n_rows": int(agg["sum(n_rows)"]),
+                "sum_doc_id": int(agg["sum(sum_doc_id)"]),
+                "total_chars": int(agg["sum(total_chars)"]),
+                "total_tokens": int(agg["sum(total_tokens)"]),
+            }
+        )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    return pa.table(
+        {
+            "format": pa.array(df["format"], pa.string()),
+            "n_rows": pa.array(df["n_rows"].astype(np.int64), pa.int64()),
+            "sum_doc_id": pa.array(df["sum_doc_id"].astype(np.int64), pa.int64()),
+            "total_chars": pa.array(df["total_chars"].astype(np.int64), pa.int64()),
+            "total_tokens": pa.array(df["total_tokens"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_TEXT_SOURCES = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+         CAST(COALESCE(sum(length(text)), 0) AS BIGINT) AS total_chars,
+         CAST(COALESCE(sum(len(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+         ))), 0) AS BIGINT) AS total_tokens
+  FROM documents
+)
+SELECT 'csv' AS format, n_rows, sum_doc_id, total_chars, total_tokens FROM s
+UNION ALL
+SELECT 'jsonl', n_rows, sum_doc_id, total_chars, total_tokens FROM s
+ORDER BY format
+"""
+
+
+def q_token_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence census: exact doc counts for every pair
+    of top-12 df tokens (per-doc uint64 bitmask packing, C(V,2) vectorized
+    AND-reductions per batch, shuffle bounded by C(V,2) rows per block)."""
+    from lsh_apg_ray.stages.textstats import token_cooccurrence
+
+    docs = read_documents(sf_dir, columns=["text"])
+    return token_cooccurrence(docs, _cfg(), top_v=12)
+
+
+SQL_TOKEN_COOCCURRENCE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+         ))) AS token
+  FROM documents
+),
+df AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+topv AS (SELECT token FROM df ORDER BY c DESC, token LIMIT 12),
+tv AS (SELECT t.doc_id, t.token FROM tok t JOIN topv USING (token))
+SELECT a.token AS token_a, b.token AS token_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus snapshot diff (stages/diff.py) + triangle counting (stages/pagerank.py)
 # ---------------------------------------------------------------------------
@@ -4782,14 +4905,14 @@ QUERIES = {
     "distinct_kmv": q_distinct_kmv,
     "corpus_diff": q_corpus_diff,
     "triangle_count": q_triangle_count,
+    "token_cooccurrence": q_token_cooccurrence,
+    "text_sources": q_text_sources,
     # -- ANN recall/ratio protocol (reference benchmark parity) -----------
-    "e2lsh_knn": q_e2lsh_knn,
     "graph_knn": q_graph_knn,
     "ivfpq_knn": q_ivfpq_knn,
     "strip_dup_spans": q_strip_dup_spans,
     "knn_label_vote": q_knn_label_vote,
     "user_retention": q_user_retention,
-    "frame_sample": q_frame_sample,
     # -- first driver verification: round-4 additions ----------------------
     "dedup_against": q_dedup_against,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
@@ -4828,6 +4951,8 @@ QUERIES = {
     "zorder_knn": q_zorder_knn,
     "knn_cosine": q_knn_cosine,
     "dup_clusters": q_dup_clusters,
+    "frame_sample": q_frame_sample,
+    "e2lsh_knn": q_e2lsh_knn,
     "substring_pairs": q_substring_pairs,
     "containment_pairs": q_containment_pairs,
     "graph_knn_incremental": q_graph_knn_incremental,
@@ -4985,6 +5110,8 @@ ORACLE_SQL = {
     "bm25_scores": SQL_BM25_SCORES,
     "corpus_diff": SQL_CORPUS_DIFF,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
+    "text_sources": SQL_TEXT_SOURCES,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "distinct_kmv": SQL_DISTINCT_KMV,
 }

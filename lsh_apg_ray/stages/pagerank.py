@@ -345,16 +345,31 @@ def pagerank_table(edges, **kw) -> pa.Table:
 # triangle counting (exact, join-based)
 # ---------------------------------------------------------------------------
 
+def _pack_pair(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    assert (x < (1 << 31)).all() and (y < (1 << 31)).all(), \
+        "composite int64 key needs ids < 2^31; widen to a 2-column key"
+    return (x << np.int64(32)) | y
+
+
 def triangle_count(pairs, *, join_partitions: int = 8,
                    id_a: str = "id_a", id_b: str = "id_b"):
     """Exact per-node triangle counts over an undirected edge set delivered
     in canonical a < b orientation (the repo-wide pair convention,
-    stages/pairs.py). Classic distributed plan: wedge join (edges ><
-    edges on the shared middle vertex — a<b and b<c make every wedge
-    a<b<c exactly once) then a closing-edge SEMI join on the (a, c)
-    composite key; per-batch partial counts -> one small groupby. Each
-    stage is a partitioned hash join — nothing is broadcast, nothing is
-    node-resident.
+    stages/pairs.py).
+
+    Degree-ordered orientation (Schank-Wagner's "forward" algorithm — the
+    standard hub-safe distributed plan): every edge is oriented from its
+    lower-(degree, id) endpoint to the higher, so each triangle has exactly
+    one apex with BOTH out-edges and the wedge join is a self-join of
+    out-edges on the apex. Out-degrees under this orientation are O(sqrt m)
+    regardless of hub degree, so wedge volume is bounded by sum C(d+, 2) —
+    an id-ordered wedge join instead explodes quadratically on a hub that
+    happens to get a small id. The closing edge is a SEMI join on the
+    id-canonical packed (lo, hi) key. Dataflow: degree census (per-batch
+    bincount partials -> one groupby) -> two partitioned joins attaching
+    endpoint degrees -> orient per batch -> wedge self-join -> closing semi
+    join -> per-batch node-count partials -> one small groupby. Nothing is
+    broadcast or node-resident.
 
     Returns a Dataset (doc_id, n_triangles) for nodes in >= 1 triangle.
     Composite keys pack two ids into one int64 (requires id < 2^31 —
@@ -362,38 +377,96 @@ def triangle_count(pairs, *, join_partitions: int = 8,
     from lsh_apg_ray.arrowutil import rename_ds
     from lsh_apg_ray.joins import hash_join
 
-    from ray.data.aggregate import Sum
-
     i64 = pa.int64()
     e = pairs.select_columns([id_a, id_b]).materialize()
-    e1 = rename_ds(e, {id_a: "a", id_b: "b"})
-    e2 = rename_ds(e, {id_a: "bb", id_b: "c"})
-    wed = hash_join(
-        e1, e2, left_on="b", right_on="bb",
-        num_partitions=join_partitions,
-        left_schema=pa.schema([("a", i64), ("b", i64)]),
-        right_schema=pa.schema([("bb", i64), ("c", i64)]),
+
+    # degree census: per-batch bincount partials, one groupby
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t[id_a].to_numpy(zero_copy_only=False).astype(np.int64),
+             t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)]
+        ) if t.num_rows else np.empty(0, np.int64)
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()),
+             "deg": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    deg = (
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .map_batches(lambda df: df.assign(deg=df["deg"].astype("int64")),
+                     batch_format="pandas")
+        .materialize()
     )
 
-    def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        assert (x < (1 << 31)).all() and (y < (1 << 31)).all(), \
-            "composite int64 key needs ids < 2^31; widen to a 2-column key"
-        return (x << np.int64(32)) | y
+    withda = hash_join(
+        e, rename_ds(deg, {"deg": "deg_a"}),
+        left_on=id_a, right_on="node", num_partitions=join_partitions,
+        left_schema=pa.schema([(id_a, i64), (id_b, i64)]),
+        right_schema=pa.schema([("node", i64), ("deg_a", i64)]),
+    )
+    withd = hash_join(
+        withda, rename_ds(deg, {"deg": "deg_b"}),
+        left_on=id_b, right_on="node", num_partitions=join_partitions,
+        left_schema=pa.schema(
+            [(id_a, i64), (id_b, i64), ("deg_a", i64)]),
+        right_schema=pa.schema([("node", i64), ("deg_b", i64)]),
+    )
 
-    def wedge_key(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # orient u -> v with (deg(u), u) < (deg(v), v); carry r(v) = (deg_v, v)
+    # so the wedge stage can keep each out-neighbor pair exactly once
+    def orient(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
         return pa.table(
             {
-                "a": t["a"], "b": t["b"], "c": t["c"],
-                "__k": pa.array(_pack(a, c), pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "dv": pa.array(dv, pa.int64()),
+            }
+        )
+
+    o = withd.map_batches(orient, batch_format="pyarrow").materialize()
+    o2 = rename_ds(o, {"u": "uu", "v": "w", "dv": "dw"})
+    o_schema = pa.schema([("u", i64), ("v", i64), ("dv", i64)])
+    o2_schema = pa.schema([("uu", i64), ("w", i64), ("dw", i64)])
+
+    wed = hash_join(
+        o, o2, left_on="u", right_on="uu",
+        num_partitions=join_partitions,
+        left_schema=o_schema, right_schema=o2_schema,
+    )
+
+    def wedge_key(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dw = t["dw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep each unordered out-neighbor pair once: r(v) < r(w)
+        keep = (dv < dw) | ((dv == dw) & (v < w))
+        t2 = t.filter(pa.array(keep))
+        v, w = v[keep], w[keep]
+        lo = np.minimum(v, w)
+        hi = np.maximum(v, w)
+        return pa.table(
+            {
+                "u": t2["u"], "v": t2["v"], "w": t2["w"],
+                "__k": pa.array(_pack_pair(lo, hi), pa.int64()),
             }
         )
 
     def edge_key(t: pa.Table) -> pa.Table:
         a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"__k": pa.array(_pack(a, b), pa.int64())})
+        return pa.table({"__k": pa.array(_pack_pair(a, b), pa.int64())})
 
     tri = hash_join(
         wed.map_batches(wedge_key, batch_format="pyarrow"),
@@ -401,14 +474,14 @@ def triangle_count(pairs, *, join_partitions: int = 8,
         left_on="__k",
         how="semi",
         num_partitions=join_partitions,
-        left_schema=pa.schema([("a", i64), ("b", i64), ("c", i64), ("__k", i64)]),
+        left_schema=pa.schema([("u", i64), ("v", i64), ("w", i64), ("__k", i64)]),
         right_schema=pa.schema([("__k", i64)]),
     )
 
     def node_partial(t: pa.Table) -> pa.Table:
         nodes = np.concatenate(
             [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
-             for c in ("a", "b", "c")]
+             for c in ("u", "v", "w")]
         ) if t.num_rows else np.empty(0, np.int64)
         u, cnt = np.unique(nodes, return_counts=True)
         return pa.table(

@@ -1231,3 +1231,118 @@ def ngram_diversity(ds, cfg: DedupConfig, k: int = 3,
             ),
         }
     )
+
+
+def token_cooccurrence(ds, cfg: DedupConfig, top_v: int = 12,
+                       text_col: str = "text"):
+    """Co-occurrence census among the top-V df tokens (market-basket /
+    collocation analysis): for every unordered pair {a, b} of top-V tokens,
+    the EXACT number of documents containing both.
+
+    Plan: df census (per-batch distinct + partial sums -> one groupby) ->
+    top-V selection (per-block partial top-V, driver merge of <= blocks*V
+    rows); the V tokens broadcast SORTED so vocabulary index order equals
+    token string order; the pair scan packs each doc's top-V membership
+    into one uint64 bitmask and counts each of the C(V,2) pairs with a
+    vectorized AND over the batch's masks — per-batch work is V^2/2 numpy
+    reductions, never a per-row Python loop; the shuffle moves only
+    (pair_code, partial count) rows bounded by C(V,2) per block."""
+    from ray.data.aggregate import Sum
+
+    assert top_v <= 64, "bitmask packing holds up to 64 tokens"
+    pattern = cfg.token_pattern
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], pattern)
+        if ti is None or len(ti[2]) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        indices, offsets, dictionary = ti
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        v = np.int64(len(dictionary))
+        uniq = np.unique(doc_row * v + indices)
+        cnt = np.bincount((uniq % v).astype(np.int64), minlength=len(dictionary))
+        used = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "token": pa.array([dictionary[i] for i in used], pa.string()),
+                "c": pa.array(cnt[used].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def block_topv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        c = t["c"].to_numpy(zero_copy_only=False)
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((toks, -c))[:top_v]
+        return t.take(pa.array(sel, pa.int64()))
+
+    cand = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(block_topv, batch_format="pyarrow")
+        .to_pandas()  # <= blocks * V rows
+    )
+    cand = cand.sort_values(["c", "token"], ascending=[False, True],
+                            kind="mergesort").head(top_v)
+    vtok = np.sort(cand["token"].to_numpy())  # index order == string order
+    V = len(vtok)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], pattern)
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        dict_np = np.asarray(dictionary, dtype=object)
+        pos = np.searchsorted(vtok, dict_np)
+        pos = np.clip(pos, 0, V - 1)
+        vidx_of_dict = np.where(vtok[pos] == dict_np, pos, -1).astype(np.int64)
+        vidx = vidx_of_dict[indices]
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        m = vidx >= 0
+        if not m.any():
+            return empty
+        masks = np.zeros(t.num_rows, np.uint64)
+        np.bitwise_or.at(masks, doc_row[m],
+                         np.uint64(1) << vidx[m].astype(np.uint64))
+        codes, counts = [], []
+        for a in range(V):
+            ba = (masks >> np.uint64(a)) & np.uint64(1)
+            for b in range(a + 1, V):
+                n = int((ba & ((masks >> np.uint64(b)) & np.uint64(1))).sum())
+                if n:
+                    codes.append(a * V + b)
+                    counts.append(n)
+        return pa.table(
+            {
+                "pair": pa.array(np.asarray(codes, np.int64), pa.int64()),
+                "n": pa.array(np.asarray(counts, np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()  # <= C(V,2) rows
+    )
+    a_idx = (agg["pair"] // V).astype(np.int64)
+    b_idx = (agg["pair"] % V).astype(np.int64)
+    out = pa.table(
+        {
+            "token_a": pa.array(vtok[a_idx], pa.string()),
+            "token_b": pa.array(vtok[b_idx], pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64),
+                               pa.int64()),
+        }
+    )
+    return out.sort_by([("token_a", "ascending"), ("token_b", "ascending")])

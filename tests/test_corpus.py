@@ -32,3 +32,20 @@ def test_planted_structure():
     repos = t.column("repo").to_pylist()
     _, counts = np.unique(repos, return_counts=True)
     assert counts.max() > 3 * np.median(counts)
+
+
+def test_text_sources_roundtrip_sf0001(ray_session):
+    """JSONL and CSV reads preserve content exactly (same aggregates as the
+    Parquet path) at sf0.001."""
+    from lsh_apg_ray.queries import q_text_sources
+
+    out = (
+        q_text_sources("/root/testdata/sf0.001")
+        .to_pandas().sort_values("format").reset_index(drop=True)
+    )
+    assert out["format"].tolist() == ["csv", "jsonl"]
+    # the two format rows must agree with each other on every aggregate
+    a, b = out.iloc[0], out.iloc[1]
+    for col in ("n_rows", "sum_doc_id", "total_chars", "total_tokens"):
+        assert a[col] == b[col], col
+    assert a["n_rows"] > 0 and a["total_tokens"] > 0

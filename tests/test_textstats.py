@@ -522,3 +522,40 @@ def test_ngram_diversity_matches_naive(test_cfg):
         assert row["total_tokens"] == tot_tok
         assert row["total_ngrams"] == tot_tri
         assert row["distinct_ngrams"] == len(grams)
+
+
+def test_token_cooccurrence_matches_naive(test_cfg):
+    import itertools
+    import re
+
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.textstats import token_cooccurrence
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i:02d}" for i in range(20)]
+    rows = []
+    for _ in range(80):
+        toks = [vocab[j] for j in rng.integers(0, 20, rng.integers(1, 15))]
+        rows.append({"text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    V = 6
+    got = (
+        token_cooccurrence(rd.from_pandas(df).repartition(5), test_cfg, top_v=V)
+        .to_pandas().reset_index(drop=True)
+    )
+    # naive: top-V by (df desc, token), then doc counts per unordered pair
+    docsets = [set(re.findall("[a-z0-9_]+", t.lower())) for t in df["text"]]
+    from collections import Counter
+
+    dfc = Counter()
+    for s in docsets:
+        dfc.update(s)
+    topv = sorted(dfc, key=lambda t: (-dfc[t], t))[:V]
+    want_rows = []
+    for a, b in itertools.combinations(sorted(topv), 2):
+        n = sum(1 for s in docsets if a in s and b in s)
+        if n:
+            want_rows.append({"token_a": a, "token_b": b, "n_docs": n})
+    want = pd.DataFrame(want_rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
