@@ -4551,18 +4551,15 @@ ORDER BY b.lang
 # fixed-point — stages/pagerank.py)
 # ---------------------------------------------------------------------------
 
-def q_pagerank(sf_dir: str):
-    """Damped PageRank (5 rounds) over the user->clicked-item bipartite
-    graph from click events. Items never click, so every item node is
-    dangling — the uniform dangling redistribution runs for real. The whole
-    recurrence is int64 fixed-point (SCALE=1e12), so the driver value-hash
-    gates bit-exact ranks against the SQL replay of the same recurrence."""
+def _click_edges(sf_dir: str):
+    """The user->clicked-item bipartite click graph: src = user_id * 2,
+    dst = props.k * 2 + 1 (disjoint even/odd node id spaces). Shared by
+    pagerank and click_bfs_hops."""
     import json as _json
 
     import pyarrow.compute as pc
 
     from lsh_apg_ray.sources import read_table
-    from lsh_apg_ray.stages.pagerank import pagerank_table
 
     ev = read_table(sf_dir, "events",
                     columns=["event_type", "user_id", "props"])
@@ -4592,7 +4589,18 @@ def q_pagerank(sf_dir: str):
             }
         )
 
-    out = pagerank_table(ev.map_batches(edges, batch_format="pyarrow"), iters=5)
+    return ev.map_batches(edges, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str):
+    """Damped PageRank (5 rounds) over the user->clicked-item bipartite
+    graph from click events. Items never click, so every item node is
+    dangling — the uniform dangling redistribution runs for real. The whole
+    recurrence is int64 fixed-point (SCALE=1e12), so the driver value-hash
+    gates bit-exact ranks against the SQL replay of the same recurrence."""
+    from lsh_apg_ray.stages.pagerank import pagerank_table
+
+    out = pagerank_table(_click_edges(sf_dir), iters=5)
     node = out["node"].to_numpy()
     kind = np.where(node % 2 == 0, "user", "item")
     return pa.table(
@@ -4882,13 +4890,315 @@ FROM nodes GROUP BY 1 ORDER BY 1
 # driver-verified value-hash row as of round 4; queries with two green
 # driver rows already (r03+r04) sit after position 50. All entries keep an
 # oracle and pytest coverage regardless of position.
+# ---------------------------------------------------------------------------
+# relational-analytics tier: skyline, NTILE, rollup, outlier fences,
+# FK-integrity audit, BFS hops (round-5 session-5)
+# ---------------------------------------------------------------------------
+
+_TOKENIZER_SQL = ("CAST(len(list_filter(string_split_regex(lower(text), "
+                  "'[^a-z0-9_]+'), x -> x <> '')) AS BIGINT)")
+
+
+def _doc_token_counts(sf_dir: str, extra_cols: tuple[str, ...] = ()):
+    """(doc_id, n_tokens, *extra_cols) via the vectorized Arrow tokenizer —
+    the SQL-parity token count (token_counts contract) without the prep
+    tier's shingle/simhash work."""
+    from lsh_apg_ray.hashing import arrow_token_index
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text", *extra_cols])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], r"[a-z0-9_]+")
+        if ti is None:  # unreachable for the default char-class pattern
+            raise RuntimeError("tokenizer pattern not a plain char class")
+        _, offsets, _ = ti
+        cols = {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+        }
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def q_pareto_docs(sf_dir: str):
+    """Token-density skyline: documents not dominated on (more tokens,
+    fewer chars) — the Pareto-frontier selection op
+    (stages/analytics.py:pareto_front). The maximizing kernel receives
+    y = -n_chars to flip the minimized axis. Per-block local skyline
+    (exact — block-dominated implies globally dominated), one worker-task
+    merge."""
+    from lsh_apg_ray.stages.analytics import pareto_front
+
+    feats = _doc_token_counts(sf_dir, extra_cols=("n_chars",))
+
+    def with_neg(t: pa.Table) -> pa.Table:
+        neg = -t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__neg_chars", pa.array(neg, pa.int64()))
+
+    front = pareto_front(
+        feats.select_columns(["doc_id", "n_chars", "n_tokens"])
+        .map_batches(with_neg, batch_format="pyarrow"),
+        "n_tokens", "__neg_chars", sort_col="doc_id",
+    )
+    return front.drop_columns(["__neg_chars"])
+
+
+SQL_PARETO_DOCS = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_TOKENIZER_SQL} AS n_tokens FROM documents
+)
+SELECT doc_id, n_chars, n_tokens
+FROM d d1
+WHERE NOT EXISTS (
+  SELECT 1 FROM d d2
+  WHERE d2.n_tokens >= d1.n_tokens AND d2.n_chars <= d1.n_chars
+    AND (d2.n_tokens > d1.n_tokens OR d2.n_chars < d1.n_chars))
+ORDER BY doc_id
+"""
+
+
+def q_quality_ntile(sf_dir: str):
+    """Global quality deciles: ROW_NUMBER + NTILE(10) over the total order
+    (n_tokens, doc_id) WITHOUT a global sort — value census broadcast for
+    the base rank, one coarse value-keyed exchange for the within-value
+    rank (stages/analytics.py:ntile_assign)."""
+    from lsh_apg_ray.stages.analytics import ntile_assign
+
+    feats = _doc_token_counts(sf_dir)
+    return ntile_assign(feats, "n_tokens", "doc_id", k=10)
+
+
+SQL_QUALITY_NTILE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKENIZER_SQL} AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       CAST(ntile(10) OVER w AS BIGINT) AS tier
+FROM d WINDOW w AS (ORDER BY n_tokens, doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_lang_rollup(sf_dir: str):
+    """Corpus census at three granularities in one pass: GROUP BY
+    ROLLUP(lang, source) — finest cells from per-batch partial aggregation
+    + one groupby-sum; coarser levels derived from the tiny cell table in a
+    worker task (stages/analytics.py:rollup_counts)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import rollup_counts
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["lang", "source", "n_chars"])
+    return rollup_counts(docs, "lang", "source", "n_chars",
+                         n_alias="n_docs", sum_alias="total_chars")
+
+
+SQL_LANG_ROLLUP = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(GROUPING(lang) + GROUPING(source) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY lvl, lang, source
+"""
+
+
+def q_events_outliers(sf_dir: str):
+    """Per-event-type Tukey-fence outlier census: exact quartiles
+    (quantile_disc parity), fences lo/hi = q25/q75 -/+ 1.5*IQR computed in
+    a fixed exactly-rounded IEEE order (both engines emit identical
+    doubles), one broadcast counting scan
+    (stages/analytics.py:iqr_outlier_stats)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import iqr_outlier_stats
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return iqr_outlier_stats(ev, "event_type", "value")
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH q AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(value, 0.25) AS q25,
+         quantile_disc(value, 0.75) AS q75
+  FROM events GROUP BY 1
+), f AS (
+  SELECT event_type, n, q25, q75,
+         q25 - 1.5 * (q75 - q25) AS fence_lo,
+         q75 + 1.5 * (q75 - q25) AS fence_hi
+  FROM q
+)
+SELECT f.event_type, f.n, f.q25, f.q75, f.fence_lo, f.fence_hi,
+       CAST(coalesce(sum(CASE WHEN e.value < f.fence_lo THEN 1 END), 0)
+            AS BIGINT) AS n_low_outliers,
+       CAST(coalesce(sum(CASE WHEN e.value > f.fence_hi THEN 1 END), 0)
+            AS BIGINT) AS n_high_outliers
+FROM f JOIN events e USING (event_type)
+GROUP BY 1, 2, 3, 4, 5, 6
+ORDER BY 1
+"""
+
+
+_FK_RELATIONS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit over the star schema: for each FK edge,
+    child-row / distinct-FK counts plus orphan keys and rows (keys absent
+    from the parent). Dataflow per relation: per-batch (key, count) census
+    partials -> one groupby-sum (the distinct-FK table, bytes = O(distinct
+    keys)) -> partitioned ANTI join against the parent key column -> two
+    scalar aggregates of the tiny orphan table. The ingestion gate that
+    runs before any fact-dimension join is trusted (corpus_validate's
+    relational sibling)."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    rows = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        child_ds = read_table(sf_dir, child, columns=[fk])
+        parent_ds = read_table(sf_dir, parent, columns=[pk])
+
+        def census(t: pa.Table, _fk=fk) -> pa.Table:
+            v, c = np.unique(
+                t[_fk].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table(
+                {"key": pa.array(v, pa.int64()),
+                 "n": pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        keys = (
+            child_ds.map_batches(census, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda df: df.assign(n=df["n"].astype("int64")),
+                         batch_format="pandas")
+            .materialize()
+        )
+        pkeys = parent_ds.map_batches(
+            lambda t, _pk=pk: pa.table({"key": t[_pk].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        orphans = hash_join(
+            keys, pkeys, left_on="key", how="anti", num_partitions=4,
+            left_schema=pa.schema([("key", i64), ("n", i64)]),
+            right_schema=pa.schema([("key", i64)]),
+        ).materialize()
+        rows.append(
+            {
+                "relation": f"{child}.{fk}->{parent}",
+                "n_child_rows": int(keys.sum("n") or 0),
+                "n_distinct_fk": keys.count(),
+                "n_orphan_keys": orphans.count(),
+                "n_orphan_rows": int(orphans.sum("n") or 0),
+            }
+        )
+    rows.sort(key=lambda r: r["relation"])
+    return pa.table(
+        {
+            "relation": pa.array([r["relation"] for r in rows], pa.string()),
+            "n_child_rows": pa.array(
+                [r["n_child_rows"] for r in rows], pa.int64()),
+            "n_distinct_fk": pa.array(
+                [r["n_distinct_fk"] for r in rows], pa.int64()),
+            "n_orphan_keys": pa.array(
+                [r["n_orphan_keys"] for r in rows], pa.int64()),
+            "n_orphan_rows": pa.array(
+                [r["n_orphan_rows"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_fk_integrity() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{child}.{fk}->{parent}' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child_rows,
+       CAST(count(DISTINCT c.{fk}) AS BIGINT) AS n_distinct_fk,
+       CAST(count(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{fk} END)
+            AS BIGINT) AS n_orphan_keys,
+       CAST(coalesce(sum(CASE WHEN p.{pk} IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_orphan_rows
+FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{fk}""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY relation"
+
+
+SQL_FK_INTEGRITY = _sql_fk_integrity()
+
+_BFS_MAX_ROUNDS = 32
+
+
+def q_click_bfs_hops(sf_dir: str):
+    """Multi-source BFS over the undirected click graph: hop distance from
+    the seed users (user_id % 17 == 0, i.e. even node id % 34 == 0) to
+    every reachable node — the graph-exploration op behind "how far is this
+    doc/user from a trusted seed set" (stages/pagerank.py:bfs_hops,
+    iterative frontier joins, exact)."""
+    from lsh_apg_ray.stages.pagerank import bfs_hops
+
+    edges = _click_edges(sf_dir).materialize()
+
+    # seed rule: src % 34 == 0 (user nodes are even; % 34 == 0 <=> uid % 17 == 0)
+    def seed_batch(t: pa.Table) -> pa.Table:
+        s = np.unique(t["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(s[s % 34 == 0], pa.int64())})
+
+    seeds = edges.map_batches(seed_batch, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, undirected=True, max_rounds=_BFS_MAX_ROUNDS)
+
+
+def _sql_click_bfs() -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT DISTINCT user_id * 2 AS src,
+         CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1 AS dst
+  FROM events WHERE event_type = 'click'
+),
+edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+seeds AS (SELECT DISTINCT src AS node FROM base WHERE src % 34 = 0),
+bfs(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, b.d + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.d < {_BFS_MAX_ROUNDS}
+)
+SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_CLICK_BFS_HOPS = _sql_click_bfs()
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
-    "exact_dedup": q_exact_dedup,
-    "corpus_dedup": q_corpus_dedup,
     "dup_clusters_dataset_cc": q_dup_clusters_dataset_cc,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # round-5 session-5 additions (first external row — displacing
+    # exact_dedup / corpus_dedup / ngram_jaccard_pairs / graph_knn, which
+    # each hold two green rows r03+r04; final round, so an in-window slot is
+    # these queries' only chance at an external value-hash row)
+    "click_bfs_hops": q_click_bfs_hops,
+    "quality_ntile": q_quality_ntile,
+    "pareto_docs": q_pareto_docs,
+    "events_outliers": q_events_outliers,
     # round-5 session-3 additions rotated INTO the window (final round —
     # their only chance at an external value-hash row); the rotated-out
     # entries below position 50 each hold two green rows (r03 + r04)
@@ -4908,7 +5218,6 @@ QUERIES = {
     "token_cooccurrence": q_token_cooccurrence,
     "text_sources": q_text_sources,
     # -- ANN recall/ratio protocol (reference benchmark parity) -----------
-    "graph_knn": q_graph_knn,
     "ivfpq_knn": q_ivfpq_knn,
     "strip_dup_spans": q_strip_dup_spans,
     "knn_label_vote": q_knn_label_vote,
@@ -4942,7 +5251,14 @@ QUERIES = {
     "events_window_distinct": q_events_window_distinct,
     "asof_next_purchase": q_asof_next_purchase,
     "graph_knn_sharded": q_graph_knn_sharded,
-    # -- position > 50: two green driver rows already (r03 + r04) ---------
+    # -- position > 50: two green driver rows already (r03 + r04), plus the
+    # two lowest-risk session-5 additions (in-repo oracle-gated)
+    "exact_dedup": q_exact_dedup,
+    "corpus_dedup": q_corpus_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "graph_knn": q_graph_knn,
+    "lang_rollup": q_lang_rollup,
+    "fk_integrity": q_fk_integrity,
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5103,6 +5419,14 @@ ORACLE_SQL = {
     "events_window_distinct": SQL_EVENTS_WINDOW_DISTINCT,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    # round-5 session-5 additions: skyline, NTILE, rollup, outlier fences,
+    # FK audit, BFS hops
+    "pareto_docs": SQL_PARETO_DOCS,
+    "quality_ntile": SQL_QUALITY_NTILE,
+    "lang_rollup": SQL_LANG_ROLLUP,
+    "events_outliers": SQL_EVENTS_OUTLIERS,
+    "fk_integrity": SQL_FK_INTEGRITY,
+    "click_bfs_hops": SQL_CLICK_BFS_HOPS,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

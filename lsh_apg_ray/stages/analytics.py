@@ -1,0 +1,401 @@
+"""Relational-analytics operators: skyline (Pareto front), distributed
+NTILE, rollup aggregates, IQR outlier fences.
+
+These are the reporting/selection operators a curation run applies AFTER
+the dedup tiers — "which docs are on the quality frontier", "split the
+corpus into quality deciles", "roll the census up per language and
+overall", "flag metric outliers per stream". Each follows the repo-wide
+dataflow discipline (SURVEY.md §7): per-batch vectorized partials, at most
+one coarse hash-partition exchange, small results assembled in worker
+tasks, never a per-row Python loop and never a corpus-sized driver
+collection.
+
+Float contract (the bm25_scores / events_outliers rule): every float that
+reaches a value-hash gate is produced by exactly-rounded IEEE-754 ops
+(+, -, *, /) over values both engines hold bit-identically, in the same
+evaluation order — so numpy and DuckDB emit identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ray.data.aggregate import Sum
+
+_I64_MIN = np.iinfo(np.int64).min
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline / Pareto front
+# ---------------------------------------------------------------------------
+
+def skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Keep mask of the maximizing 2-D skyline: row i is dominated iff some
+    row j has (x_j >= x_i and y_j >= y_i) with at least one strict. Rows
+    that tie on BOTH coordinates survive together (neither strictly
+    dominates). Vectorized via per-unique-x suffix maxima of y:
+
+        dominated(i)  <=>  max{y_j : x_j > x_i} >= y_i       (strict x)
+                        or max{y_j : x_j >= x_i} > y_i       (strict y)
+
+    Self never satisfies either disjunct, so no self-exclusion is needed.
+    O(n log n), no pairwise matrix."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.int64)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    last = np.ones(n, dtype=bool)
+    last[:-1] = xs[1:] != xs[:-1]
+    ux = xs[last]            # unique xs ascending
+    uy = ys[last]            # max y per unique x (y ascends within an x run)
+    # suffix maxima over unique xs
+    suf_ge = np.maximum.accumulate(uy[::-1])[::-1]          # x' >= ux[i]
+    suf_gt = np.append(suf_ge[1:], _I64_MIN)                # x' >  ux[i]
+    pos = np.searchsorted(ux, x)
+    dominated = (suf_gt[pos] >= y) | (suf_ge[pos] > y)
+    return ~dominated
+
+
+@ray.remote
+def _merge_skyline(x_col: str, y_col: str, *blocks: pa.Table) -> pa.Table:
+    live = [b for b in blocks if b.num_rows]
+    if not live:
+        return blocks[0].schema.empty_table() if blocks else pa.table({})
+    t = pa.concat_tables(live)
+    keep = skyline_mask(
+        t[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        t[y_col].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    return t.filter(pa.array(keep))
+
+
+def pareto_front(ds, x_col: str, y_col: str, *, sort_col: str | None = None
+                 ) -> pa.Table:
+    """Maximizing 2-D skyline of a Dataset over two int64 columns.
+
+    Plan: each block filters to its LOCAL skyline (a row dominated inside a
+    block is dominated globally, so per-block filtering is exact and
+    shrinks every block to its frontier — typically O(distinct x) rows);
+    one worker task then takes the skyline of the concatenated block
+    frontiers (the skyline of a union equals the skyline of the union of
+    per-part skylines). Returns a pyarrow Table — the front is small by
+    nature; a pathological all-frontier dataset degrades the merge to one
+    task over ~n rows, which the caller should pre-aggregate away."""
+
+    def local_front(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keep = skyline_mask(
+            t[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            t[y_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return t.filter(pa.array(keep))
+
+    partial = ds.map_batches(local_front, batch_format="pyarrow")
+    out = ray.get(
+        _merge_skyline.remote(x_col, y_col, *partial.to_arrow_refs())
+    )
+    if sort_col is not None and out.num_rows:
+        out = out.sort_by(sort_col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed NTILE (global rank without a global sort)
+# ---------------------------------------------------------------------------
+
+def ntile_of_rank(rank0: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket (1-based) of 0-based dense ranks over a total
+    order of n_total rows: the first (n_total % k) buckets get
+    ceil(n/k) rows, the rest floor(n/k) — exact integer replay of the
+    standard window-function semantics."""
+    q, r = divmod(n_total, k)
+    big = (q + 1) * r  # rows covered by the ceil-sized buckets
+    rank0 = np.asarray(rank0, np.int64)
+    tier = np.empty(len(rank0), np.int64)
+    mask = rank0 < big
+    tier[mask] = rank0[mask] // (q + 1) + 1
+    if q:  # q == 0 means n_total < k: every row sits in a ceil bucket
+        tier[~mask] = r + (rank0[~mask] - big) // q + 1
+    return tier
+
+
+@ray.remote
+def _pack_census(*blocks: pa.Table):
+    vals, cnts = [], []
+    for b in blocks:
+        if b.num_rows:
+            vals.append(b["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+            cnts.append(b["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+    v = np.concatenate(vals) if vals else np.empty(0, np.int64)
+    c = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    base = np.zeros(len(v) + 1, np.int64)
+    np.cumsum(c, out=base[1:])
+    return v, base  # base[i] = #rows with value < v[i]; base[-1] = N
+
+
+def ntile_assign(ds, value_col: str, id_col: str, k: int,
+                 num_partitions: int = 16):
+    """Global (value, id)-ordered ROW_NUMBER + NTILE(k) without a global
+    sort. Two scans:
+
+      1. value census — per-batch (value, count) partials, one groupby-sum,
+         assembled into a sorted (values, exclusive-cumsum base-rank) pair
+         in a worker task and broadcast. Assumes the DISTINCT VALUE count
+         is small relative to the corpus (true for token-count-like
+         metrics); an unbounded value domain would use a range-partitioned
+         rank instead.
+      2. one coarse hash-partition exchange keyed on value co-locates every
+         row of a value; per-partition lexsort gives the within-value id
+         rank; global 0-based rank = base[value] + within-value rank.
+
+    Output Dataset: (id_col, value_col, rnk BIGINT 1-based, tier BIGINT) —
+    bit-identical to ROW_NUMBER()/NTILE(k) OVER (ORDER BY value, id)."""
+
+    def census(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    cen = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda df: df.assign(c=df["c"].astype("int64")),
+            batch_format="pandas",
+        )
+    )
+    state_ref = _pack_census.remote(*cen.to_arrow_refs())
+    values, base = ray.get(state_ref)
+    n_total = int(base[-1]) if len(base) else 0
+    bref = ray.put((values, base))
+
+    def part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        p = hash_partition(t[value_col], num_partitions)
+        return t.append_column("__npart", pa.array(p, pa.int64()))
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__npart"])
+        if g.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 value_col: pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64()),
+                 "tier": pa.array([], pa.int64())}
+            )
+        vv, bb = ray.get(bref)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, v))
+        v_s, i_s = v[order], i[order]
+        n = len(v_s)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = v_s[1:] != v_s[:-1]
+        run_start = np.flatnonzero(starts)
+        within = np.arange(n, dtype=np.int64) - np.repeat(
+            run_start, np.diff(np.append(run_start, n))
+        )
+        rank0 = bb[np.searchsorted(vv, v_s)] + within
+        return pa.table(
+            {
+                id_col: pa.array(i_s, pa.int64()),
+                value_col: pa.array(v_s, pa.int64()),
+                "rnk": pa.array(rank0 + 1, pa.int64()),
+                "tier": pa.array(ntile_of_rank(rank0, n_total, k), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__npart")
+        .map_groups(rank_part, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup aggregate (GROUP BY ROLLUP(d1, d2))
+# ---------------------------------------------------------------------------
+
+_ALL = "<all>"
+
+
+@ray.remote
+def _rollup_cells(d1: str, d2: str, aggs: list[str], *blocks: pa.Table
+                  ) -> pa.Table:
+    """Derive the ROLLUP levels from the finest-level cell table (cells are
+    |d1 domain| x |d2 domain| rows — tiny) in one worker task. Level 0 =
+    (d1, d2), level 1 = (d1, <all>), level 2 = (<all>, <all>)."""
+    import pandas as pd
+
+    live = [b for b in blocks if b.num_rows]
+    cells = pa.concat_tables(live).to_pandas()
+    outs = []
+    lvl0 = cells.copy()
+    lvl0["lvl"] = np.int64(0)
+    outs.append(lvl0)
+    lvl1 = cells.groupby(d1, as_index=False)[aggs].sum()
+    lvl1[d2] = _ALL
+    lvl1["lvl"] = np.int64(1)
+    outs.append(lvl1)
+    lvl2 = cells[aggs].sum().to_frame().T
+    lvl2[d1] = _ALL
+    lvl2[d2] = _ALL
+    lvl2["lvl"] = np.int64(2)
+    outs.append(lvl2)
+    out = pd.concat(outs, ignore_index=True)[[d1, d2, "lvl"] + aggs]
+    out = out.sort_values(["lvl", d1, d2]).reset_index(drop=True)
+    cols = {d1: pa.array(out[d1], pa.string()),
+            d2: pa.array(out[d2], pa.string()),
+            "lvl": pa.array(out["lvl"].to_numpy(np.int64), pa.int64())}
+    for a in aggs:
+        cols[a] = pa.array(out[a].to_numpy(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def rollup_counts(ds, d1: str, d2: str, sum_col: str,
+                  n_alias: str = "n_rows", sum_alias: str = "total"
+                  ) -> pa.Table:
+    """GROUP BY ROLLUP(d1, d2) over (count(*), sum(sum_col)) — finest cells
+    via per-batch partial aggregation + ONE groupby-sum exchange; the two
+    coarser levels derive from the tiny cell table in a worker task
+    (integer sums are order-free, so the rollup is exact). Rolled-up
+    dimension values appear as '<all>' (both engines COALESCE identically).
+    Returns a pyarrow Table sorted by (lvl, d1, d2)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                d1: t[d1].to_pandas(),
+                d2: t[d2].to_pandas(),
+                sum_col: t[sum_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby([d1, d2], as_index=False).agg(
+            **{n_alias: (sum_col, "size"), sum_alias: (sum_col, "sum")}
+        )
+        return pa.table(
+            {
+                d1: pa.array(g[d1], pa.string()),
+                d2: pa.array(g[d2], pa.string()),
+                n_alias: pa.array(g[n_alias].to_numpy(np.int64), pa.int64()),
+                sum_alias: pa.array(g[sum_alias].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([d1, d2])
+        .aggregate(Sum(n_alias, alias_name=n_alias),
+                   Sum(sum_alias, alias_name=sum_alias))
+        .map_batches(
+            lambda df: df.assign(
+                **{n_alias: df[n_alias].astype("int64"),
+                   sum_alias: df[sum_alias].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+    return ray.get(
+        _rollup_cells.remote(d1, d2, [n_alias, sum_alias],
+                             *cells.to_arrow_refs())
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group IQR (Tukey) outlier fences
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _pack_fences(group_col: str, *blocks: pa.Table):
+    live = [b for b in blocks if b.num_rows]
+    t = pa.concat_tables(live)
+    g = np.asarray(t[group_col].to_pandas(), dtype=object)
+    order = np.argsort(g)
+    g = g[order]
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    q25 = t["q25"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    q75 = t["q75"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    # exactly-rounded ops in a fixed order (the SQL replays the same
+    # expressions): iqr = q75 - q25; lo = q25 - 1.5*iqr; hi = q75 + 1.5*iqr
+    iqr = q75 - q25
+    lo = q25 - 1.5 * iqr
+    hi = q75 + 1.5 * iqr
+    return g, n, q25, q75, lo, hi
+
+
+def iqr_outlier_stats(ds, group_col: str, value_col: str,
+                      num_partitions: int = 16) -> pa.Table:
+    """Per-group Tukey-fence outlier census: exact per-group quartiles
+    (grouped_quantiles — quantile_disc semantics), fences
+    lo = q25 - 1.5*(q75-q25) / hi = q75 + 1.5*(q75-q25) computed once per
+    group and broadcast, then ONE counting scan accumulating per-batch
+    (group, n_low, n_high) partials merged in a worker task. Returns a
+    pyarrow Table (group, n, q25, q75, fence_lo, fence_hi, n_low_outliers,
+    n_high_outliers) sorted by group — O(groups) rows."""
+    from lsh_apg_ray.stages.grouped import grouped_quantiles
+
+    q = grouped_quantiles(ds, group_col, value_col, qs=[0.25, 0.75],
+                          num_partitions=num_partitions)
+    groups, n, q25, q75, lo, hi = ray.get(
+        _pack_fences.remote(group_col, *q.to_arrow_refs())
+    )
+    fence_ref = ray.put((groups, lo, hi))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        gs, flo, fhi = ray.get(fence_ref)
+        gv = np.asarray(t[group_col].to_pandas(), dtype=object)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(gs, gv)
+        low = v < flo[pos]
+        high = v > fhi[pos]
+        nlo = np.bincount(pos[low], minlength=len(gs)).astype(np.int64)
+        nhi = np.bincount(pos[high], minlength=len(gs)).astype(np.int64)
+        return pa.table(
+            {
+                "__gi": pa.array(np.arange(len(gs), dtype=np.int64), pa.int64()),
+                "n_low": pa.array(nlo, pa.int64()),
+                "n_high": pa.array(nhi, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__gi")
+        .aggregate(Sum("n_low", alias_name="n_low"),
+                   Sum("n_high", alias_name="n_high"))
+        .to_pandas()  # O(groups) rows
+        .sort_values("__gi")
+    )
+    nlo = np.zeros(len(groups), np.int64)
+    nhi = np.zeros(len(groups), np.int64)
+    gi = counts["__gi"].to_numpy().astype(np.int64)
+    nlo[gi] = counts["n_low"].to_numpy().astype(np.int64)
+    nhi[gi] = counts["n_high"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            group_col: pa.array(list(groups), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "q25": pa.array(q25, pa.float64()),
+            "q75": pa.array(q75, pa.float64()),
+            "fence_lo": pa.array(lo, pa.float64()),
+            "fence_hi": pa.array(hi, pa.float64()),
+            "n_low_outliers": pa.array(nlo, pa.int64()),
+            "n_high_outliers": pa.array(nhi, pa.int64()),
+        }
+    )

@@ -342,6 +342,104 @@ def pagerank_table(edges, **kw) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+def _distinct_nodes(ds, col: str, parts: int = 16):
+    """Exact global dedupe of one int64 column (per-batch unique, one coarse
+    hash-partition exchange, per-partition unique — the distinct_edges
+    discipline on a single key). Output column name: `node`."""
+    from lsh_apg_ray.hashing import mix64
+
+    def batch(t: pa.Table) -> pa.Table:
+        v = np.unique(t[col].to_numpy(zero_copy_only=False).astype(np.int64))
+        part = (mix64(v.view(np.uint64)) % np.uint64(parts)).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(v, pa.int64()), "__npart": pa.array(part, pa.int64())}
+        )
+
+    def part(g: pa.Table) -> pa.Table:
+        v = np.unique(g["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(v, pa.int64())})
+
+    return (
+        ds.map_batches(batch, batch_format="pyarrow")
+        .groupby("__npart")
+        .map_groups(part, batch_format="pyarrow")
+    )
+
+
+def bfs_hops(edges, seeds, *, undirected: bool = True, max_rounds: int = 32,
+             join_partitions: int = 8, src: str = "src", dst: str = "dst"):
+    """Multi-source BFS hop distance: for every node reachable from the seed
+    set, the minimum number of edges to any seed. The iterative-frontier
+    dataflow (the shape of cc_distributed's rounds): per round, the frontier
+    hash-joins the edge table on src, candidate dsts are globally deduped,
+    an ANTI join against the visited set keeps only first-time nodes, and
+    the round's survivors become the next frontier with dist = round. Bytes
+    per round are O(frontier-adjacent edges); nothing is broadcast or
+    driver-resident; the only driver value per round is the frontier count
+    (the loop's stop condition, like the CC fixpoint check).
+
+    Raises if the BFS has not converged after `max_rounds` (an oracle that
+    replays the recursion with a depth cap needs the same bound).
+
+    Returns a Dataset (node:int64, hops:int64) over the reachable set."""
+    from lsh_apg_ray.joins import hash_join
+
+    i64 = pa.int64()
+    if undirected:
+        rev = edges.map_batches(
+            lambda t: pa.table(
+                {src: t[dst].cast(pa.int64()), dst: t[src].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        edges = edges.select_columns([src, dst]).union(rev)
+    e = distinct_edges(edges, src=src, dst=dst)
+
+    frontier = _distinct_nodes(seeds, seeds.schema().names[0]).materialize()
+    visited = frontier
+    out = [frontier.map_batches(
+        lambda df: df.assign(hops=np.zeros(len(df), np.int64)),
+        batch_format="pandas",
+    ).materialize()]
+
+    node_schema = pa.schema([("node", i64)])
+    edge_schema = pa.schema([("src", i64), ("dst", i64)])
+
+    for r in range(1, max_rounds + 1):
+        adj = hash_join(
+            frontier, e, left_on="node", right_on="src",
+            num_partitions=join_partitions,
+            left_schema=node_schema, right_schema=edge_schema,
+        )
+        cand = _distinct_nodes(adj.select_columns(["dst"]), "dst")
+        new = hash_join(
+            cand, visited, left_on="node", how="anti",
+            num_partitions=join_partitions,
+            left_schema=node_schema, right_schema=node_schema,
+        ).materialize()
+        if new.count() == 0:
+            break
+        out.append(new.map_batches(
+            lambda df, _r=r: df.assign(hops=np.full(len(df), _r, np.int64)),
+            batch_format="pandas",
+        ).materialize())
+        visited = visited.union(new).materialize()
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"bfs_hops did not converge within max_rounds={max_rounds}"
+        )
+
+    result = out[0]
+    for part in out[1:]:
+        result = result.union(part)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # triangle counting (exact, join-based)
 # ---------------------------------------------------------------------------
 

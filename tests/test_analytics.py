@@ -1,0 +1,224 @@
+"""Relational-analytics tier (stages/analytics.py + pagerank.bfs_hops):
+skyline vs an O(n^2) naive, NTILE vs DuckDB window semantics, rollup vs a
+pandas replay, IQR fences vs a DuckDB replay, BFS hops vs a pure-Python
+BFS — each also checked for block-split independence (the distributed
+plans must not depend on batch boundaries)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.stages.analytics import (
+    iqr_outlier_stats,
+    ntile_assign,
+    ntile_of_rank,
+    pareto_front,
+    rollup_counts,
+    skyline_mask,
+)
+from lsh_apg_ray.stages.pagerank import bfs_hops
+
+
+def naive_skyline(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    n = len(x)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        keep[i] = not dom.any()
+    return keep
+
+
+def test_skyline_mask_matches_naive():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        # small value range forces heavy x/y ties (the tricky cases)
+        x = rng.integers(0, 12, 200).astype(np.int64)
+        y = rng.integers(0, 12, 200).astype(np.int64)
+        np.testing.assert_array_equal(skyline_mask(x, y), naive_skyline(x, y))
+
+
+def test_skyline_duplicates_survive_together():
+    # two identical undominated points: neither strictly dominates the other
+    x = np.array([5, 5, 1], np.int64)
+    y = np.array([5, 5, 9], np.int64)
+    np.testing.assert_array_equal(skyline_mask(x, y), [True, True, True])
+    # but a strictly-greater third point kills both copies
+    x = np.array([5, 5, 6], np.int64)
+    y = np.array([5, 5, 6], np.int64)
+    np.testing.assert_array_equal(skyline_mask(x, y), [False, False, True])
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_pareto_front_block_independent(blocks):
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "x": pa.array(rng.integers(0, 40, n).astype(np.int64), pa.int64()),
+            "y": pa.array(rng.integers(0, 40, n).astype(np.int64), pa.int64()),
+        }
+    )
+    out = pareto_front(rd.from_arrow(t).repartition(blocks), "x", "y",
+                       sort_col="id")
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    want = np.flatnonzero(naive_skyline(x, y))
+    np.testing.assert_array_equal(out["id"].to_numpy(), want)
+
+
+def test_ntile_of_rank_matches_duckdb():
+    con = duckdb.connect()
+    for n, k in [(10, 4), (7, 7), (3, 10), (100, 9), (1, 3)]:
+        got = ntile_of_rank(np.arange(n), n, k)
+        want = con.execute(
+            f"SELECT ntile({k}) OVER (ORDER BY r) FROM range({n}) t(r)"
+        ).fetchnumpy()
+        np.testing.assert_array_equal(got, next(iter(want.values())))
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_ntile_assign_matches_duckdb(blocks):
+    rng = np.random.default_rng(3)
+    n = 400
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 25, n).astype(np.int64)  # heavy value ties
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    out = (
+        ntile_assign(rd.from_arrow(t).repartition(blocks), "v", "doc_id", k=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        """SELECT doc_id, v, CAST(row_number() OVER w AS BIGINT) rnk,
+                  CAST(ntile(6) OVER w AS BIGINT) tier
+           FROM t WINDOW w AS (ORDER BY v, doc_id) ORDER BY doc_id"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_rollup_counts_matches_pandas():
+    rng = np.random.default_rng(5)
+    n = 300
+    d1 = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    d2 = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    v = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table({"d1": pa.array(d1), "d2": pa.array(d2),
+                  "v": pa.array(v, pa.int64())})
+    out = rollup_counts(rd.from_arrow(t).repartition(4), "d1", "d2", "v",
+                        n_alias="n", sum_alias="s").to_pandas()
+    df = pd.DataFrame({"d1": d1, "d2": d2, "v": v})
+    fine = df.groupby(["d1", "d2"], as_index=False).agg(
+        n=("v", "size"), s=("v", "sum"))
+    fine["lvl"] = 0
+    mid = df.groupby("d1", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+    mid["d2"] = "<all>"
+    mid["lvl"] = 1
+    top = pd.DataFrame({"d1": ["<all>"], "d2": ["<all>"], "lvl": [2],
+                        "n": [n], "s": [int(v.sum())]})
+    want = (
+        pd.concat([fine, mid, top], ignore_index=True)
+        [["d1", "d2", "lvl", "n", "s"]]
+        .sort_values(["lvl", "d1", "d2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_iqr_outliers_matches_duckdb():
+    rng = np.random.default_rng(9)
+    n = 2000
+    grp = np.array(["g1", "g2", "g3"])[rng.integers(0, 3, n)]
+    val = np.round(rng.normal(0, 10, n), 3)
+    val[rng.integers(0, n, 25)] += 200.0  # plant high outliers
+    val[rng.integers(0, n, 10)] -= 200.0
+    t = pa.table({"g": pa.array(grp), "v": pa.array(val, pa.float64())})
+    out = iqr_outlier_stats(rd.from_arrow(t).repartition(5), "g", "v")
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        """WITH q AS (SELECT g, CAST(count(*) AS BIGINT) n,
+                 quantile_disc(v, 0.25) q25, quantile_disc(v, 0.75) q75
+               FROM t GROUP BY 1),
+           f AS (SELECT g, n, q25, q75, q25 - 1.5*(q75-q25) fence_lo,
+                        q75 + 1.5*(q75-q25) fence_hi FROM q)
+           SELECT f.g, f.n, f.q25, f.q75, f.fence_lo, f.fence_hi,
+              CAST(coalesce(sum(CASE WHEN t.v < f.fence_lo THEN 1 END),0) AS BIGINT) n_low_outliers,
+              CAST(coalesce(sum(CASE WHEN t.v > f.fence_hi THEN 1 END),0) AS BIGINT) n_high_outliers
+           FROM f JOIN t USING (g) GROUP BY 1,2,3,4,5,6 ORDER BY 1"""
+    ).fetchdf()
+    got = out.to_pandas()
+    assert (got["n_high_outliers"].sum(), got["n_low_outliers"].sum()) != (0, 0)
+    pd.testing.assert_frame_equal(
+        got.rename(columns={"g": "g"}), want, check_dtype=False)
+
+
+def naive_bfs(edges: list[tuple[int, int]], seeds: list[int]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    r = 0
+    while frontier:
+        r += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = r
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_bfs_hops_matches_naive(blocks):
+    rng = np.random.default_rng(13)
+    n_nodes, n_edges = 120, 300
+    es = [(int(a), int(b)) for a, b in
+          rng.integers(0, n_nodes, (n_edges, 2)) if a != b]
+    seeds = [0, 7, 55]
+    t = pa.table({"src": pa.array([a for a, _ in es], pa.int64()),
+                  "dst": pa.array([b for _, b in es], pa.int64())})
+    st = pa.table({"node": pa.array(seeds, pa.int64())})
+    out = (
+        bfs_hops(rd.from_arrow(t).repartition(blocks), rd.from_arrow(st),
+                 undirected=True)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    want = naive_bfs(es, seeds)
+    got = dict(zip(out["node"].astype(int), out["hops"].astype(int)))
+    assert got == want
+    assert out["hops"].max() >= 2  # the graph is sparse enough to need rounds
+
+
+def test_bfs_isolated_seed_and_unreachable_node():
+    # seed 99 touches no edge (hops 0, degree 0); node 5 is unreachable
+    es = [(1, 2), (2, 3), (5, 6)]
+    t = pa.table({"src": pa.array([a for a, _ in es], pa.int64()),
+                  "dst": pa.array([b for _, b in es], pa.int64())})
+    st = pa.table({"node": pa.array([1, 99], pa.int64())})
+    out = bfs_hops(rd.from_arrow(t), rd.from_arrow(st)).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["hops"].astype(int)))
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2}
+
+
+def test_bfs_max_rounds_raises():
+    # a path graph longer than max_rounds must raise, not silently truncate
+    es = [(i, i + 1) for i in range(10)]
+    t = pa.table({"src": pa.array([a for a, _ in es], pa.int64()),
+                  "dst": pa.array([b for _, b in es], pa.int64())})
+    st = pa.table({"node": pa.array([0], pa.int64())})
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        bfs_hops(rd.from_arrow(t), rd.from_arrow(st), max_rounds=3)
