@@ -5187,6 +5187,79 @@ SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY 1 ORDER BY 1
 SQL_CLICK_BFS_HOPS = _sql_click_bfs()
 
 
+def q_item_cooccur(sf_dir: str):
+    """Item-item collaborative-filtering similarity over co-clicks: for
+    item pairs sharing >= 2 users, cosine = co / sqrt(deg_a * deg_b) —
+    candidate_pairs with the USER as the bucket key (its co-occurrence
+    count IS the shared-user count), degree census + two partitioned
+    joins, bit-exact float contract (stages/allpairs.py:
+    cooccur_cosine_pairs)."""
+    from lsh_apg_ray.stages.allpairs import cooccur_cosine_pairs
+    from lsh_apg_ray.stages.pagerank import distinct_edges
+
+    ui = distinct_edges(_click_edges(sf_dir))  # (src=user node, dst=item node)
+
+    def decode(t: pa.Table) -> pa.Table:
+        item = (t["dst"].to_numpy(zero_copy_only=False).astype(np.int64) - 1) // 2
+        return pa.table(
+            {
+                "band_hash": t["src"].cast(pa.int64()),
+                "doc_id": pa.array(item, pa.int64()),
+            }
+        )
+
+    ui = ui.map_batches(decode, batch_format="pyarrow")
+    return cooccur_cosine_pairs(ui, _cfg(max_bucket=1_000_000), min_co=2)
+
+
+SQL_ITEM_COOCCUR = """
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS i
+  FROM events WHERE event_type = 'click'
+), deg AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS d FROM ui GROUP BY 1
+), co AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS co_users
+  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT co.item_a, co.item_b, co.co_users, da.d AS deg_a, db.d AS deg_b,
+       co.co_users / sqrt(da.d * db.d) AS cosine
+FROM co
+JOIN deg da ON da.i = co.item_a
+JOIN deg db ON db.i = co.item_b
+WHERE co.co_users >= 2
+ORDER BY 1, 2
+"""
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Entity-resolution fuzzy join: all customer-name pairs at edit
+    distance exactly 1, via the lossless SymSpell deletion-neighborhood
+    bucket join + vectorized byte-matrix verify (stages/fuzzy.py). The
+    oracle recomputes with DuckDB's levenshtein over the distinct-name
+    cross join, so the value hash gates candidate completeness AND the
+    verify kernel."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.fuzzy import fuzzy_name_pairs
+
+    ds = read_table(sf_dir, "customer", columns=["c_name"])
+    return fuzzy_name_pairs(ds, "c_name", min_len=4,
+                            cfg=_cfg(max_bucket=1_000_000))
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH v AS (
+  SELECT DISTINCT c_name AS nm FROM customer WHERE len(c_name) >= 4
+)
+SELECT a.nm AS name_a, b.nm AS name_b
+FROM v a JOIN v b
+  ON a.nm < b.nm AND levenshtein(a.nm, b.nm) = 1
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -5259,6 +5332,8 @@ QUERIES = {
     "graph_knn": q_graph_knn,
     "lang_rollup": q_lang_rollup,
     "fk_integrity": q_fk_integrity,
+    "item_cooccur": q_item_cooccur,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5427,6 +5502,8 @@ ORACLE_SQL = {
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "fk_integrity": SQL_FK_INTEGRITY,
     "click_bfs_hops": SQL_CLICK_BFS_HOPS,
+    "item_cooccur": SQL_ITEM_COOCCUR,
+    "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

@@ -210,3 +210,67 @@ def weighted_similarity_join(ds, cfg: DedupConfig, threshold: float | None = Non
 
     sizes = _count_by_key(inst, "doc_id", "n_shingles", cfg.join_partitions)
     return _score_pairs(inter, sizes, cfg, theta)
+
+
+def cooccur_cosine_pairs(ui_ds, cfg: DedupConfig, *, min_co: int = 2):
+    """Exact co-occurrence cosine similarity over a bipartite incidence
+    table — the item-item collaborative-filtering join ("users who clicked
+    A also clicked B"). Input: DISTINCT (band_hash=context, doc_id=item)
+    rows (context = user/session/doc; the caller dedupes — distinct_edges).
+
+        cosine(a, b) = co(a, b) / sqrt(deg(a) * deg(b))
+
+    Dataflow is 100% the dedup tier's machinery with context as the bucket
+    key: candidate_pairs' co-occurrence count IS co(a, b) (rows are
+    distinct, so the pair-dedup count equals the shared-context count);
+    degrees come from the same ids-only census used by the weighted join;
+    two partitioned hash joins attach endpoint degrees. Skew contract:
+    exactness requires no context bucket to overflow cfg.max_bucket (a
+    power user's C(n,2) pair fan-out is inherent to the measure — the cap
+    is the explicit recall lever, and bucket_stats reports any overflow);
+    per-context pair volume is the scale knob, exactly
+    exact_similarity_join's caveat.
+
+    Float contract: co, deg < 2^53 convert to float64 exactly; sqrt and
+    divide are exactly rounded, so both engines emit bit-identical cosine
+    doubles (the bm25 rule). Output: (item_a, item_b, co_users, deg_a,
+    deg_b, cosine) for pairs with co >= min_co."""
+    from lsh_apg_ray.stages.code import _count_by_key
+
+    i64 = pa.int64()
+    inter = rename_ds(candidate_pairs(ui_ds, cfg), {"n_bands": "co_users"})
+    deg = _count_by_key(ui_ds, "doc_id", "deg", cfg.join_partitions)
+    pair_schema = pa.schema([("id_a", i64), ("id_b", i64), ("co_users", i64)])
+    da_schema = pa.schema([("id_a", i64), ("deg_a", i64)])
+    db_schema = pa.schema([("id_b", i64), ("deg_b", i64)])
+    ja = hash_join(
+        inter, rename_ds(deg, {"doc_id": "id_a", "deg": "deg_a"}), "id_a",
+        num_partitions=cfg.join_partitions,
+        left_schema=pair_schema, right_schema=da_schema,
+    )
+    jb = hash_join(
+        ja, rename_ds(deg, {"doc_id": "id_b", "deg": "deg_b"}), "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(pair_schema, da_schema, "id_a"),
+        right_schema=db_schema,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        co = t["co_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = co >= min_co
+        t = t.filter(pa.array(keep))
+        co = co[keep]
+        da = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = co.astype(np.float64) / np.sqrt((da * db).astype(np.float64))
+        return pa.table(
+            {
+                "item_a": t["id_a"], "item_b": t["id_b"],
+                "co_users": pa.array(co, pa.int64()),
+                "deg_a": pa.array(da, pa.int64()),
+                "deg_b": pa.array(db, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return jb.map_batches(score, batch_format="pyarrow")

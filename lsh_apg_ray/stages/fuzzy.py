@@ -1,0 +1,209 @@
+"""Fuzzy string matching: exact edit-distance-1 similarity join over a
+string column (entity-name resolution / typo-pair mining).
+
+Candidate generation is the SymSpell deletion-neighborhood join (Garbe's
+symmetric-delete algorithm, itself the classic k=1 case of Mor-Fraenkel
+dictionaries): every string s emits the key set K(s) = {s} ∪ {s minus char
+i}. Two distinct strings with levenshtein(a, b) = 1 ALWAYS share a key —
+substitution at i gives del_i(a) = del_i(b); a deletion makes b itself a
+member of K(a); insertion is the symmetric case — so bucketing on deletion
+keys is a LOSSLESS candidate filter, the same shape as the dedup tier's
+band buckets (stages/pairs.py J1): explode to (key, id) rows, groupby
+key, emit pairs, exact-verify. No pairwise scan ever happens; candidate
+volume is bounded by Σ C(bucket, 2) over deletion-key buckets.
+
+Cardinality note: the per-string Python loop building deletion keys runs
+over DISTINCT names only (entity/vocabulary cardinality, never corpus
+cardinality — the distinct pass precedes it); the verify kernel is fully
+vectorized over padded byte matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.config import DedupConfig
+
+
+def _distinct_strings(ds, col: str, min_len: int, parts: int = 16):
+    """Exact global distinct of a string column (length-filtered): per-batch
+    dictionary distinct, one coarse hash exchange on the string hash,
+    per-partition distinct. Output column: `name`."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.hashing import hash64_bytes
+
+    def batch(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = c.drop_null()
+        c = c.filter(pc.greater_equal(pc.utf8_length(c), min_len))
+        u = pc.unique(c)
+        names = u.to_pylist()
+        part = np.fromiter(
+            (hash64_bytes(s.encode()) % parts for s in names),
+            dtype=np.int64, count=len(names),
+        )
+        return pa.table(
+            {"name": u, "__fpart": pa.array(part, pa.int64())}
+        )
+
+    def part_distinct(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        c = g["name"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({"name": pc2.unique(c)})
+
+    return (
+        ds.map_batches(batch, batch_format="pyarrow")
+        .groupby("__fpart")
+        .map_groups(part_distinct, batch_format="pyarrow")
+    )
+
+
+def _pad_bytes(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(n, maxlen) uint8 matrix of UTF-8 bytes padded with 0, plus lengths."""
+    bs = [s.encode() for s in names]
+    lens = np.fromiter((len(b) for b in bs), np.int64, count=len(bs))
+    width = int(lens.max()) if len(bs) else 0
+    mat = np.zeros((len(bs), width), np.uint8)
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return mat, lens
+
+
+def edit1_mask(a_names: list[str], b_names: list[str]) -> np.ndarray:
+    """Vectorized exact levenshtein(a, b) == 1 over parallel name lists.
+
+    Equal length: exactly one mismatching byte position. Length diff 1:
+    the longer equals the shorter with one byte inserted — checked as
+    prefix-mismatch alignment (bytes before the first mismatch equal, and
+    the longer shifted left by one equals the shorter from the mismatch
+    on). Length diff > 1: False. All matrix ops, no per-pair Python."""
+    n = len(a_names)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    am, al = _pad_bytes(a_names)
+    bm, bl = _pad_bytes(b_names)
+    width = max(am.shape[1], bm.shape[1])
+    if am.shape[1] < width:
+        am = np.pad(am, ((0, 0), (0, width - am.shape[1])))
+    if bm.shape[1] < width:
+        bm = np.pad(bm, ((0, 0), (0, width - bm.shape[1])))
+    out = np.zeros(n, dtype=bool)
+
+    eq_len = al == bl
+    if eq_len.any():
+        diff = (am[eq_len] != bm[eq_len]).sum(axis=1)
+        out[np.flatnonzero(eq_len)[diff == 1]] = True
+
+    d1 = np.abs(al - bl) == 1
+    if d1.any():
+        idx = np.flatnonzero(d1)
+        # orient: L = longer row, S = shorter row
+        a_long = al[idx] > bl[idx]
+        L = np.where(a_long[:, None], am[idx], bm[idx])
+        S = np.where(a_long[:, None], bm[idx], am[idx])
+        slen = np.minimum(al[idx], bl[idx])
+        ne = L != S
+        # first mismatch position (slen if none within the padded width)
+        first = np.where(ne.any(axis=1), ne.argmax(axis=1), width)
+        first = np.minimum(first, slen)  # insertion may be at the end
+        # after dropping L[first], the tails must match:
+        # L[first+1 : llen] == S[first : slen]
+        Ls = np.zeros_like(L)
+        Ls[:, :-1] = L[:, 1:]  # L shifted left by one
+        tail_ok = np.ones(len(idx), dtype=bool)
+        cols = np.arange(width)[None, :]
+        tail_region = (cols >= first[:, None]) & (cols < slen[:, None])
+        tail_ok = ~((Ls != S) & tail_region).any(axis=1)
+        out[idx[tail_ok]] = True
+    return out
+
+
+def fuzzy_name_pairs(ds, name_col: str, *, min_len: int = 4,
+                     cfg: DedupConfig | None = None):
+    """All distinct-string pairs of `name_col` at levenshtein distance
+    EXACTLY 1 (the entity-resolution / typo-candidate join). Returns a
+    Dataset (name_a, name_b) with name_a < name_b lexicographically.
+
+    Dataflow: distinct strings (one coarse exchange) -> per-name deletion
+    keys exploded to (band_hash, doc_id=name-hash) rows -> the shared
+    candidate_pairs bucket join (groupby key, pair emission, pair dedup)
+    -> name strings re-attached to both endpoints via partitioned hash
+    joins -> vectorized exact edit-distance-1 verify. Name identity
+    through the shuffle is the 64-bit blake2b hash (the repo-wide
+    hash-identity contract — the oracle compares true strings, so the
+    value hash also gates hash identity)."""
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.hashing import hash64_bytes
+    from lsh_apg_ray.joins import hash_join, out_schema
+    from lsh_apg_ray.stages.pairs import candidate_pairs
+
+    cfg = cfg or DedupConfig(max_bucket=1_000_000)
+    names = _distinct_strings(ds, name_col, min_len).materialize()
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        ns = t["name"].to_pylist()
+        keys: list[int] = []
+        ids: list[int] = []
+        for s in ns:  # distinct-name cardinality, not corpus cardinality
+            b = s.encode()
+            h = np.int64(np.uint64(hash64_bytes(b)) >> np.uint64(1))
+            for k in range(len(b) + 1):
+                kb = b if k == len(b) else b[:k] + b[k + 1:]
+                keys.append(int(hash64_bytes(kb)))
+                ids.append(int(h))
+        kk = np.array(keys, np.uint64).view(np.int64)  # signed wrap of u64
+        return pa.table(
+            {
+                "band_hash": pa.array(kk, pa.int64()),
+                "doc_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            }
+        )
+
+    band = names.map_batches(explode_keys, batch_format="pyarrow")
+    pairs = candidate_pairs(band, cfg).select_columns(["id_a", "id_b"])
+
+    def name_ids(t: pa.Table) -> pa.Table:
+        ns = t["name"].to_pylist()
+        h = np.fromiter(
+            (np.uint64(hash64_bytes(s.encode())) >> np.uint64(1) for s in ns),
+            dtype=np.int64, count=len(ns),
+        )
+        return pa.table({"nid": pa.array(h, pa.int64()), "nm": t["name"]})
+
+    nm = names.map_batches(name_ids, batch_format="pyarrow")
+    i64, s = pa.int64(), pa.string()
+    pair_schema = pa.schema([("id_a", i64), ("id_b", i64)])
+    na_schema = pa.schema([("id_a", i64), ("name_a", s)])
+    nb_schema = pa.schema([("id_b", i64), ("name_b", s)])
+    ja = hash_join(
+        pairs, rename_ds(nm, {"nid": "id_a", "nm": "name_a"}), "id_a",
+        num_partitions=cfg.join_partitions,
+        left_schema=pair_schema, right_schema=na_schema,
+    )
+    jb = hash_join(
+        ja, rename_ds(nm, {"nid": "id_b", "nm": "name_b"}), "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(pair_schema, na_schema, "id_a"),
+        right_schema=nb_schema,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["name_a"].to_pylist()
+        b = t["name_b"].to_pylist()
+        ok = edit1_mask(a, b)
+        aa = np.array(a, dtype=object)[ok]
+        bb = np.array(b, dtype=object)[ok]
+        lo = np.where(aa < bb, aa, bb)
+        hi = np.where(aa < bb, bb, aa)
+        return pa.table(
+            {"name_a": pa.array(list(lo), s), "name_b": pa.array(list(hi), s)}
+        )
+
+    return jb.map_batches(verify, batch_format="pyarrow")

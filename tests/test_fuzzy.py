@@ -1,0 +1,122 @@
+"""Fuzzy edit-distance-1 join (stages/fuzzy.py) and co-occurrence cosine
+(allpairs.cooccur_cosine_pairs): verified against pure-Python Levenshtein /
+pandas replays, with block-split independence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.config import DedupConfig
+from lsh_apg_ray.stages.allpairs import cooccur_cosine_pairs
+from lsh_apg_ray.stages.fuzzy import edit1_mask, fuzzy_name_pairs
+
+
+def lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def _rand_names(rng, n=120):
+    base = ["".join(rng.choice(list("abcx0"), size=rng.integers(4, 9)))
+            for _ in range(n)]
+    # plant guaranteed ed-1 neighbors of every shape
+    planted = []
+    for s in base[:20]:
+        planted.append(s[:2] + "z" + s[3:])    # substitution
+        planted.append(s[:3] + "q" + s[3:])    # insertion
+        planted.append(s[:3] + s[4:])          # deletion
+    return sorted(set(base + planted))
+
+
+def test_edit1_mask_matches_levenshtein():
+    rng = np.random.default_rng(21)
+    names = _rand_names(rng)
+    a_list, b_list, want = [], [], []
+    for i in range(0, len(names) - 1, 1):
+        a, b = names[i], names[i + 1]
+        a_list.append(a)
+        b_list.append(b)
+        want.append(lev(a, b) == 1)
+    # plus explicit shape cases
+    extra = [
+        ("abcd", "abcd", False),   # equal
+        ("abcd", "abed", True),    # substitution
+        ("abcd", "abcde", True),   # append at end
+        ("abcd", "zabcd", True),   # prepend
+        ("abcd", "abd", True),     # deletion mid
+        ("abcd", "badc", False),   # two swaps
+        ("abcd", "abcdef", False), # len diff 2
+    ]
+    for a, b, w in extra:
+        a_list.append(a)
+        b_list.append(b)
+        want.append(w)
+    np.testing.assert_array_equal(edit1_mask(a_list, b_list), want)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_fuzzy_name_pairs_matches_naive(blocks):
+    rng = np.random.default_rng(23)
+    names = _rand_names(rng, 80)
+    rows = names + names[:10]  # duplicates must not duplicate pairs
+    t = pa.table({"nm": pa.array(rows, pa.string())})
+    out = (
+        fuzzy_name_pairs(rd.from_arrow(t).repartition(blocks), "nm",
+                         min_len=4, cfg=DedupConfig(max_bucket=1_000_000))
+        .to_pandas().sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    )
+    vocab = sorted({s for s in rows if len(s) >= 4})
+    want = pd.DataFrame(
+        [(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+         if abs(len(a) - len(b)) <= 1 and lev(a, b) == 1],
+        columns=["name_a", "name_b"],
+    )
+    assert len(want) > 10  # the planted neighbors make this non-trivial
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_cooccur_cosine_matches_pandas(blocks):
+    rng = np.random.default_rng(29)
+    n = 600
+    users = rng.integers(0, 40, n).astype(np.int64)
+    items = rng.integers(100, 130, n).astype(np.int64)
+    df = pd.DataFrame({"u": users, "i": items}).drop_duplicates()
+    t = pa.table({"band_hash": pa.array(df["u"].to_numpy(), pa.int64()),
+                  "doc_id": pa.array(df["i"].to_numpy(), pa.int64())})
+    out = (
+        cooccur_cosine_pairs(
+            rd.from_arrow(t).repartition(blocks),
+            DedupConfig(max_bucket=1_000_000, join_partitions=4), min_co=2)
+        .to_pandas().sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    )
+    m = df.merge(df, on="u")
+    m = m[m["i_x"] < m["i_y"]]
+    co = m.groupby(["i_x", "i_y"], as_index=False).size()
+    co = co[co["size"] >= 2]
+    deg = df.groupby("i").size()
+    want = pd.DataFrame(
+        {
+            "item_a": co["i_x"].to_numpy(np.int64),
+            "item_b": co["i_y"].to_numpy(np.int64),
+            "co_users": co["size"].to_numpy(np.int64),
+            "deg_a": deg.loc[co["i_x"]].to_numpy(np.int64),
+            "deg_b": deg.loc[co["i_y"]].to_numpy(np.int64),
+        }
+    ).sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    want["cosine"] = want["co_users"].to_numpy(np.float64) / np.sqrt(
+        (want["deg_a"] * want["deg_b"]).to_numpy(np.float64))
+    assert len(want) > 20
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
