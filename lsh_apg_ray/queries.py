@@ -5260,6 +5260,181 @@ ORDER BY 1, 2
 """
 
 
+def q_snapshot_merge(sf_dir: str):
+    """CDC merge (MERGE INTO): fold a deterministic change feed (updates
+    for doc_id%5==0, deletes for %11==0 — delete wins the overlap —
+    inserts at id+2e6 for %17==0) into the documents snapshot via
+    stages/diff.py:apply_changes (upserts UNION snapshot-ANTI-changed-keys,
+    one partitioned anti join, no outer join)."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.stages.diff import apply_changes
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        upd = (ids % 5 == 0) & (ids % 11 != 0)
+        dele = ids % 11 == 0
+        ins = ids % 17 == 0
+        parts = [
+            pa.table(
+                {
+                    "doc_id": pa.array(ids[upd], pa.int64()),
+                    "text": pc.binary_join_element_wise(
+                        text.filter(pa.array(upd)), " rev2", ""),
+                    "op": pa.array(["U"] * int(upd.sum()), pa.string()),
+                }
+            ),
+            pa.table(
+                {
+                    "doc_id": pa.array(ids[dele], pa.int64()),
+                    "text": pa.nulls(int(dele.sum()), pa.string()),
+                    "op": pa.array(["D"] * int(dele.sum()), pa.string()),
+                }
+            ),
+            pa.table(
+                {
+                    "doc_id": pa.array(ids[ins] + 2_000_000, pa.int64()),
+                    "text": pc.binary_join_element_wise(
+                        text.filter(pa.array(ins)), " ins", ""),
+                    "op": pa.array(["U"] * int(ins.sum()), pa.string()),
+                }
+            ),
+        ]
+        return pa.concat_tables(parts)
+
+    changes = docs.map_batches(change_rows, batch_format="pyarrow")
+    return apply_changes(docs, changes, join_partitions=4)
+
+
+SQL_SNAPSHOT_MERGE = """
+WITH ch AS (
+  SELECT doc_id, text || ' rev2' AS text, 'U' AS op FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id, NULL, 'D' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' ins', 'U' FROM documents
+  WHERE doc_id % 17 = 0
+)
+SELECT s.doc_id, s.text FROM documents s
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = s.doc_id)
+UNION ALL
+SELECT doc_id, text FROM ch WHERE op = 'U'
+ORDER BY doc_id
+"""
+
+
+def q_lang_percent_rank(sf_dir: str):
+    """Partitioned window functions without a global sort: per-language
+    ROW_NUMBER + PERCENT_RANK of each doc's token count
+    (stages/analytics.py:grouped_rank — per-(lang, value) census broadcast
+    for the base rank, one composite-key coarse exchange for the
+    within-value rank; percent_rank's single division is exactly rounded
+    on both engines)."""
+    from lsh_apg_ray.hashing import arrow_token_index
+    from lsh_apg_ray.stages.analytics import grouped_rank
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], r"[a-z0-9_]+")
+        _, offsets, _ = ti
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": pa.array(np.diff(offsets).astype(np.int64),
+                                     pa.int64()),
+            }
+        )
+
+    feats = ds.map_batches(counts, batch_format="pyarrow")
+    return grouped_rank(feats, "lang", "n_tokens", "doc_id")
+
+
+SQL_LANG_PERCENT_RANK = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_TOKENIZER_SQL} AS n_tokens FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       percent_rank() OVER w AS pct
+FROM d WINDOW w AS (PARTITION BY lang ORDER BY n_tokens, doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_pushdown_scan(sf_dir: str):
+    """Filter + projection pushdown at the READ (the prune-at-the-read
+    discipline made an explicit gated surface): scan lineitem with a
+    row-level PyArrow filter expression and a 3-column projection pushed
+    into the parquet fragment scanner — only matching rows and named
+    columns leave storage — then integer aggregates (row count, quantity
+    volume, distinct orders via the coarse-distinct exchange)."""
+    import datetime
+    import os as _os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.stages.pagerank import _distinct_nodes
+
+    expr = (
+        (pc.field("l_shipdate") >= pa.scalar(datetime.datetime(1995, 1, 1)))
+        & (pc.field("l_shipdate") < pa.scalar(datetime.datetime(1996, 1, 1)))
+        & (pc.field("l_discount") >= pa.scalar(0.05))
+    )
+    ds = rd.read_parquet(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_shipdate", "l_discount"],
+        filter=expr,
+    ).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_qty": pa.array([int(q.astype(np.int64).sum())],
+                                    pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("n_rows", alias_name="n"),
+                   Sum("sum_qty", alias_name="q"))
+    )
+    n_orders = _distinct_nodes(
+        ds.select_columns(["l_orderkey"]), "l_orderkey"
+    ).count()
+    return pa.table(
+        {
+            "n_rows": pa.array([int(sums["n"])], pa.int64()),
+            "sum_qty": pa.array([int(sums["q"])], pa.int64()),
+            "n_orders": pa.array([int(n_orders)], pa.int64()),
+        }
+    )
+
+
+SQL_PUSHDOWN_SCAN = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -5334,6 +5509,9 @@ QUERIES = {
     "fk_integrity": q_fk_integrity,
     "item_cooccur": q_item_cooccur,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "snapshot_merge": q_snapshot_merge,
+    "lang_percent_rank": q_lang_percent_rank,
+    "pushdown_scan": q_pushdown_scan,
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5504,6 +5682,9 @@ ORACLE_SQL = {
     "click_bfs_hops": SQL_CLICK_BFS_HOPS,
     "item_cooccur": SQL_ITEM_COOCCUR,
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+    "snapshot_merge": SQL_SNAPSHOT_MERGE,
+    "lang_percent_rank": SQL_LANG_PERCENT_RANK,
+    "pushdown_scan": SQL_PUSHDOWN_SCAN,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

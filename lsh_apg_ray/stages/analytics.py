@@ -226,6 +226,148 @@ def ntile_assign(ds, value_col: str, id_col: str, k: int,
 
 
 # ---------------------------------------------------------------------------
+# grouped window rank / percent_rank (global per-group order, no global sort)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _pack_group_census(*blocks: pa.Table):
+    """{group: (sorted values, exclusive-cumsum base, n)} from (g, v, c)
+    census cells, assembled in a worker task."""
+    import pandas as pd
+
+    live = [b for b in blocks if b.num_rows]
+    if not live:
+        return {}
+    df = pa.concat_tables(live).to_pandas().sort_values(["g", "v"])
+    out: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for g, part in df.groupby("g", sort=False):
+        v = part["v"].to_numpy(np.int64)
+        c = part["c"].to_numpy(np.int64)
+        base = np.zeros(len(v) + 1, np.int64)
+        np.cumsum(c, out=base[1:])
+        out[g] = (v, base, int(base[-1]))
+    return out
+
+
+def grouped_rank(ds, group_col: str, value_col: str, id_col: str,
+                 num_partitions: int = 16):
+    """Per-group ROW_NUMBER + PERCENT_RANK over the within-group total order
+    (value, id) — the partitioned-window op — without sorting any group in
+    one place. Same two-scan shape as ntile_assign, with the census keyed
+    on (group, value): scan 1 builds the per-group value census (assumes a
+    bounded per-group value domain — token-count-like metrics), broadcast
+    as {group: (values, base, n)}; scan 2 is ONE coarse exchange on the
+    (group, value) composite key (stable string hash — the
+    events_window_distinct discipline) whose per-partition lexsort yields
+    the within-(group, value) id rank.
+
+    percent_rank = (rnk-1)/(n_group-1) (0.0 for singleton groups): exact
+    int64 -> float64 conversions and one exactly-rounded division, so both
+    engines emit identical doubles. Ordering is unique (ids are unique), so
+    RANK == ROW_NUMBER and the SQL window replays exactly.
+
+    Output: (id_col, group_col, value_col, rnk BIGINT, pct DOUBLE)."""
+    from lsh_apg_ray.hashing import hash64_bytes, mix64
+
+    def census(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = t[group_col].to_pandas()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = (
+            pd.DataFrame({"g": g, "v": v})
+            .groupby(["g", "v"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "g": pa.array(cells["g"], pa.string()),
+                "v": pa.array(cells["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(cells["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(lambda df: df.assign(c=df["c"].astype("int64")),
+                     batch_format="pandas")
+    )
+    state = ray.get(_pack_group_census.remote(*cen.to_arrow_refs()))
+    sref = ray.put(state)
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        import pyarrow.compute as pc
+
+        de = pc.dictionary_encode(g)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_h = np.fromiter(
+            (hash64_bytes(s.encode()) for s in de.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(de.dictionary),
+        )
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (
+            mix64(v.view(np.uint64) ^ dict_h[codes])
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column("__rpart", pa.array(p, pa.int64()))
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__rpart"])
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 group_col: pa.array([], pa.string()),
+                 value_col: pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64()),
+                 "pct": pa.array([], pa.float64())}
+            )
+        st = ray.get(sref)
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, v, g))
+        g_s, v_s, i_s = g[order], v[order], i[order]
+        n = len(g_s)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+        run_start = np.flatnonzero(starts)
+        within = np.arange(n, dtype=np.int64) - np.repeat(
+            run_start, np.diff(np.append(run_start, n))
+        )
+        rnk = np.empty(n, np.int64)
+        pct = np.empty(n, np.float64)
+        run_lens = np.diff(np.append(run_start, n))
+        # one lookup per (group, value) RUN — census-cardinality, not rows
+        for s0, rl in zip(run_start, run_lens):
+            sl = slice(s0, s0 + int(rl))
+            vals, base, ng = st[g_s[s0]]
+            pos = np.searchsorted(vals, v_s[s0])
+            rnk[sl] = base[pos] + within[sl] + 1
+            denom = float(ng - 1) if ng > 1 else 1.0
+            pct[sl] = (rnk[sl] - 1).astype(np.float64) / denom
+        return pa.table(
+            {
+                id_col: pa.array(i_s, pa.int64()),
+                group_col: pa.array(list(g_s), pa.string()),
+                value_col: pa.array(v_s, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "pct": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__rpart")
+        .map_groups(rank_part, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # rollup aggregate (GROUP BY ROLLUP(d1, d2))
 # ---------------------------------------------------------------------------
 

@@ -99,3 +99,38 @@ def snapshot_diff(base, delta, *, id_col: str = "doc_id",
     ).map_batches(tag("removed"), batch_format="pyarrow")
 
     return changed.union(added).union(removed)
+
+
+def apply_changes(snapshot, changes, *, id_col: str = "doc_id",
+                  text_col: str = "text", op_col: str = "op",
+                  join_partitions: int = 8):
+    """CDC merge (the MERGE INTO / SCD-upsert op): fold a change feed into a
+    snapshot. `changes` rows carry op 'U' (upsert: insert-or-replace the
+    row) or 'D' (delete). New snapshot = upsert rows UNION (snapshot ANTI
+    changed keys) — one partitioned anti join on the key; only (key) from
+    the change feed and the surviving snapshot rows move, never a full
+    outer join. Change keys must be unique (one op per key per batch of
+    changes — the standard CDC compaction precondition; violating feeds
+    should be compacted by ts first, e.g. with grouped_topk k=1).
+
+    Returns a Dataset with the snapshot's (id_col, text_col) schema."""
+    import pyarrow.compute as pc
+
+    i64, s = pa.int64(), pa.string()
+
+    ups = changes.map_batches(
+        lambda t: t.filter(pc.equal(t[op_col], "U"))
+        .select([id_col, text_col]),
+        batch_format="pyarrow",
+    )
+    keys = changes.map_batches(
+        lambda t: pa.table({id_col: t[id_col].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    survivors = hash_join(
+        snapshot.select_columns([id_col, text_col]), keys,
+        left_on=id_col, how="anti", num_partitions=join_partitions,
+        left_schema=pa.schema([(id_col, i64), (text_col, s)]),
+        right_schema=pa.schema([(id_col, i64)]),
+    )
+    return survivors.union(ups)

@@ -1,0 +1,113 @@
+"""CDC merge (diff.apply_changes), grouped window rank
+(analytics.grouped_rank), and pushdown-scan parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsh_apg_ray.stages.analytics import grouped_rank
+from lsh_apg_ray.stages.diff import apply_changes
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_apply_changes_matches_replay(blocks):
+    rng = np.random.default_rng(31)
+    n = 200
+    snap = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+        }
+    )
+    # updates on %4, deletes on %9 (delete wins), inserts above the range
+    upd = [i for i in range(n) if i % 4 == 0 and i % 9 != 0]
+    dele = [i for i in range(n) if i % 9 == 0]
+    ins = [(n + 1000 + i, f"new{i}") for i in range(17)]
+    ch = pa.table(
+        {
+            "doc_id": pa.array(
+                upd + dele + [i for i, _ in ins], pa.int64()),
+            "text": pa.array(
+                [f"t{i} rev" for i in upd] + [None] * len(dele)
+                + [t for _, t in ins], pa.string()),
+            "op": pa.array(
+                ["U"] * len(upd) + ["D"] * len(dele) + ["U"] * len(ins),
+                pa.string()),
+        }
+    )
+    out = (
+        apply_changes(rd.from_arrow(snap).repartition(blocks),
+                      rd.from_arrow(ch).repartition(blocks),
+                      join_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    changed = set(upd) | set(dele)
+    rows = [(i, f"t{i}") for i in range(n) if i not in changed]
+    rows += [(i, f"t{i} rev") for i in upd]
+    rows += ins
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_grouped_rank_matches_duckdb(blocks):
+    rng = np.random.default_rng(37)
+    n = 500
+    ids = rng.permutation(n).astype(np.int64)
+    grp = np.array(["de", "en", "fr", "xx"])[rng.integers(0, 4, n)]
+    # heavy within-group value ties, plus a singleton group
+    val = rng.integers(0, 15, n).astype(np.int64)
+    grp[0] = "zz"
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "lang": pa.array(grp, pa.string()),
+                  "v": pa.array(val, pa.int64())})
+    out = (
+        grouped_rank(rd.from_arrow(t).repartition(blocks), "lang", "v",
+                     "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        """SELECT doc_id, lang, v, CAST(row_number() OVER w AS BIGINT) rnk,
+                  percent_rank() OVER w AS pct
+           FROM t WINDOW w AS (PARTITION BY lang ORDER BY v, doc_id)
+           ORDER BY doc_id"""
+    ).fetchdf()
+    assert (out["pct"] == 0.0).any()  # the singleton group hits denom=1 path
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_pushdown_scan_equals_unpushed_filter():
+    import datetime
+    import pyarrow.compute as pc
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    expr = (
+        (pc.field("l_shipdate") >= pa.scalar(datetime.datetime(1995, 1, 1)))
+        & (pc.field("l_shipdate") < pa.scalar(datetime.datetime(1996, 1, 1)))
+        & (pc.field("l_discount") >= pa.scalar(0.05))
+    )
+    pushed = rd.read_parquet(
+        path, columns=["l_orderkey", "l_quantity"], filter=expr
+    ).to_pandas().sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True)
+    full = rd.read_parquet(path).to_pandas()
+    m = (
+        (full["l_shipdate"] >= "1995-01-01")
+        & (full["l_shipdate"] < "1996-01-01")
+        & (full["l_discount"] >= 0.05)
+    )
+    want = (
+        full.loc[m, ["l_orderkey", "l_quantity"]]
+        .sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(pushed, want, check_dtype=False)
