@@ -5435,6 +5435,49 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
 """
 
 
+def q_events_resample(sf_dir: str):
+    """Time-series resample + forward fill: per user, a dense hourly grid
+    from first to last active hour, each cell carrying the latest event
+    at-or-before the cell's end (ties to the larger event_id) —
+    stages/windows.py:resample_ffill (per-batch latest-per-cell partials,
+    one key exchange, vectorized grid + searchsorted fill)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import resample_ffill
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return resample_ffill(ev, "user_id", "ts", "value", "event_id",
+                          width_s=3600)
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS window_id,
+         ts, event_id, value
+  FROM events
+), latest AS (
+  SELECT user_id, window_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id, window_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+), cells AS (
+  SELECT user_id, window_id, event_id, value FROM latest WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(window_id) AS h0, max(window_id) AS h1
+  FROM ev GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS window_id FROM bounds
+)
+SELECT g.user_id, g.window_id,
+       last_value(c.event_id IGNORE NULLS) OVER w AS event_id,
+       last_value(c.value IGNORE NULLS) OVER w AS value
+FROM grid g LEFT JOIN cells c USING (user_id, window_id)
+WINDOW w AS (PARTITION BY g.user_id ORDER BY g.window_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -5512,6 +5555,7 @@ QUERIES = {
     "snapshot_merge": q_snapshot_merge,
     "lang_percent_rank": q_lang_percent_rank,
     "pushdown_scan": q_pushdown_scan,
+    "events_resample": q_events_resample,
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5685,6 +5729,7 @@ ORACLE_SQL = {
     "snapshot_merge": SQL_SNAPSHOT_MERGE,
     "lang_percent_rank": SQL_LANG_PERCENT_RANK,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
+    "events_resample": SQL_EVENTS_RESAMPLE,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

@@ -426,3 +426,106 @@ def cohort_retention(events, ts_col: str = "ts", user_col: str = "user_id",
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+def resample_ffill(events, key: str, ts_col: str, val_col: str,
+                   id_col: str, width_s: int = 3600,
+                   num_partitions: int = 16):
+    """Time-series resample + forward fill: for every key, a dense
+    fixed-width time grid from the key's first to last active window, each
+    cell carrying the LATEST event at-or-before the cell's end (ties on ts
+    broken by the larger id — a deterministic total order). The grid-fill
+    op behind per-entity state-as-of-time features.
+
+    Dataflow: per-batch partial "latest event per (key, window)" reduction
+    (lexsort run-length — only one row per touched cell leaves a batch),
+    ONE key-hash exchange co-locating each key, per-partition global
+    latest-per-cell + vectorized grid construction (np.repeat/arange) +
+    one searchsorted forward fill on a packed (key << 32 | window) int64
+    composite (asserts key/window < 2^31). Grid volume = sum of per-key
+    window spans — the caller's contract, exactly the SQL
+    generate_series the oracle replays. The value column is carried
+    verbatim (no float arithmetic), so it hash-gates exactly.
+
+    Output: (key, window_id, id_col, val_col) sorted within partitions."""
+    from lsh_apg_ray.hashing import mix64
+
+    width_us = width_s * 1_000_000
+
+    def latest_partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = _epoch_us(t[ts_col])
+        w = us // width_us
+        i = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(k) == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()),
+                 "window_id": pa.array([], pa.int64()),
+                 "__ts": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 val_col: pa.array([], pa.float64()),
+                 "__rpart": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((i, us, w, k))
+        k, w, us, i, v = k[order], w[order], us[order], i[order], v[order]
+        last = np.ones(len(k), dtype=bool)
+        last[:-1] = (k[1:] != k[:-1]) | (w[1:] != w[:-1])
+        part = (mix64(k[last].view(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {key: pa.array(k[last], pa.int64()),
+             "window_id": pa.array(w[last], pa.int64()),
+             "__ts": pa.array(us[last], pa.int64()),
+             id_col: pa.array(i[last], pa.int64()),
+             val_col: pa.array(v[last], pa.float64()),
+             "__rpart": pa.array(part, pa.int64())}
+        )
+
+    def fill_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__rpart"])
+        if g.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()),
+                 "window_id": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 val_col: pa.array([], pa.float64())}
+            )
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = g["__ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        assert (k >= 0).all() and (k < 1 << 31).all(), "key must fit 31 bits"
+        assert (w >= 0).all() and (w < 1 << 31).all(), "window must fit 31 bits"
+        order = np.lexsort((i, us, w, k))
+        k, w, us, i, v = k[order], w[order], us[order], i[order], v[order]
+        last = np.ones(len(k), dtype=bool)
+        last[:-1] = (k[1:] != k[:-1]) | (w[1:] != w[:-1])
+        k, w, i, v = k[last], w[last], i[last], v[last]
+        # per-key spans -> dense grid (vectorized repeat/arange)
+        kstart = np.ones(len(k), dtype=bool)
+        kstart[1:] = k[1:] != k[:-1]
+        ks = np.flatnonzero(kstart)
+        ke = np.append(ks[1:], len(k)) - 1
+        h0, h1 = w[ks], w[ke]
+        spans = (h1 - h0 + 1).astype(np.int64)
+        total = int(spans.sum())
+        gk = np.repeat(k[ks], spans)
+        offs = np.repeat(np.cumsum(spans) - spans, spans)
+        gw = np.arange(total, dtype=np.int64) - offs + np.repeat(h0, spans)
+        present = (k << np.int64(32)) | w
+        gridk = (gk << np.int64(32)) | gw
+        idx = np.searchsorted(present, gridk, side="right") - 1
+        return pa.table(
+            {key: pa.array(gk, pa.int64()),
+             "window_id": pa.array(gw, pa.int64()),
+             id_col: pa.array(i[idx], pa.int64()),
+             val_col: pa.array(v[idx], pa.float64())}
+        )
+
+    return (
+        events.map_batches(latest_partial, batch_format="pyarrow")
+        .groupby("__rpart")
+        .map_groups(fill_part, batch_format="pyarrow")
+    )

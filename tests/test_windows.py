@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from lsh_apg_ray.stages.windows import sessionize, tumbling_aggregate
@@ -215,3 +216,53 @@ def test_cohort_retention_matches_naive(ray_session):
            GROUP BY 1, 2 ORDER BY 1, 2"""
     ).df()
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_resample_ffill_matches_naive(blocks):
+    """Gap fill + forward fill vs a pure-pandas replay: gaps inside spans,
+    within-hour latest selection, exact ts ties broken by larger event_id."""
+    import pandas as pd
+
+    from lsh_apg_ray.stages.windows import resample_ffill
+
+    rng = np.random.default_rng(41)
+    n = 400
+    base = 1_700_000_000_000_000  # epoch us
+    users = rng.integers(0, 7, n).astype(np.int64)
+    ts = base + rng.integers(0, 90 * 3600, n).astype(np.int64) * 1_000_000
+    ts[1] = ts[0]  # exact tie on (user, ts) — id rule must decide
+    users[1] = users[0]
+    ids = np.arange(n, dtype=np.int64)
+    vals = np.round(rng.normal(0, 5, n), 3)
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(ids, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        resample_ffill(rd.from_arrow(t).repartition(blocks), "user_id",
+                       "ts", "value", "event_id", width_s=3600)
+        .to_pandas().sort_values(["user_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"u": users, "w": ts // (3600 * 1_000_000),
+                       "ts": ts, "i": ids, "v": vals})
+    rows = []
+    for u, part in df.groupby("u"):
+        cells = {}
+        for _, r in part.sort_values(["ts", "i"]).iterrows():
+            cells[int(r["w"])] = (int(r["i"]), r["v"])
+        lastv = None
+        for w in range(int(part["w"].min()), int(part["w"].max()) + 1):
+            if w in cells:
+                lastv = cells[w]
+            rows.append((int(u), w, lastv[0], lastv[1]))
+    want = pd.DataFrame(
+        rows, columns=["user_id", "window_id", "event_id", "value"]
+    ).sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    assert len(want) > len(df["w"].unique())  # real gaps got filled
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
