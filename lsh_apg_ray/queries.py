@@ -5478,6 +5478,90 @@ ORDER BY 1, 2
 """
 
 
+def q_impute_missing(sf_dir: str):
+    """Missing-value cleaning: NULLs (synthesized at event_id % 13 == 0)
+    filled with the per-event-type exact median of the non-null rows
+    (stages/analytics.py:impute_group_median — quantile_disc parity, so
+    the imputed value is a data value and the float column hash-gates
+    exactly)."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import impute_group_median
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def nullify(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value": pa.array(v, pa.float64(), mask=(ids % 13 == 0)),
+            }
+        )
+
+    return impute_group_median(
+        ev.map_batches(nullify, batch_format="pyarrow"),
+        "event_type", "value", "event_id",
+    )
+
+
+SQL_IMPUTE_MISSING = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS m
+  FROM ev WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       COALESCE(e.value, m.m) AS value,
+       CAST(CASE WHEN e.value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_null
+FROM ev e LEFT JOIN med m USING (event_type)
+ORDER BY event_id
+"""
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc Simpson concentration over the token multiset — the
+    RATIONAL lexical-diversity curation signal (one exactly-rounded
+    division of exact ints, unlike Shannon's log):
+    stages/textstats.py:lexical_diversity, one vectorized scan."""
+    from lsh_apg_ray.stages.textstats import lexical_diversity
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return lexical_diversity(ds, _cfg())
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS sum_c2
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.sum_c2, 0) AS sum_c2,
+       CASE WHEN COALESCE(a.n_tokens, 0) >= 2
+            THEN a.sum_c2 / (a.n_tokens * (a.n_tokens - 1)) END AS simpson
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -5556,6 +5640,8 @@ QUERIES = {
     "lang_percent_rank": q_lang_percent_rank,
     "pushdown_scan": q_pushdown_scan,
     "events_resample": q_events_resample,
+    "impute_missing": q_impute_missing,
+    "lexical_diversity": q_lexical_diversity,
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5730,6 +5816,8 @@ ORACLE_SQL = {
     "lang_percent_rank": SQL_LANG_PERCENT_RANK,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "events_resample": SQL_EVENTS_RESAMPLE,
+    "impute_missing": SQL_IMPUTE_MISSING,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

@@ -460,6 +460,77 @@ def rollup_counts(ds, d1: str, d2: str, sum_col: str,
 
 
 # ---------------------------------------------------------------------------
+# per-group median imputation (data cleaning)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _pack_medians(group_col: str, *blocks: pa.Table):
+    live = [b for b in blocks if b.num_rows]
+    t = pa.concat_tables(live)
+    g = np.asarray(t[group_col].to_pandas(), dtype=object)
+    order = np.argsort(g)
+    med = t["q50"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    return g[order], med
+
+
+def impute_group_median(ds, group_col: str, value_col: str, id_col: str,
+                        num_partitions: int = 16):
+    """Missing-value imputation with the per-group median (the standard
+    numeric-cleaning op before feature extraction): NULLs in `value_col`
+    are replaced by their group's exact median over the NON-NULL rows
+    (quantile_disc semantics — the median is a value present in the data,
+    so no float arithmetic is invented and the imputed column hash-gates
+    exactly). Two scans: grouped_quantiles over the null-filtered rows
+    (one coarse exchange), medians broadcast, one fill scan.
+
+    Output: (id_col, group_col, value_col DOUBLE, was_null BOOL-as-int64).
+    Groups whose values are ALL null keep the null (nothing to impute
+    from) — same as the SQL COALESCE against a per-group aggregate."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.stages.grouped import grouped_quantiles
+
+    nonnull = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow",
+    )
+    q = grouped_quantiles(nonnull, group_col, value_col, qs=[0.5],
+                          num_partitions=num_partitions)
+    groups, med = ray.get(_pack_medians.remote(group_col, *q.to_arrow_refs()))
+    mref = ray.put((groups, med))
+
+    def fill(t: pa.Table) -> pa.Table:
+        gs, ms = ray.get(mref)
+        gv = np.asarray(t[group_col].to_pandas(), dtype=object)
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        # a group absent from the median table (all-null group) keeps null
+        if len(gs):
+            pos = np.minimum(np.searchsorted(gs, gv), len(gs) - 1)
+            known = gs[pos] == gv  # vectorized object-array equality
+        else:
+            pos = np.zeros(len(gv), np.int64)
+            known = np.zeros(len(gv), bool)
+        fillable = isnull & known
+        v[fillable] = ms[pos[fillable]]
+        out_null = isnull & ~known
+        vals = pa.array(v, pa.float64(), mask=out_null)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                value_col: vals,
+                "was_null": pa.array(isnull.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # per-group IQR (Tukey) outlier fences
 # ---------------------------------------------------------------------------
 

@@ -1346,3 +1346,59 @@ def token_cooccurrence(ds, cfg: DedupConfig, top_v: int = 12,
         }
     )
     return out.sort_by([("token_a", "ascending"), ("token_b", "ascending")])
+
+
+def lexical_diversity(ds, cfg: DedupConfig, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Per-doc Simpson concentration index over the token multiset:
+
+        simpson = sum_t c_t * (c_t - 1) / (n * (n - 1))
+
+    — the probability two tokens drawn without replacement are equal; the
+    RATIONAL lexical-diversity measure (Shannon entropy's log is not
+    exactly rounded cross-engine, Simpson's one division of exact ints is,
+    so the float column hash-gates bit-exactly — the bm25 rule). One
+    vectorized scan: batch tokenization -> (doc, token-code) lexsort run
+    lengths -> per-doc segmented sums; NULL simpson for docs with < 2
+    tokens (nothing to draw twice).
+
+    Output: (id, n_tokens, n_distinct, sum_c2, simpson DOUBLE|null)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        nd = batch.num_rows
+        ids = batch[id_col]
+        ti = arrow_token_index(batch[text_col], cfg.token_pattern)
+        n_tok = np.zeros(nd, np.int64)
+        n_dist = np.zeros(nd, np.int64)
+        sum_c2 = np.zeros(nd, np.int64)
+        if ti is not None:
+            indices, offsets, dictionary = ti
+            n_tok = np.diff(offsets).astype(np.int64)
+            if len(indices):
+                v = np.int64(len(dictionary))
+                doc_of = np.repeat(
+                    np.arange(nd, dtype=np.int64), n_tok)
+                key = doc_of * v + indices
+                key.sort()
+                runs = np.ones(len(key), dtype=bool)
+                runs[1:] = key[1:] != key[:-1]
+                starts = np.flatnonzero(runs)
+                rl = np.diff(np.append(starts, len(key))).astype(np.int64)
+                run_doc = (key[starts] // v).astype(np.int64)
+                np.add.at(n_dist, run_doc, 1)
+                np.add.at(sum_c2, run_doc, rl * (rl - 1))
+        ok = n_tok >= 2
+        simpson = np.zeros(nd, np.float64)
+        denom = (n_tok * (n_tok - 1)).astype(np.float64)
+        simpson[ok] = sum_c2[ok].astype(np.float64) / denom[ok]
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+                "sum_c2": pa.array(sum_c2, pa.int64()),
+                "simpson": pa.array(simpson, pa.float64(), mask=~ok),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

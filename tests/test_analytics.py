@@ -222,3 +222,41 @@ def test_bfs_max_rounds_raises():
     st = pa.table({"node": pa.array([0], pa.int64())})
     with pytest.raises(RuntimeError, match="max_rounds"):
         bfs_hops(rd.from_arrow(t), rd.from_arrow(st), max_rounds=3)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_impute_group_median_matches_duckdb(blocks):
+    from lsh_apg_ray.stages.analytics import impute_group_median
+
+    rng = np.random.default_rng(43)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    grp[ids % 50 == 0] = "allnull"  # a group with nothing to impute from
+    vals = np.round(rng.normal(0, 9, n), 3)
+    isnull = (ids % 7 == 0) | (grp == "allnull")
+    t = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "g": pa.array(grp, pa.string()),
+            "v": pa.array(vals, pa.float64(), mask=isnull),
+        }
+    )
+    out = (
+        impute_group_median(rd.from_arrow(t).repartition(blocks), "g", "v",
+                            "id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        """WITH med AS (SELECT g, quantile_disc(v, 0.5) m FROM t
+                        WHERE v IS NOT NULL GROUP BY 1)
+           SELECT id, g, COALESCE(v, m.m) AS v,
+                  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                    AS was_null
+           FROM t LEFT JOIN med m USING (g) ORDER BY id"""
+    ).fetchdf()
+    assert out.loc[out["g"] == "allnull", "v"].isna().all()
+    assert out["was_null"].sum() > 0 and out["v"].notna().sum() > n - 20
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)

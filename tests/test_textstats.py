@@ -559,3 +559,40 @@ def test_token_cooccurrence_matches_naive(test_cfg):
             want_rows.append({"token_a": a, "token_b": b, "n_docs": n})
     want = pd.DataFrame(want_rows)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lexical_diversity_matches_naive():
+    import collections
+
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.textstats import lexical_diversity
+
+    texts = [
+        "a a a a",                 # maximal concentration -> simpson 1.0
+        "a b c d",                 # all distinct -> 0.0
+        "a a b b c",               # mixed
+        "",                        # empty -> null
+        "single",                  # one token -> null
+        "x y x y x",               # mixed
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (
+        lexical_diversity(rd.from_arrow(t).repartition(3), DedupConfig())
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        toks = [w for w in txt.lower().split() if w]
+        c = collections.Counter(toks)
+        n = len(toks)
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "n_distinct"] == len(c)
+        s2 = sum(v * (v - 1) for v in c.values())
+        assert out.loc[i, "sum_c2"] == s2
+        if n >= 2:
+            assert out.loc[i, "simpson"] == s2 / (n * (n - 1))
+        else:
+            assert pd.isna(out.loc[i, "simpson"])
+    assert out.loc[0, "simpson"] == 1.0 and out.loc[1, "simpson"] == 0.0
