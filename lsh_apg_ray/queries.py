@@ -5562,6 +5562,182 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# session-6 batch: interval coalescing, running totals, transitions,
+# group mode, histogram census
+# ---------------------------------------------------------------------------
+
+def q_events_coalesce(sf_dir: str):
+    """Interval union per user: each event opens an interval of
+    (event_id % 7 + 1) minutes; overlapping-or-touching intervals merge
+    into maximal islands (stages/windows.coalesce_intervals — one coarse
+    key partition + a segmented Hillis-Steele cummax scan, no per-key
+    Python). The SQL replay is the classic gaps-and-islands running-max
+    window."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import coalesce_intervals
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def add_bounds(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dur = (eid % 7 + 1) * 60_000_000
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "s": pa.array(us, pa.timestamp("us")),
+                "e": pa.array(us + dur, pa.timestamp("us")),
+            }
+        )
+
+    return coalesce_intervals(
+        ev.map_batches(add_bounds, batch_format="pyarrow"),
+        "user_id", "s", "e",
+    )
+
+
+SQL_EVENTS_COALESCE = """
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + to_microseconds((event_id % 7 + 1) * 60000000) AS e
+  FROM events
+), m AS (
+  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS pmax
+  FROM iv
+), g AS (
+  SELECT *, CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY s, event_id) AS BIGINT)
+            AS grp
+  FROM m
+)
+SELECT user_id, grp - 1 AS interval_seq, min(s) AS "start", max(e) AS "end",
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, grp
+ORDER BY user_id, interval_seq
+"""
+
+
+def q_events_running_totals(sf_dir: str):
+    """Per-user ordered cumulative features — running sum (exact integer
+    cents: double addition is order-sensitive, integer cumsum is not, so
+    the column hash-gates bit-exactly), 0-based sequence number, and gap
+    to the previous event (stages/windows.running_totals — one coarse key
+    partition + segmented cumsum). The oracle is three SQL windows."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import running_totals
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    return running_totals(ev, "user_id", "ts", "value")
+
+
+SQL_EVENTS_RUNNING_TOTALS = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS run_cents,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - 1 AS BIGINT) AS seq,
+       epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition census over per-user event sequences: global
+    count of consecutive (from_type -> to_type) steps plus distinct users
+    exhibiting each transition (stages/windows.transition_counts — coarse
+    key partition, shifted-pair run-length census, one tiny pair-key
+    groupby-sum). The oracle is one SQL lead() window + GROUP BY."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import transition_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev, "user_id", "ts", "event_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_user_mode_event(sf_dir: str):
+    """Exact per-user modal event type, ties to the lexically smallest
+    type (stages/analytics.group_mode — one coarse key partition,
+    sorted-vocab rank remap + run-length census + per-group winner-run
+    selection, no per-group Python). The oracle is the row_number()-over-
+    (count desc, value) SQL idiom."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import group_mode
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_mode(ev, "user_id", "event_type")
+
+
+SQL_USER_MODE_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, event_type) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_rows
+  FROM c
+)
+SELECT user_id, event_type AS mode_value, cnt AS n_mode, n_rows
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram census of event values per type, width 2.5
+    (stages/analytics.value_histogram — per-batch partial bin census, one
+    tiny groupby-sum; bin = floor(value / width), one exactly-rounded IEEE
+    division so the bin ids are bit-identical cross-engine)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import value_histogram
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return value_histogram(ev, "event_type", "value", width=2.5)
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(floor(value / 2.5) AS BIGINT) END AS bin
+  FROM events
+)
+SELECT event_type, bin, bin * 2.5 AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -5586,36 +5762,52 @@ QUERIES = {
     "e2lsh_multiprobe_knn": q_e2lsh_multiprobe_knn,
     "inverted_postings": q_inverted_postings,
     "bm25_scores": q_bm25_scores,
-    "ngram_diversity": q_ngram_diversity,
     "distinct_kmv": q_distinct_kmv,
-    "corpus_diff": q_corpus_diff,
     "triangle_count": q_triangle_count,
-    "token_cooccurrence": q_token_cooccurrence,
     "text_sources": q_text_sources,
+    # session-6 novel-kernel ops rotated IN (segmented-cummax doubling
+    # scan, segmented cumsum + lag, shifted-pair census, sorted-vocab
+    # argmax, bin census): each gates a kernel no other in-window query
+    # exercises. Displaced: token_cooccurrence / ngram_diversity /
+    # user_retention / corpus_diff / knn_label_vote — compositions of
+    # census / hash-join / argmax / knn machinery that other in-window or
+    # r03+r04-green rows gate externally.
+    "events_coalesce": q_events_coalesce,
+    "events_running_totals": q_events_running_totals,
+    "event_transitions": q_event_transitions,
+    "user_mode_event": q_user_mode_event,
+    "value_histogram": q_value_histogram,
     # -- ANN recall/ratio protocol (reference benchmark parity) -----------
     "ivfpq_knn": q_ivfpq_knn,
     "strip_dup_spans": q_strip_dup_spans,
-    "knn_label_vote": q_knn_label_vote,
-    "user_retention": q_user_retention,
     # -- first driver verification: round-4 additions ----------------------
     "dedup_against": q_dedup_against,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
-    "weighted_dup_clusters": q_weighted_dup_clusters,
     "para_dedup": q_para_dedup,
     "normalized_dedup": q_normalized_dedup,
     "line_dedup": q_line_dedup,
     "split_leak_safe": q_split_leak_safe,
     "cluster_best_rep": q_cluster_best_rep,
     "hard_negatives": q_hard_negatives,
-    "dedup_summary": q_dedup_summary,
-    "lang_dedup_rates": q_lang_dedup_rates,
     "dup_span_stats": q_dup_span_stats,
-    "corpus_validate": q_corpus_validate,
     "repo_fork_pairs": q_repo_fork_pairs,
-    "license_scan": q_license_scan,
     "scan_secrets": q_scan_secrets,
-    "code_stats": q_code_stats,
     "redact_pii": q_redact_pii,
+    # session-5 novel-kernel ops rotated IN (SymSpell deletion join,
+    # co-occurrence cosine, CDC anti-join merge, resample grid+ffill,
+    # grouped-median fill, read-layer pushdown): each has a kernel no
+    # in-window query exercises. Displaced (to just past position 50):
+    # weighted_dup_clusters / dedup_summary / lang_dedup_rates /
+    # corpus_validate / code_stats / license_scan — compositions or regex
+    # scans of machinery another in-window query already gates externally
+    # (weighted_jaccard_pairs + dup_clusters CC; corpus_dedup reporting;
+    # doc_stats-shape scans; scan_secrets' staged-RE2 engine).
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "item_cooccur": q_item_cooccur,
+    "snapshot_merge": q_snapshot_merge,
+    "events_resample": q_events_resample,
+    "impute_missing": q_impute_missing,
+    "pushdown_scan": q_pushdown_scan,
     "chunk_tokens": q_chunk_tokens,
     "oov_rate": q_oov_rate,
     "pack_sequences": q_pack_sequences,
@@ -5627,21 +5819,27 @@ QUERIES = {
     "asof_next_purchase": q_asof_next_purchase,
     "graph_knn_sharded": q_graph_knn_sharded,
     # -- position > 50: two green driver rows already (r03 + r04), plus the
-    # two lowest-risk session-5 additions (in-repo oracle-gated)
+    # lowest-risk session-5 additions (in-repo oracle-gated compositions of
+    # externally-gated kernels — see the rotation note above)
     "exact_dedup": q_exact_dedup,
     "corpus_dedup": q_corpus_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "graph_knn": q_graph_knn,
+    "weighted_dup_clusters": q_weighted_dup_clusters,
+    "dedup_summary": q_dedup_summary,
+    "lang_dedup_rates": q_lang_dedup_rates,
+    "corpus_validate": q_corpus_validate,
+    "code_stats": q_code_stats,
+    "license_scan": q_license_scan,
     "lang_rollup": q_lang_rollup,
     "fk_integrity": q_fk_integrity,
-    "item_cooccur": q_item_cooccur,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "snapshot_merge": q_snapshot_merge,
     "lang_percent_rank": q_lang_percent_rank,
-    "pushdown_scan": q_pushdown_scan,
-    "events_resample": q_events_resample,
-    "impute_missing": q_impute_missing,
     "lexical_diversity": q_lexical_diversity,
+    "token_cooccurrence": q_token_cooccurrence,
+    "ngram_diversity": q_ngram_diversity,
+    "user_retention": q_user_retention,
+    "corpus_diff": q_corpus_diff,
+    "knn_label_vote": q_knn_label_vote,
     "corpus_dedup_incremental": q_corpus_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5817,6 +6015,11 @@ ORACLE_SQL = {
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "impute_missing": SQL_IMPUTE_MISSING,
+    "events_coalesce": SQL_EVENTS_COALESCE,
+    "events_running_totals": SQL_EVENTS_RUNNING_TOTALS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "user_mode_event": SQL_USER_MODE_EVENT,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)

@@ -612,3 +612,170 @@ def iqr_outlier_stats(ds, group_col: str, value_col: str,
             "n_high_outliers": pa.array(nhi, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group exact mode (most frequent value, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def group_mode(ds, group_col: str, value_col: str,
+               num_partitions: int = 16):
+    """Exact mode per group: the most frequent `value_col` in each
+    `group_col`, ties broken by the LEXICALLY SMALLEST value (the arg_max
+    rule every SQL replay can express deterministically) — the categorical
+    summarization op (dominant language per source, modal event type per
+    user).
+
+    Physical plan: ONE coarse hash partition on the group key (all rows of
+    a group co-locate), then one vectorized pass per partition: dictionary-
+    encode the value column, remap codes to SORTED-vocabulary ranks (so the
+    tie-break compares strings, not first-occurrence order), lexsort
+    (group, rank) + run-length -> per-(group, value) counts, then order
+    runs by (group, count desc, rank asc) and keep each group's first run.
+    No per-group Python; the output is one row per group.
+
+    Output: group_col, mode_value, n_mode (mode's count), n_rows (group
+    total)."""
+    import pyarrow.compute as pc
+
+    _MPART = "__mpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[group_col], num_partitions)
+        return t.append_column(_MPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_MPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "mode_value": pa.array(
+                        [], t.schema.field(value_col).type),
+                    "n_mode": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        vorder = np.argsort(vocab)          # lexical vocab order
+        rank_of = np.empty(len(vocab), np.int64)
+        rank_of[vorder] = np.arange(len(vocab), dtype=np.int64)
+        ranks = rank_of[codes]
+        order = np.lexsort((ranks, g))
+        g_s, r_s = g[order], ranks[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (g_s[1:] != g_s[:-1]) | (r_s[1:] != r_s[:-1])
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, n)).astype(np.int64)
+        rg, rr = g_s[starts], r_s[starts]
+        gchange = np.empty(len(starts), dtype=bool)
+        gchange[0] = True
+        gchange[1:] = rg[1:] != rg[:-1]
+        gseg = np.cumsum(gchange) - 1
+        n_rows = np.zeros(gseg[-1] + 1, np.int64)
+        np.add.at(n_rows, gseg, cnt)
+        # winner run per group: order by (group, count desc, rank asc)
+        rorder = np.lexsort((rr, -cnt, rg))
+        first = np.empty(len(rorder), dtype=bool)
+        first[0] = True
+        rg_o = rg[rorder]
+        first[1:] = rg_o[1:] != rg_o[:-1]
+        win = rorder[first]
+        return pa.table(
+            {
+                group_col: pa.array(rg[win]),
+                "mode_value": pa.array(vocab[vorder][rr[win]]),
+                "n_mode": pa.array(cnt[win], pa.int64()),
+                "n_rows": pa.array(n_rows[gseg[win]], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_MPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram census (numeric profiling)
+# ---------------------------------------------------------------------------
+
+def value_histogram(ds, group_col: str, value_col: str, width: float):
+    """Fixed-width histogram per group: bin = floor(value / width) — the
+    numeric-profiling census (value distributions per event type). One
+    exactly-rounded IEEE division + an exact floor, so the bin id is
+    bit-identical in numpy and any IEEE SQL engine; NULL values land in a
+    NULL bin row per group (counted, not dropped).
+
+    Physical plan: per-batch partial (group, bin) run-length census inside
+    map_batches (the combiner discipline), then one tiny groupby-sum over
+    the (group, bin) key space. Output: group_col, bin (int64, nullable),
+    bin_lo (bin * width), n_rows."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "bin": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        binv = np.zeros(n, np.int64)
+        ok = ~isnull
+        binv[ok] = np.floor(v[ok] / width).astype(np.int64)
+        order = np.lexsort((isnull, binv, g))
+        g_s, b_s, null_s = g[order], binv[order], isnull[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = ((g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1])
+                      | (null_s[1:] != null_s[:-1]))
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, n)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(g_s[starts]),
+                "bin": pa.array(b_s[starts], pa.int64(),
+                                mask=null_s[starts]),
+                "n_rows": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+    )
+
+    def attach_lo(t: pa.Table) -> pa.Table:
+        b = t["bin"]
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        isnull = pc.is_null(b).to_numpy(zero_copy_only=False)
+        bv = b.to_numpy(zero_copy_only=False).astype(np.float64)
+        bv = np.where(isnull, 0.0, bv)
+        lo = bv * width
+        t = t.append_column(
+            "bin_lo", pa.array(lo, pa.float64(), mask=isnull))
+        return t.select([group_col, "bin", "bin_lo", "n_rows"])
+
+    return agg.map_batches(attach_lo, batch_format="pyarrow")

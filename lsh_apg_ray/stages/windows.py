@@ -529,3 +529,258 @@ def resample_ffill(events, key: str, ts_col: str, val_col: str,
         .groupby("__rpart")
         .map_groups(fill_part, batch_format="pyarrow")
     )
+
+
+def coalesce_intervals(events, key: str, start_col: str, end_col: str,
+                       num_partitions: int = 16, tie_col: str = "event_id"):
+    """Interval union (gaps-and-islands): merge OVERLAPPING-or-touching
+    [start, end] intervals per key into maximal covered intervals — the
+    span-coalescing primitive behind dup-span surgery, availability windows
+    and schedule merging.
+
+    Input contract: `events` carries `key`, integer-microsecond (or
+    timestamp) `start_col`/`end_col` and a unique `tie_col` breaking equal
+    (key, start) ties so the sort, and therefore the island numbering, is
+    deterministic across block layouts.
+
+    Physical plan (sessionize's shape): ONE coarse hash partition on the
+    key, then one vectorized pass per partition — lexsort by (key, start,
+    tie), then the running maximum of `end` within each key segment via a
+    SEGMENTED Hillis-Steele doubling scan (max is idempotent, so the
+    log2(n) sweep needs only a same-segment mask at each stride; no
+    per-segment Python loop and no offset-rebase overflow risk at any key
+    span). A new island starts where start > cummax(end) of all prior rows
+    of the key; islands reduce with run-length numpy.
+
+    Output: key, interval_seq (0-based per key), start, end (us
+    timestamps), n_events (rows merged into the island)."""
+    _CPART = "__cpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_CPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_CPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type),
+                    "interval_seq": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.timestamp("us")),
+                    "end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        s = _epoch_us(t[start_col])
+        e = _epoch_us(t[end_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, s, keys))
+        keys, s, e = keys[order], s[order], e[order]
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(key_change) - 1  # per-row key segment id
+        # segmented inclusive cummax of e: doubling scan (O(n log n), exact)
+        cm = e.copy()
+        d = 1
+        while d < n:
+            same = seg[d:] == seg[:-d]
+            np.maximum(cm[d:], np.where(same, cm[:-d], cm[d:]), out=cm[d:])
+            d *= 2
+        new_island = key_change.copy()
+        new_island[1:] |= s[1:] > cm[:-1]
+        i_starts = np.flatnonzero(new_island)
+        i_ends = np.append(i_starts[1:], n) - 1
+        gsid = np.cumsum(new_island) - 1
+        key_first = gsid[np.flatnonzero(key_change)]
+        seq = gsid[i_starts] - key_first[seg[i_starts]]
+        return pa.table(
+            {
+                key: pa.array(keys[i_starts]),
+                "interval_seq": pa.array(seq, pa.int64()),
+                "start": pa.array(s[i_starts], pa.timestamp("us")),
+                "end": pa.array(cm[i_ends], pa.timestamp("us")),
+                "n_events": pa.array(
+                    (i_ends - i_starts + 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_CPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def running_totals(events, key: str, ts_col: str, val_col: str,
+                   num_partitions: int = 16, tie_col: str = "event_id"):
+    """Per-key ordered cumulative features — running sum, 0-based sequence
+    number and gap to the previous event — the lag/lead feature-extraction
+    pass before sequence modeling.
+
+    The running sum is computed over CENTS (floor(value*100 + 0.5) as
+    int64): double addition is order-sensitive, so a float running sum
+    could not be reproduced by an engine that sums a window with a segment
+    tree; integer cumsum is exact and associative, so the column value-hash
+    gates bit-exactly (the bm25 exact-integer rule). floor(v*100+0.5) is
+    two exactly-rounded IEEE ops + an exact floor — identical in numpy and
+    SQL (round() would not be: numpy rounds half-to-even, SQL half-away).
+
+    Physical plan: ONE coarse hash partition on the key, per partition one
+    lexsort by (key, ts, tie) + segmented cumsum (global cumsum minus the
+    segment-start offset — exact for ints). Output one row per input row:
+    (tie_col, key, ts, run_cents, seq, delta_us nullable)."""
+    _RPART = "__rpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_RPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_RPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    tie_col: pa.array([], t.schema.field(tie_col).type),
+                    key: pa.array([], t.schema.field(key).type),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    "run_cents": pa.array([], pa.int64()),
+                    "seq": pa.array([], pa.int64()),
+                    "delta_us": pa.array([], pa.int64()),
+                }
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((tie, us, keys))
+        keys_s, us_s, tie_s, c_s = keys[order], us[order], tie[order], cents[order]
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = keys_s[1:] != keys_s[:-1]
+        seg = np.cumsum(key_change) - 1
+        csum = np.cumsum(c_s)
+        seg_start = np.flatnonzero(key_change)
+        base = np.concatenate(([np.int64(0)], csum[:-1]))[seg_start]
+        run = csum - base[seg]
+        rownum = np.arange(n, dtype=np.int64)
+        seq = rownum - seg_start[seg]
+        delta = np.empty(n, np.int64)
+        delta[0] = 0
+        delta[1:] = us_s[1:] - us_s[:-1]
+        return pa.table(
+            {
+                tie_col: pa.array(tie_s),
+                key: pa.array(keys_s),
+                ts_col: pa.array(us_s, pa.timestamp("us")),
+                "run_cents": pa.array(run, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "delta_us": pa.array(delta, pa.int64(), mask=key_change),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_RPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def transition_counts(events, key: str, ts_col: str, type_col: str,
+                      num_partitions: int = 16, tie_col: str = "event_id"):
+    """Markov transition census: global count of consecutive (from_type ->
+    to_type) steps within each key's (ts, tie)-ordered event sequence, plus
+    the number of distinct keys exhibiting each transition — the behavioral
+    sequence-mining aggregate.
+
+    Physical plan: ONE coarse hash partition on the key (all steps of a key
+    are partition-local), per partition a lexsort + shifted-pair run-length
+    census over (from, to) with dictionary-encoded type codes; the distinct
+    -key count rides on the same sorted pass ((from, to, key) run starts).
+    Partitions emit partial (from, to, n_steps, n_keys) rows; one tiny
+    groupby-sum over the type-pair key space finishes (pre-aggregate-then-
+    exchange — the combiner discipline). Output: from_type, to_type,
+    n_steps, n_keys."""
+    import pyarrow.compute as pc
+
+    _TPART = "__tpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_TPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_TPART])
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n_steps": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        col = t[type_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        order = np.lexsort((tie, us, keys))
+        keys_s, codes_s = keys[order], codes[order]
+        step = keys_s[1:] == keys_s[:-1]
+        if not step.any():
+            return empty
+        frm = codes_s[:-1][step]
+        to = codes_s[1:][step]
+        stepkey = keys_s[1:][step]
+        v = np.int64(len(vocab))
+        pair = frm * v + to
+        porder = np.lexsort((stepkey, pair))
+        pair_s, k_s = pair[porder], stepkey[porder]
+        pchange = np.empty(len(pair_s), dtype=bool)
+        pchange[0] = True
+        pchange[1:] = pair_s[1:] != pair_s[:-1]
+        kchange = pchange.copy()
+        kchange[1:] |= k_s[1:] != k_s[:-1]
+        p_starts = np.flatnonzero(pchange)
+        n_steps = np.diff(np.append(p_starts, len(pair_s))).astype(np.int64)
+        # distinct keys per pair: count of (pair, key) run starts per pair run
+        n_keys = np.add.reduceat(kchange.astype(np.int64), p_starts)
+        up = pair_s[p_starts]
+        vocab_arr = np.asarray(vocab, dtype=object)
+        return pa.table(
+            {
+                "from_type": pa.array(vocab_arr[(up // v)], pa.string()),
+                "to_type": pa.array(vocab_arr[(up % v)], pa.string()),
+                "n_steps": pa.array(n_steps, pa.int64()),
+                "n_keys": pa.array(n_keys, pa.int64()),
+            }
+        )
+
+    parts = (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_TPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    return (
+        parts.groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_steps", alias_name="n_steps"),
+                   Sum("n_keys", alias_name="n_keys"))
+    )

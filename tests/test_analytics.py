@@ -260,3 +260,70 @@ def test_impute_group_median_matches_duckdb(blocks):
     assert out.loc[out["g"] == "allnull", "v"].isna().all()
     assert out["was_null"].sum() > 0 and out["v"].notna().sum() > n - 20
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_group_mode_matches_duckdb(blocks):
+    from lsh_apg_ray.stages.analytics import group_mode
+
+    rng = np.random.default_rng(17)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 20, n).astype(np.int64),
+            # skewed draw so ties and clear winners both occur
+            "v": np.array(["zeta", "alpha", "mid", "mid", "beta"])[
+                rng.integers(0, 5, n)],
+        }
+    )
+    out = (
+        group_mode(rd.from_pandas(df).repartition(blocks), "g", "v",
+                   num_partitions=4)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """WITH c AS (SELECT g, v, CAST(count(*) AS BIGINT) cnt
+                      FROM t GROUP BY 1, 2),
+                r AS (SELECT *, row_number() OVER (PARTITION BY g
+                             ORDER BY cnt DESC, v) rn,
+                             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT)
+                               n_rows
+                      FROM c)
+           SELECT g, v AS mode_value, cnt AS n_mode, n_rows
+           FROM r WHERE rn = 1 ORDER BY g"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_value_histogram_matches_duckdb():
+    from lsh_apg_ray.stages.analytics import value_histogram
+
+    rng = np.random.default_rng(19)
+    n = 800
+    vals = np.round(rng.normal(0, 8, n), 3)
+    df = pd.DataFrame(
+        {
+            "g": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+            "v": vals,
+        }
+    )
+    df.loc[::17, "v"] = np.nan  # null rows land in a per-group null bin
+    out = (
+        value_histogram(rd.from_pandas(df).repartition(4), "g", "v", 2.5)
+        .to_pandas()
+        .sort_values(["g", "bin"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """WITH b AS (SELECT g, CASE WHEN v IS NULL THEN NULL
+                        ELSE CAST(floor(v / 2.5) AS BIGINT) END AS bin
+                      FROM t)
+           SELECT g, bin, bin * 2.5 AS bin_lo,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert out["bin"].isna().sum() == 3  # one null bin per group

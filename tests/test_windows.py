@@ -266,3 +266,133 @@ def test_resample_ffill_matches_naive(blocks):
     ).sort_values(["user_id", "window_id"]).reset_index(drop=True)
     assert len(want) > len(df["w"].unique())  # real gaps got filled
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_coalesce_intervals_matches_duckdb(blocks):
+    import duckdb
+
+    from lsh_apg_ray.stages.windows import coalesce_intervals
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    us = t0 + rng.integers(0, 3_600_000_000, n)
+    dur = rng.integers(1, 600_000_000, n)  # covers long-covering intervals
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "s": us.astype("datetime64[us]"),
+            "e": (us + dur).astype("datetime64[us]"),
+        }
+    )
+    out = (
+        coalesce_intervals(
+            rd.from_pandas(df).repartition(blocks), "user_id", "s", "e",
+            num_partitions=5)
+        .to_pandas()
+        .sort_values(["user_id", "interval_seq"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("iv", df)
+    want = con.execute(
+        """WITH m AS (
+             SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
+             FROM iv
+           ), g AS (
+             SELECT *, CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                                     THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s, event_id) AS BIGINT) grp
+             FROM m)
+           SELECT user_id, grp - 1 AS interval_seq, min(s) AS start,
+                  max(e) AS "end", CAST(count(*) AS BIGINT) AS n_events
+           FROM g GROUP BY user_id, grp ORDER BY user_id, interval_seq"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # islands really are disjoint and ordered per key
+    for _, grp in out.groupby("user_id"):
+        g = grp.sort_values("interval_seq")
+        assert (g["end"].to_numpy()[:-1] < g["start"].to_numpy()[1:]).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_running_totals_matches_duckdb(blocks):
+    import duckdb
+
+    from lsh_apg_ray.stages.windows import running_totals
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "ts": (t0 + rng.integers(0, 10_000_000_000, n)
+                   ).astype("datetime64[us]"),
+            "value": np.round(rng.normal(0, 40, n), 3),
+        }
+    )
+    # duplicate-timestamp tie-break coverage
+    df.loc[5, "ts"] = df.loc[4, "ts"]
+    out = (
+        running_totals(rd.from_pandas(df).repartition(blocks),
+                       "user_id", "ts", "value", num_partitions=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute(
+        """SELECT event_id, user_id, ts,
+                  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                       OVER w AS BIGINT) AS run_cents,
+                  CAST(row_number() OVER w - 1 AS BIGINT) AS seq,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ORDER BY event_id"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_transition_counts_matches_duckdb(blocks):
+    import duckdb
+
+    from lsh_apg_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(13)
+    n = 600
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 15, n).astype(np.int64),
+            "ts": (t0 + rng.integers(0, 1_000_000_000, n)
+                   ).astype("datetime64[us]"),
+            "event_type": np.array(["view", "click", "buy", "share"])[
+                rng.integers(0, 4, n)],
+        }
+    )
+    out = (
+        transition_counts(rd.from_pandas(df).repartition(blocks),
+                          "user_id", "ts", "event_type", num_partitions=4)
+        .to_pandas().sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute(
+        """WITH s AS (
+             SELECT user_id, event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+             FROM ev)
+           SELECT event_type AS from_type, nxt AS to_type,
+                  CAST(count(*) AS BIGINT) AS n_steps,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+           FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
