@@ -46,6 +46,29 @@ def binary_to_u64_list(col) -> list[np.ndarray]:
     ]
 
 
+def binary_to_u64_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """Variable-width (large_)binary column -> (flat u64 values, per-row u64
+    counts) straight off the offsets + values buffers — the vectorized dual
+    of binary_to_u64_list for kernels that consume the flattened form
+    anyway (no per-row Python, no list materialization). Null rows read as
+    empty (Arrow gives null slots zero byte extent)."""
+    arr = _combined(col)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    lens = (np.diff(offs) // 8).astype(np.int64)
+    try:
+        flat = data.view(np.uint64)
+    except ValueError:  # unaligned slice start: one copy, still no Python loop
+        flat = np.frombuffer(data.tobytes(), dtype=np.uint64)
+    return flat, lens
+
+
 def binary_to_u64_matrix(col, row_len: int) -> np.ndarray:
     """Fixed-width large_binary column -> (n, row_len) u64 matrix.
 

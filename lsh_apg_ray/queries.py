@@ -168,6 +168,23 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return pairs
 
 
+def q_prefix_filter_pairs(sf_dir: str):
+    """Exact Jaccard self-join via PPJoin-style prefix filtering
+    (stages/allpairs.prefix_filter_join): each doc emits only its
+    (n - ceil(theta*n) + 1)-prefix under the hash total order — no df
+    census, no vocabulary broadcast — then candidate pairs verify by a
+    stacked (pair, token) lexsort intersection count. Same output and
+    oracle as ngram_jaccard_pairs: an independent algorithm agreeing with
+    the same SQL is the strongest cross-check of both."""
+    from lsh_apg_ray.stages.allpairs import prefix_filter_join
+    from lsh_apg_ray.stages.prep import prep_dataset
+
+    cfg = _cfg(max_bucket=1_000_000)
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    feats = prep_dataset(ds, cfg, content_col="text", id_col="doc_id")
+    return prefix_filter_join(feats, cfg, threshold=THETA)
+
+
 _SQL_PAIRS_CTE = f"""
 tok AS (
   SELECT doc_id,
@@ -5760,7 +5777,11 @@ QUERIES = {
     # corpus_dedup_incremental, which each hold two green rows r03+r04)
     "pagerank": q_pagerank,
     "e2lsh_multiprobe_knn": q_e2lsh_multiprobe_knn,
-    "inverted_postings": q_inverted_postings,
+    # prefix_filter_pairs rotated IN (independent PPJoin-style algorithm
+    # gated by the same SQL as ngram_jaccard_pairs); inverted_postings
+    # displaced — its postings census is the first half of bm25_scores,
+    # which stays in-window.
+    "prefix_filter_pairs": q_prefix_filter_pairs,
     "bm25_scores": q_bm25_scores,
     "distinct_kmv": q_distinct_kmv,
     "triangle_count": q_triangle_count,
@@ -5831,6 +5852,7 @@ QUERIES = {
     "corpus_validate": q_corpus_validate,
     "code_stats": q_code_stats,
     "license_scan": q_license_scan,
+    "inverted_postings": q_inverted_postings,
     "lang_rollup": q_lang_rollup,
     "fk_integrity": q_fk_integrity,
     "lang_percent_rank": q_lang_percent_rank,
@@ -5892,6 +5914,7 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "prefix_filter_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     # backend-equivalence gate: the pure-Dataset CC fallback must reproduce

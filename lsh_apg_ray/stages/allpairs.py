@@ -274,3 +274,138 @@ def cooccur_cosine_pairs(ui_ds, cfg: DedupConfig, *, min_co: int = 2):
         )
 
     return jb.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter (PPJoin-style) exact similarity self-join
+# ---------------------------------------------------------------------------
+
+def prefix_filter_join(feats, cfg: DedupConfig, threshold: float | None = None):
+    """Exact Jaccard self-join via PREFIX FILTERING (the public
+    Bayardo/Chaudhuri/Xiao all-pairs family) — same output contract and
+    oracle as exact_similarity_join, structurally cheaper candidate
+    generation: instead of exploding EVERY shingle, each doc emits only the
+    first (n - ceil(theta*n) + 1) shingles under a global total order; any
+    pair with jaccard >= theta must share a token inside BOTH prefixes
+    (overlap >= ceil(theta*n) forces the intersection to touch the
+    prefix), so bucketing the prefixes over candidate_pairs is a complete
+    candidate filter.
+
+    The global order is the shingle HASH VALUE itself: the prefix-filter
+    guarantee needs only SOME total order, and the hash order needs no
+    document-frequency census and no vocabulary broadcast — at 100 TB the
+    classic df-ascending order would require shipping a corpus-sized
+    token->rank map to every task (df order is only a candidate-count
+    heuristic; plug one in by remapping shingle hashes before prep if the
+    vocabulary fits).
+
+    Verify is exact and per-pair vectorized: candidate pairs hash-join
+    their endpoints' packed shingle sets, then ONE stacked (pair, token)
+    lexsort + run-length counts each pair's sorted-set intersection — sets
+    are per-doc distinct, so a (pair, token) key occurring twice means both
+    endpoints carry the token. No per-pair Python.
+
+    Exactness caveat shared with exact_similarity_join: a prefix-token
+    bucket over cfg.max_bucket truncates under the star+chain cap and
+    OverflowCounter reports it; set max_bucket to the exact-query config.
+    Output: (id_a, id_b, n_inter, n_union, jaccard) with jaccard >= theta.
+    """
+    from lsh_apg_ray.arrowutil import binary_to_u64_flat
+
+    theta = cfg.threshold if threshold is None else threshold
+
+    def prefix_explode(t: pa.Table) -> pa.Table:
+        flat, lens = binary_to_u64_flat(t["shingles"])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(flat):
+            return pa.table(
+                {
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        nrow = len(lens)
+        seg = np.repeat(np.arange(nrow, dtype=np.int64), lens)
+        order = np.lexsort((flat, seg))  # sort each doc's set, docs stay put
+        flat_s = flat[order]
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat_s), dtype=np.int64) - starts[seg]
+        p = lens - np.ceil(theta * lens).astype(np.int64) + 1
+        keep = pos < p[seg]
+        return pa.table(
+            {
+                "band_hash": pa.array(flat_s[keep].view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, lens)[keep], pa.int64()),
+            }
+        )
+
+    prefix_rows = feats.select_columns(["doc_id", "shingles"]).map_batches(
+        prefix_explode, batch_format="pyarrow"
+    )
+    cand = candidate_pairs(prefix_rows, cfg).drop_columns(["n_bands"])
+
+    i64 = pa.int64()
+    from lsh_apg_ray.arrowutil import BINARY
+
+    pair_schema = pa.schema([("id_a", i64), ("id_b", i64)])
+    sa_schema = pa.schema([("id_a", i64), ("sh_a", BINARY)])
+    sb_schema = pa.schema([("id_b", i64), ("sh_b", BINARY)])
+    sets = feats.select_columns(["doc_id", "shingles"])
+    j = hash_join(
+        cand,
+        rename_ds(sets, {"doc_id": "id_a", "shingles": "sh_a"}),
+        "id_a",
+        num_partitions=cfg.join_partitions,
+        left_schema=pair_schema,
+        right_schema=sa_schema,
+    )
+    j = hash_join(
+        j,
+        rename_ds(sets, {"doc_id": "id_b", "shingles": "sh_b"}),
+        "id_b",
+        num_partitions=cfg.join_partitions,
+        left_schema=out_schema(pair_schema, sa_schema, "id_a"),
+        right_schema=sb_schema,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], i64),
+                    "id_b": pa.array([], i64),
+                    "n_inter": pa.array([], i64),
+                    "n_union": pa.array([], i64),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        fa, la = binary_to_u64_flat(t["sh_a"])
+        fb, lb = binary_to_u64_flat(t["sh_b"])
+        rows = np.concatenate(
+            (np.repeat(np.arange(n, dtype=np.int64), la),
+             np.repeat(np.arange(n, dtype=np.int64), lb))
+        )
+        vals = np.concatenate((fa, fb))
+        order = np.lexsort((vals, rows))
+        r_s, v_s = rows[order], vals[order]
+        dup = np.empty(len(r_s), dtype=bool)
+        if len(r_s):
+            dup[0] = False
+            dup[1:] = (r_s[1:] == r_s[:-1]) & (v_s[1:] == v_s[:-1])
+        n_inter = np.zeros(n, np.int64)
+        np.add.at(n_inter, r_s[dup], 1)
+        n_union = la + lb - n_inter
+        jac = n_inter / np.maximum(n_union, 1)
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "n_inter": pa.array(n_inter, i64),
+                "n_union": pa.array(n_union, i64),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], theta))
+
+    return j.map_batches(verify, batch_format="pyarrow")

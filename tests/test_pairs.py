@@ -222,3 +222,48 @@ def test_weighted_minhash_estimates_weighted_jaccard(ray_session):
     sig = minhash_signatures([sa, sb], seeds)
     est = float((sig[0] == sig[1]).mean())
     assert abs(est - jw) < 0.07, (est, jw)
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_prefix_filter_join_matches_exact_join(ray_session, nblocks):
+    """prefix_filter_join and exact_similarity_join are independent
+    algorithms with one contract — identical pair sets AND identical
+    (n_inter, n_union, jaccard) on duplicate-heavy text."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.allpairs import (exact_similarity_join,
+                                             prefix_filter_join)
+    from lsh_apg_ray.stages.prep import prep_dataset
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "quick cat naps by the door of the old barn near town")
+    docs = [
+        (1, base),
+        (2, base + " extra trailing words appended here"),
+        (3, base.replace("quick", "rapid")),
+        (4, "completely different content about ray data pipelines and "
+            "arrow batches flowing through the streaming executor"),
+        (5, base),                       # exact duplicate of 1
+        (6, "tiny doc"),                 # < k tokens -> empty shingle set
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    cfg = DedupConfig(max_bucket=1_000_000, join_partitions=4)
+    feats = prep_dataset(
+        rd.from_arrow(tbl).repartition(nblocks), cfg,
+        content_col="text", id_col="doc_id",
+    ).materialize()
+    theta = 0.35
+    kw = dict(index=["id_a", "id_b"])
+    got = (prefix_filter_join(feats, cfg, threshold=theta)
+           .to_pandas().set_index(kw["index"]).sort_index())
+    want = (exact_similarity_join(feats, cfg, threshold=theta)
+            .to_pandas().set_index(kw["index"]).sort_index())
+    assert len(want) >= 2  # fixture really produces pairs
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
