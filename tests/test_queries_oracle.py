@@ -1,0 +1,50 @@
+"""In-repo replica of the driver gate for the newest queries at sf0.001 —
+query-LEVEL coverage (the stage kernels have their own tests); the heavier
+sf0.01 sweep lives in tools/check_oracle.py."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from check_oracle import value_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "events_coalesce",
+    "events_running_totals",
+    "event_transitions",
+    "user_mode_event",
+    "value_histogram",
+    "prefix_filter_pairs",
+    "regional_revenue",
+    "promo_revenue",
+    "segment_priority_matrix",
+    "impute_missing",
+    "lexical_diversity",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    from lsh_apg_ray.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF_DIR)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    want = oracle_con.sql(ORACLE_SQL[name]).df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert value_hash(got) == value_hash(want)
