@@ -4465,6 +4465,49 @@ ORDER BY p.token, p.doc_id
 """
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Keyword extraction: each doc's top-5 tokens by the rational tf-idf
+    surrogate tf*N/df (log-free idf — same per-doc ranking, bit-exact
+    cross-engine floats; stages/textstats.tfidf_keywords). Ties break by
+    token ascending; gated per (doc, rank) row including the score
+    double."""
+    from lsh_apg_ray.stages.textstats import tfidf_keywords
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return tfidf_keywords(docs, _cfg(), k=5)
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS token FROM tokarr),
+posting AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+          FROM posting GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.token, p.tf, d.df,
+         (CAST(p.tf AS DOUBLE) * (SELECT n_docs FROM n)) / d.df AS score
+  FROM posting p JOIN dfreq d USING (token)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+ORDER BY doc_id, rank
+"""
+
+
 def q_bm25_scores(sf_dir: str):
     """BM25 top-10 retrieval for the 5 rarest terms, scored with the
     rational-idf BM25 form in a FIXED IEEE-double evaluation order (no
@@ -6177,7 +6220,10 @@ QUERIES = {
     "regional_revenue": q_regional_revenue,
     "promo_revenue": q_promo_revenue,
     "segment_priority_matrix": q_segment_priority_matrix,
-    "dup_span_stats": q_dup_span_stats,
+    # tfidf_keywords rotated IN (rational-idf ranking kernel);
+    # dup_span_stats displaced — it reports the same k-gram census whose
+    # surgery twin strip_dup_spans stays in-window.
+    "tfidf_keywords": q_tfidf_keywords,
     "repo_fork_pairs": q_repo_fork_pairs,
     "scan_secrets": q_scan_secrets,
     "redact_pii": q_redact_pii,
@@ -6220,6 +6266,7 @@ QUERIES = {
     "code_stats": q_code_stats,
     "license_scan": q_license_scan,
     "inverted_postings": q_inverted_postings,
+    "dup_span_stats": q_dup_span_stats,
     "split_leak_safe": q_split_leak_safe,
     "cluster_best_rep": q_cluster_best_rep,
     "hard_negatives": q_hard_negatives,
@@ -6288,6 +6335,7 @@ ORACLE_SQL = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "promo_revenue": SQL_PROMO_REVENUE,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY_MATRIX,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     # backend-equivalence gate: the pure-Dataset CC fallback must reproduce

@@ -1402,3 +1402,76 @@ def lexical_diversity(ds, cfg: DedupConfig, text_col: str = "text",
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def tfidf_keywords(ds, cfg: DedupConfig, k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_partitions: int = 16):
+    """Keyword extraction: each document's top-k tokens by the RATIONAL
+    tf-idf surrogate score = tf * N / df (idf without the logarithm — the
+    ranking it induces per-document is identical because log is monotone,
+    and tf*N/df is two exactly-rounded IEEE ops, so the float column and
+    the tie-break order hash-gate bit-exactly cross-engine; a log-idf
+    variant could not).
+
+    Dataflow: inverted_index supplies exact (token, doc, tf, df) postings
+    (one tokenize scan + df census + partitioned token join — no
+    vocabulary broadcast); then ONE coarse hash partition on doc_id and a
+    per-partition lexsort (doc, -score, token) keeps each doc's first k
+    rows. Ties break by token string ascending. Output: (doc_id, token,
+    tf, df, score, rank 1-based)."""
+    idx = inverted_index(ds, cfg, text_col=text_col, id_col=id_col)
+    n_docs = float(ds.count())
+    _KPART = "__kpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[id_col], num_partitions)
+        return t.append_column(_KPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_KPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        toks = np.asarray(t["token"].to_pandas(), dtype=object)
+        score = (tf * n_docs) / df
+        order = np.lexsort((toks, -score, ids))
+        ids_s = ids[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = ids_s[1:] != ids_s[:-1]
+        seg_start = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        pos = np.arange(n, dtype=np.int64) - seg_start[seg]
+        keep = pos < k
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[keep], pa.int64()),
+                "token": pa.array(toks[sel], pa.string()),
+                "tf": t["tf"].take(pa.array(sel, pa.int64())),
+                "df": t["df"].take(pa.array(sel, pa.int64())),
+                "score": pa.array(score[sel], pa.float64()),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        idx.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_KPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

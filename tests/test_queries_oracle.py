@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "segment_priority_matrix",
     "impute_missing",
     "lexical_diversity",
+    "tfidf_keywords",
 ]
 
 
