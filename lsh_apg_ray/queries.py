@@ -5798,6 +5798,70 @@ ORDER BY 1, 2
 """
 
 
+def q_lang_sources_agg(sf_dir: str):
+    """Ordered string aggregation: per language, the ascending-ordered
+    comma-joined list of contributing sources (census first, so each
+    source appears once) — stages/grouped.grouped_string_agg builds every
+    group's string with ListArray offsets + pyarrow binary_join, zero
+    per-group Python."""
+    from ray.data.aggregate import Count
+
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.grouped import grouped_string_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    census = docs.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    return grouped_string_agg(
+        census.select_columns(["lang", "source"]), "lang", "source")
+
+
+SQL_LANG_SOURCES_AGG = """
+WITH c AS (SELECT lang, source FROM documents GROUP BY 1, 2)
+SELECT lang, string_agg(source, ',' ORDER BY source) AS agg,
+       CAST(count(*) AS BIGINT) AS n_values
+FROM c GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_weekly_delta(sf_dir: str):
+    """Week-over-week change per event type: tumbling 7-day integer-scaled
+    sums (accumulation-order-free), then the previous-existing-week value
+    and delta via stages/windows.grouped_lag_delta — the window-over-
+    aggregate chain, exact integers end to end."""
+    from lsh_apg_ray.arrowutil import rename_ds
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import grouped_lag_delta, tumbling_aggregate
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+    weekly = tumbling_aggregate(ev, "event_type", "ts", 604_800,
+                                scaled_sum=True)
+    weekly = rename_ds(
+        weekly.select_columns(["event_type", "window_id", "sum_value_e4"]),
+        {"window_id": "week_id", "sum_value_e4": "sum_e4"},
+    )
+    return grouped_lag_delta(weekly, "event_type", "week_id", "sum_e4")
+
+
+SQL_WEEKLY_DELTA = """
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) // 604800000000 AS week_id,
+         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_e4
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week_id, sum_e4,
+       lag(sum_e4) OVER (PARTITION BY event_type ORDER BY week_id)
+         AS prev_val,
+       sum_e4 - lag(sum_e4) OVER (PARTITION BY event_type ORDER BY week_id)
+         AS delta
+FROM w
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # session-6 batch 2: TPC-H Q5/Q14 shapes + pivot — external gates for the
 # region / part / supplier tables and the broadcast-dimension join plan
@@ -6243,13 +6307,19 @@ QUERIES = {
     "impute_missing": q_impute_missing,
     "pushdown_scan": q_pushdown_scan,
     "chunk_tokens": q_chunk_tokens,
-    "oov_rate": q_oov_rate,
+    # session-6 batch 3 rotated IN: ordered string aggregation (ListArray
+    # binary_join build) and week-over-week lag-delta (window-over-
+    # aggregate). Displaced: oov_rate / events_window_distinct —
+    # compositions of the top-V / census / hopping-window machinery that
+    # token_doc_freq, heavy_hitters and events_hopping (r03+r04 green)
+    # gate externally.
+    "lang_sources_agg": q_lang_sources_agg,
+    "weekly_delta": q_weekly_delta,
     "pack_sequences": q_pack_sequences,
     "quota_sample": q_quota_sample,
     "video_near_dup": q_video_near_dup,
     "events_debounce": q_events_debounce,
     "events_funnel": q_events_funnel,
-    "events_window_distinct": q_events_window_distinct,
     "asof_next_purchase": q_asof_next_purchase,
     "graph_knn_sharded": q_graph_knn_sharded,
     # -- position > 50: two green driver rows already (r03 + r04), plus the
@@ -6267,6 +6337,8 @@ QUERIES = {
     "license_scan": q_license_scan,
     "inverted_postings": q_inverted_postings,
     "dup_span_stats": q_dup_span_stats,
+    "oov_rate": q_oov_rate,
+    "events_window_distinct": q_events_window_distinct,
     "split_leak_safe": q_split_leak_safe,
     "cluster_best_rep": q_cluster_best_rep,
     "hard_negatives": q_hard_negatives,
@@ -6336,6 +6408,8 @@ ORACLE_SQL = {
     "promo_revenue": SQL_PROMO_REVENUE,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY_MATRIX,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "lang_sources_agg": SQL_LANG_SOURCES_AGG,
+    "weekly_delta": SQL_WEEKLY_DELTA,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     # backend-equivalence gate: the pure-Dataset CC fallback must reproduce

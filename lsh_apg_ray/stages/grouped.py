@@ -219,3 +219,74 @@ def quota_sample(ds, group_col: str, id_col: str, default_quota: int,
     return survivors.groupby(group_col).map_groups(
         lambda t: _pass(t, final=True), batch_format="pyarrow"
     )
+
+
+def grouped_string_agg(ds, group_col: str, value_col: str, sep: str = ",",
+                       num_partitions: int = 16):
+    """Ordered string aggregation per group (SQL string_agg(v, sep ORDER BY
+    v)) — the list/summary export surface (e.g. the sources contributing to
+    a language, member ids of a cluster). Values are aggregated in their
+    own ascending order so the result is layout-independent.
+
+    Physical plan: ONE coarse hash partition on the group key, then per
+    partition one lexsort (group, value) and a ZERO-PYTHON string build:
+    the sorted value strings become one Arrow ListArray via the run-length
+    offsets, and pyarrow.compute.binary_join concatenates each list with
+    the separator in C++. Output: group_col, agg (string), n_values.
+
+    Scale note: the output row is as wide as the group's concatenated
+    values — this op is for bounded-cardinality summaries (same contract
+    as SQL string_agg); cap the group size upstream (grouped_topk) when a
+    group can be corpus-sized."""
+    import pyarrow.compute as pc
+
+    _SPART = "__sapart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[group_col], num_partitions)
+        return t.append_column(_SPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_SPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "agg": pa.array([], pa.string()),
+                    "n_values": pa.array([], pa.int64()),
+                }
+            )
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type):
+            col = col.cast(pa.string())
+        vals = np.asarray(col.to_pandas(), dtype=object)
+        order = np.lexsort((vals, g))
+        g_s = g[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        sorted_vals = col.take(pa.array(order, pa.int64()))
+        lists = pa.ListArray.from_arrays(offsets, sorted_vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                group_col: pa.array(g_s[starts]),
+                "agg": joined,
+                "n_values": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_SPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

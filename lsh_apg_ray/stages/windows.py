@@ -784,3 +784,65 @@ def transition_counts(events, key: str, ts_col: str, type_col: str,
         .aggregate(Sum("n_steps", alias_name="n_steps"),
                    Sum("n_keys", alias_name="n_keys"))
     )
+
+
+def grouped_lag_delta(ds, key: str, order_col: str, val_col: str,
+                      num_partitions: int = 16):
+    """Previous-row value and delta per key in `order_col` order — the
+    window-over-aggregate step (week-over-week change, version-over-version
+    drift). Input contract: (key, order_col) unique per row (aggregate
+    outputs satisfy this), so the order — and therefore lag() — is
+    deterministic with no tie column. Integer val_col stays integer: the
+    delta is exact and accumulation-free.
+
+    Physical plan: ONE coarse hash partition on the key, one lexsort +
+    shift per partition. Output: key, order_col, val_col, prev_val, delta
+    (prev/delta null on each key's first row)."""
+    _LPART = "__lpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_LPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_LPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type),
+                    order_col: pa.array([], t.schema.field(order_col).type),
+                    val_col: pa.array([], pa.int64()),
+                    "prev_val": pa.array([], pa.int64()),
+                    "delta": pa.array([], pa.int64()),
+                }
+            )
+        keys = np.asarray(t[key].to_pandas(), dtype=object)
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((o, keys))
+        k_s, o_s, v_s = keys[order], o[order], v[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = k_s[1:] != k_s[:-1]
+        prev = np.empty(n, np.int64)
+        prev[0] = 0
+        prev[1:] = v_s[:-1]
+        delta = v_s - prev
+        return pa.table(
+            {
+                key: pa.array(k_s),
+                order_col: pa.array(o_s),
+                val_col: pa.array(v_s, pa.int64()),
+                "prev_val": pa.array(prev, pa.int64(), mask=first),
+                "delta": pa.array(delta, pa.int64(), mask=first),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_LPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -27,6 +27,8 @@ NEW_QUERIES = [
     "impute_missing",
     "lexical_diversity",
     "tfidf_keywords",
+    "lang_sources_agg",
+    "weekly_delta",
 ]
 
 
