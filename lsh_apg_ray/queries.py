@@ -5862,6 +5862,71 @@ ORDER BY 1, 2
 """
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join gate: every customer with their order count,
+    including zero-order customers (the retention-base export). Combiner
+    discipline: per-batch partial custkey counts + one groupby-sum, then
+    ONE partitioned hash_join(how='left') — the only query that gates the
+    left-outer path of joins.hash_join externally (semi/anti/inner are
+    gated by shipping_priority / customers_without_f_order / the dedup
+    tier)."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    census = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(
+        cust, census, left_on="c_custkey", right_on="o_custkey", how="left",
+        left_schema=pa.schema(
+            [("c_custkey", i64), ("c_mktsegment", pa.string())]),
+        right_schema=pa.schema([("o_custkey", i64), ("n", i64)]),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.fill_null(t["n"].cast(pa.int64()), 0)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": n,
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+       ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # session-6 batch 2: TPC-H Q5/Q14 shapes + pivot — external gates for the
 # region / part / supplier tables and the broadcast-dimension join plan
@@ -6315,7 +6380,11 @@ QUERIES = {
     # gate externally.
     "lang_sources_agg": q_lang_sources_agg,
     "weekly_delta": q_weekly_delta,
-    "pack_sequences": q_pack_sequences,
+    # customer_order_counts rotated IN (the only external gate for the
+    # left-outer hash_join path); pack_sequences displaced — its per-group
+    # first-fit replay shares the vectorized grouped machinery that
+    # chunk_tokens / quota_sample (in-window) gate.
+    "customer_order_counts": q_customer_order_counts,
     "quota_sample": q_quota_sample,
     "video_near_dup": q_video_near_dup,
     "events_debounce": q_events_debounce,
@@ -6338,6 +6407,7 @@ QUERIES = {
     "inverted_postings": q_inverted_postings,
     "dup_span_stats": q_dup_span_stats,
     "oov_rate": q_oov_rate,
+    "pack_sequences": q_pack_sequences,
     "events_window_distinct": q_events_window_distinct,
     "split_leak_safe": q_split_leak_safe,
     "cluster_best_rep": q_cluster_best_rep,
@@ -6410,6 +6480,7 @@ ORACLE_SQL = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "lang_sources_agg": SQL_LANG_SOURCES_AGG,
     "weekly_delta": SQL_WEEKLY_DELTA,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     # backend-equivalence gate: the pure-Dataset CC fallback must reproduce

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "tfidf_keywords",
     "lang_sources_agg",
     "weekly_delta",
+    "customer_order_counts",
 ]
 
 
