@@ -5927,6 +5927,250 @@ ORDER BY c_custkey
 """
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: pricing summary per (returnflag, linestatus) —
+    integer-scaled sums (qty e2, price e2, discounted e4, charged e6:
+    every per-row product is computed in ONE fixed exactly-rounded IEEE
+    chain then floored to an integer, so the distributed sums are
+    accumulation-order-free) plus exact-rational averages (one division of
+    two exact ints). Per-batch partial aggregation into the 6-cell key
+    space, one tiny groupby-sum — the pure combiner-discipline query."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.sources import read_table
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rf = np.asarray(t["l_returnflag"].to_pandas(), dtype=object)
+        ls = np.asarray(t["l_linestatus"].to_pandas(), dtype=object)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        qty_e2 = np.floor(qty * 100.0 + 0.5).astype(np.int64)
+        price_e2 = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_e4 = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(
+            np.int64)
+        chg_e6 = np.floor(
+            price * (1.0 - disc) * (1.0 + tax) * 1000000.0 + 0.5
+        ).astype(np.int64)
+        n = len(rf)
+        key = np.char.add(rf.astype(str), ls.astype(str))
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        def segsum(v):
+            out = np.zeros(len(starts), np.int64)
+            np.add.at(out, seg, v[order])
+            return out
+        cnt = np.diff(np.append(starts, n)).astype(np.int64)
+        sel = order[starts]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rf[sel], pa.string()),
+                "l_linestatus": pa.array(ls[sel], pa.string()),
+                "sum_qty_e2": pa.array(segsum(qty_e2), pa.int64()),
+                "sum_price_e2": pa.array(segsum(price_e2), pa.int64()),
+                "sum_disc_e4": pa.array(segsum(disc_e4), pa.int64()),
+                "sum_charge_e6": pa.array(segsum(chg_e6), pa.int64()),
+                "n_rows": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+                   Sum("sum_price_e2", alias_name="sum_price_e2"),
+                   Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+                   Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = t["sum_qty_e2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t["sum_price_e2"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty_e2": t["sum_qty_e2"].cast(pa.int64()),
+                "sum_price_e2": t["sum_price_e2"].cast(pa.int64()),
+                "sum_disc_e4": t["sum_disc_e4"].cast(pa.int64()),
+                "sum_charge_e6": t["sum_charge_e6"].cast(pa.int64()),
+                "n_rows": t["n_rows"].cast(pa.int64()),
+                "avg_qty_e2": pa.array(q / n, pa.float64()),
+                "avg_price_e2": pa.array(p / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+WITH rows_e AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_e2,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_e2,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS disc_e4,
+         CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    * 1000000 + 0.5) AS BIGINT) AS chg_e6
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+       CAST(sum(disc_e4) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(chg_e6) AS BIGINT) AS sum_charge_e6,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(qty_e2) AS DOUBLE) / count(*) AS avg_qty_e2,
+       CAST(sum(price_e2) AS DOUBLE) / count(*) AS avg_price_e2
+FROM rows_e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_late_shipment_orders(sf_dir: str):
+    """TPC-H Q4 shape: per order priority, how many orders have AT LEAST
+    ONE lineitem shipped > 90 days after the order date — an EXISTS with a
+    cross-table predicate. The predicate needs both dates, so it cannot be
+    a pure semi join: lineitem (keys + shipdate only) hash-joins orders,
+    the late test filters, distinct-orderkey dedups per partition (the
+    join already co-located each order's rows), and a tiny priority census
+    finishes."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    j = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", i64), ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema(
+            [("o_orderkey", i64), ("o_orderdate", pa.timestamp("us")),
+             ("o_orderpriority", pa.string())]),
+    )
+    late_us = np.int64(90 * 86400) * np.int64(1_000_000)
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        """Per-batch PARTIAL dedup of late (orderkey, priority) rows — a
+        batch may hold only part of an order, so this only shrinks the
+        exchange; the global EXISTS dedup happens after the coarse
+        orderkey partition below (Ray re-batches join output blocks, so
+        batch == join partition must never be assumed)."""
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        late = pa.array(ship - odate > late_us)
+        t = t.select(["l_orderkey", "o_orderpriority"]).filter(late)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, first = np.unique(ok, return_index=True)
+        t = t.take(pa.array(first.astype(np.int64), pa.int64()))
+        part = hash_partition(t["l_orderkey"], 16)
+        return t.append_column("__opart", pa.array(part, pa.int64()))
+
+    def exists_census(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__opart"])
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = np.asarray(g["o_orderpriority"].to_pandas(), dtype=object)
+        if not len(ok):
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        uk, first = np.unique(ok, return_index=True)
+        upri = pri[first]
+        po = np.argsort(upri, kind="stable")
+        p_s = upri[po]
+        change = np.empty(len(p_s), dtype=bool)
+        change[0] = True
+        change[1:] = p_s[1:] != p_s[:-1]
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, len(p_s))).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(p_s[starts], pa.string()),
+                "n_orders": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(late_keys, batch_format="pyarrow")
+        .groupby("__opart")
+        .map_groups(exists_census, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .map_batches(
+            lambda d: d.assign(n_orders=d["n_orders"].astype("int64")),
+            batch_format="pandas",
+        )
+    )
+
+
+SQL_LATE_SHIPMENT_ORDERS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND epoch_us(l_shipdate) - epoch_us(o_orderdate)
+        > CAST(90 AS BIGINT) * 86400 * 1000000
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation profile (stages/textstats.
+    sentence_stats): non-blank [.!?]+-delimited segments via pyarrow's RE2
+    split, shared token census, exact-rational mean tokens/sentence."""
+    from lsh_apg_ray.stages.textstats import sentence_stats
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return sentence_stats(docs, _cfg())
+
+
+SQL_SENTENCE_STATS = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))
+                              <> '')) AS n_sentences,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_sentences > 0
+            THEN CAST(n_tokens AS DOUBLE) / n_sentences
+       END AS mean_tokens_per_sentence
+FROM s
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # session-6 batch 2: TPC-H Q5/Q14 shapes + pivot — external gates for the
 # region / part / supplier tables and the broadcast-dimension join plan
@@ -6304,7 +6548,6 @@ QUERIES = {
     # round-5 session-3 additions rotated INTO the window (final round —
     # their only chance at an external value-hash row); the rotated-out
     # entries below position 50 each hold two green rows (r03 + r04)
-    "dedup_against_joinpath": q_dedup_against_joinpath,
     "lm_doc_scores": q_lm_doc_scores,
     # round-5 session-4 additions (first external row — displacing
     # simhash_pairs / embedding_near_dup / semantic_dedup / decontaminate /
@@ -6355,7 +6598,17 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "repo_fork_pairs": q_repo_fork_pairs,
     "scan_secrets": q_scan_secrets,
-    "redact_pii": q_redact_pii,
+    # session-6 batch 4 rotated IN: TPC-H Q1 pricing summary (pure
+    # combiner discipline + exact-rational averages), Q4-shape EXISTS
+    # census (cross-table predicate join + coarse distinct exchange),
+    # sentence segmentation profile (RE2 list split + segment sums).
+    # Displaced: redact_pii / chunk_tokens (list-offset text surgery whose
+    # machinery strip_dup_spans + quota_sample/pack gate) and
+    # dedup_against_joinpath (the broadcast dual dedup_against stays; the
+    # join fallback is pytest-forced at cap=1 in test_crossdedup).
+    "pricing_summary": q_pricing_summary,
+    "late_shipment_orders": q_late_shipment_orders,
+    "sentence_stats": q_sentence_stats,
     # session-5 novel-kernel ops rotated IN (SymSpell deletion join,
     # co-occurrence cosine, CDC anti-join merge, resample grid+ffill,
     # grouped-median fill, read-layer pushdown): each has a kernel no
@@ -6371,7 +6624,6 @@ QUERIES = {
     "events_resample": q_events_resample,
     "impute_missing": q_impute_missing,
     "pushdown_scan": q_pushdown_scan,
-    "chunk_tokens": q_chunk_tokens,
     # session-6 batch 3 rotated IN: ordered string aggregation (ListArray
     # binary_join build) and week-over-week lag-delta (window-over-
     # aggregate). Displaced: oov_rate / events_window_distinct —
@@ -6406,6 +6658,9 @@ QUERIES = {
     "license_scan": q_license_scan,
     "inverted_postings": q_inverted_postings,
     "dup_span_stats": q_dup_span_stats,
+    "redact_pii": q_redact_pii,
+    "chunk_tokens": q_chunk_tokens,
+    "dedup_against_joinpath": q_dedup_against_joinpath,
     "oov_rate": q_oov_rate,
     "pack_sequences": q_pack_sequences,
     "events_window_distinct": q_events_window_distinct,
@@ -6481,6 +6736,9 @@ ORACLE_SQL = {
     "lang_sources_agg": SQL_LANG_SOURCES_AGG,
     "weekly_delta": SQL_WEEKLY_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "late_shipment_orders": SQL_LATE_SHIPMENT_ORDERS,
+    "sentence_stats": SQL_SENTENCE_STATS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     # backend-equivalence gate: the pure-Dataset CC fallback must reproduce

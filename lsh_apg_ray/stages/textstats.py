@@ -1475,3 +1475,50 @@ def tfidf_keywords(ds, cfg: DedupConfig, k: int = 5,
         .groupby(_KPART)
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def sentence_stats(ds, cfg: DedupConfig, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per-doc sentence segmentation stats: sentences (non-blank segments
+    between [.!?]+ runs), token count, and exact-rational mean tokens per
+    sentence — the readability/quality profiling scan. One vectorized
+    pass: pyarrow split_pattern_regex (RE2, C++) -> flatten -> per-segment
+    blank test (trim over the explicit ' \\t\\n\\r' set so the SQL replay
+    trims the identical characters) -> per-doc segment sums; token counts
+    ride the shared arrow_token_index. NULL mean for sentence-less docs.
+    Output: (id, n_sentences, n_tokens, mean_tokens_per_sentence)."""
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        nd = batch.num_rows
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        sents = pc.split_pattern_regex(txt, pattern=r"[.!?]+")
+        lens = pc.fill_null(pc.list_value_length(sents), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(sents)
+        nonblank = pc.not_equal(
+            pc.utf8_trim(flat, characters=" \t\n\r"), ""
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        n_sent = np.zeros(nd, np.int64)
+        np.add.at(n_sent, seg, nonblank)
+        n_tok = np.zeros(nd, np.int64)
+        ti = arrow_token_index(batch[text_col], cfg.token_pattern)
+        if ti is not None:
+            n_tok = np.diff(ti[1]).astype(np.int64)
+        ok = n_sent > 0
+        mean = np.zeros(nd, np.float64)
+        mean[ok] = n_tok[ok].astype(np.float64) / n_sent[ok]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_sentences": pa.array(n_sent, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "mean_tokens_per_sentence": pa.array(
+                    mean, pa.float64(), mask=~ok),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -30,6 +30,9 @@ NEW_QUERIES = [
     "lang_sources_agg",
     "weekly_delta",
     "customer_order_counts",
+    "pricing_summary",
+    "late_shipment_orders",
+    "sentence_stats",
 ]
 
 
