@@ -6533,6 +6533,186 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# content-defined chunking duplicate-chunk census (stages/cdc.py — the
+# LBFS/rsync byte-level dedup primitive; round-5 session-7)
+# ---------------------------------------------------------------------------
+
+def q_cdc_chunks(sf_dir: str):
+    from lsh_apg_ray.stages.cdc import cdc_dup_chunks
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return cdc_dup_chunks(ds, num_partitions=8)
+
+
+def _sql_cdc_chunks() -> str:
+    """Pure-SQL replay of the CDC boundary rule + chunk content hashes
+    (stages/cdc.py docstring): bytes via unnest(range(length)), the w=8
+    rolling window hash as 8 lag() terms with precomputed power literals,
+    chunk ids as a cumulative boundary count, content hashes via a join
+    against a recursive-CTE power table. ASCII contract: ascii(substr)
+    == the UTF-8 byte value (same parity note as the tokenizer)."""
+    from lsh_apg_ray.stages.cdc import (
+        CDC_B1, CDC_B2, CDC_MASK_MOD, CDC_P, CDC_WINDOW)
+
+    pw1 = [pow(CDC_B1, k, CDC_P) for k in range(CDC_WINDOW)]
+    rolled = " + ".join(
+        f"b * {pw1[0]}" if k == 0
+        else f"coalesce(lag(b, {k}) OVER w, 0) * {pw1[k]}"
+        for k in range(CDC_WINDOW)
+    )
+    return f"""
+WITH RECURSIVE pw(k, p1, p2) AS (
+    SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT k + 1, (p1 * {CDC_B1}) % {CDC_P}, (p2 * {CDC_B2}) % {CDC_P}
+    FROM pw WHERE k + 1 < (SELECT max(length(text)) FROM documents)
+),
+positions AS (
+    SELECT doc_id, text, length(text) AS L,
+           unnest(range(length(text))) AS pos
+    FROM documents
+),
+vals AS (
+    SELECT doc_id, L, pos,
+           CAST(ascii(substr(text, CAST(pos + 1 AS INTEGER), 1)) AS BIGINT)
+             AS b
+    FROM positions
+),
+rolled AS (
+    SELECT doc_id, L, pos, b,
+           ({rolled}) % {CDC_P} AS hw
+    FROM vals
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+flagged AS (
+    SELECT doc_id, pos, b,
+           CASE WHEN pos >= {CDC_WINDOW - 1} AND pos <= L - 2
+                     AND hw % {CDC_MASK_MOD} = 0
+                THEN 1 ELSE 0 END AS is_boundary
+    FROM rolled
+),
+chunked AS (
+    SELECT doc_id, pos, b,
+           coalesce(sum(is_boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS chunk_id
+    FROM flagged
+),
+local_t AS (
+    SELECT doc_id, chunk_id, b,
+           pos - min(pos) OVER (PARTITION BY doc_id, chunk_id) AS t
+    FROM chunked
+),
+hashed AS (
+    SELECT doc_id, chunk_id,
+           sum(l.b * pw.p1) % {CDC_P} AS h1,
+           sum(l.b * pw.p2) % {CDC_P} AS h2,
+           count(*) AS clen
+    FROM local_t l JOIN pw ON pw.k = l.t
+    GROUP BY 1, 2
+)
+SELECT CAST(h1 * {1 << 31} + h2 AS BIGINT) AS chunk_key,
+       CAST(min(clen) AS BIGINT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hashed
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY 1
+"""
+
+
+SQL_CDC_CHUNKS = _sql_cdc_chunks()
+
+
+# ---------------------------------------------------------------------------
+# grouped co-moment census: correlation / covariance / OLS slope of
+# quantity vs discount per returnflag (stages/analytics.grouped_comoments)
+# ---------------------------------------------------------------------------
+
+def q_corr_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import grouped_comoments
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "q_units": pa.array(q, pa.int64()),
+            "d_cents": pa.array(d, pa.int64()),
+        })
+
+    out = grouped_comoments(
+        ds.map_batches(to_ints, batch_format="pyarrow"),
+        "l_returnflag", "q_units", "d_cents")
+    return out.sort("l_returnflag")
+
+
+def q_user_growth(sf_dir: str):
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import daily_user_accumulation
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    return daily_user_accumulation(ev, num_partitions=8)
+
+
+SQL_USER_GROWTH = """
+WITH du AS (
+    SELECT DISTINCT
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           user_id
+    FROM events
+),
+firsts AS (SELECT user_id, min(day) AS fday FROM du GROUP BY 1),
+newu AS (SELECT fday AS day, CAST(count(*) AS BIGINT) AS new_users
+         FROM firsts GROUP BY 1),
+act AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users
+        FROM du GROUP BY 1)
+SELECT act.day, act.active_users,
+       CAST(coalesce(newu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(newu.new_users, 0))
+            OVER (ORDER BY act.day) AS BIGINT) AS cum_users
+FROM act LEFT JOIN newu ON act.day = newu.day
+ORDER BY 1
+"""
+
+
+SQL_CORR_STATS = """
+WITH t AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_discount * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(x * x) AS HUGEINT) AS sxx,
+           CAST(sum(y * y) AS HUGEINT) AS syy,
+           CAST(sum(x * y) AS HUGEINT) AS sxy
+    FROM t GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+            * sqrt(CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))) AS corr,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov_pop,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope
+FROM s ORDER BY 1
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -6671,6 +6851,11 @@ QUERIES = {
     "fk_integrity": q_fk_integrity,
     "lang_percent_rank": q_lang_percent_rank,
     "lexical_diversity": q_lexical_diversity,
+    # session-7: below the window (all 50 in-window slots hold queries
+    # awaiting their first external row); in-repo oracle + pytest gated
+    "cdc_chunks": q_cdc_chunks,
+    "corr_stats": q_corr_stats,
+    "user_growth": q_user_growth,
     "token_cooccurrence": q_token_cooccurrence,
     "ngram_diversity": q_ngram_diversity,
     "user_retention": q_user_retention,
@@ -6868,6 +7053,9 @@ ORACLE_SQL = {
     "user_mode_event": SQL_USER_MODE_EVENT,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "cdc_chunks": SQL_CDC_CHUNKS,
+    "corr_stats": SQL_CORR_STATS,
+    "user_growth": SQL_USER_GROWTH,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

@@ -779,3 +779,106 @@ def value_histogram(ds, group_col: str, value_col: str, width: float):
         return t.select([group_col, "bin", "bin_lo", "n_rows"])
 
     return agg.map_batches(attach_lo, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped co-moment census: Pearson correlation / covariance / OLS slope
+# ---------------------------------------------------------------------------
+
+def grouped_comoments(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group Pearson correlation, population covariance and OLS slope
+    of two EXACT-INTEGER columns (callers pre-scale doubles to cents /
+    basis points — the running_totals discipline).
+
+    Exactness contract: the five co-moment sums (Σx, Σy, Σx², Σy², Σxy)
+    are computed per batch in int64 with an explicit overflow guard
+    (n_batch · max|v|² must stay below 2⁶³ — raises, never wraps), then
+    combined per group in arbitrary-precision Python ints (the combine
+    table is tiny: one row per (group, block)). The final floats are
+    produced from exact integers in ONE fixed evaluation order of
+    exactly-rounded IEEE ops — num = n·Σxy − Σx·Σy (exact int), then
+
+        corr    = float(num) / (sqrt(float(denx)) · sqrt(float(deny)))
+        cov_pop = float(num) / float(n²)
+        slope   = float(num) / float(denx)
+
+    with denx = n·Σx² − Σx², deny = n·Σy² − Σy² — so numpy/Python and
+    DuckDB (HUGEINT → DOUBLE casts + the same op order) emit bit-identical
+    doubles, the bm25/events_outliers float contract. Zero-variance groups
+    emit NULL corr/slope (SQL NULLIF parity).
+
+    Physical plan: per-batch lexsorted run-length partials (the combiner
+    discipline — ≤ groups·blocks rows ever shuffle), one tiny groupby
+    exchange on the group key, Python-int exact combine per group."""
+    import math
+
+    _LIM = 1 << 63
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.int64()),
+            "sy": pa.array([], pa.int64()),
+            "sxx": pa.array([], pa.int64()),
+            "syy": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.int64()),
+        })
+        n = t.num_rows
+        if n == 0:
+            return empty
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = max(int(np.abs(x).max()), int(np.abs(y).max()), 1)
+        if n * mx * mx >= _LIM:
+            raise OverflowError(
+                f"comoment batch partial would overflow int64 "
+                f"(n={n}, max|v|={mx}); shrink batch_size or rescale")
+        order = np.argsort(g, kind="stable")
+        g_s, x_s, y_s = g[order], x[order], y[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, n)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(g_s[starts].astype(str)),
+            "n": pa.array(cnt, pa.int64()),
+            "sx": pa.array(np.add.reduceat(x_s, starts), pa.int64()),
+            "sy": pa.array(np.add.reduceat(y_s, starts), pa.int64()),
+            "sxx": pa.array(np.add.reduceat(x_s * x_s, starts), pa.int64()),
+            "syy": pa.array(np.add.reduceat(y_s * y_s, starts), pa.int64()),
+            "sxy": pa.array(np.add.reduceat(x_s * y_s, starts), pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        # one group per map_groups call; combine in Python ints (exact at
+        # any scale — this table has one row per contributing block)
+        grp = t[group_col][0].as_py()
+        n = sum(t["n"].to_pylist())
+        sx = sum(t["sx"].to_pylist())
+        sy = sum(t["sy"].to_pylist())
+        sxx = sum(t["sxx"].to_pylist())
+        syy = sum(t["syy"].to_pylist())
+        sxy = sum(t["sxy"].to_pylist())
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        corr = (float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny)))
+                if denx > 0 and deny > 0 else None)
+        slope = float(num) / float(denx) if denx > 0 else None
+        cov = float(num) / float(n * n)
+        return pa.table({
+            group_col: pa.array([grp], pa.string()),
+            "n_rows": pa.array([n], pa.int64()),
+            "corr": pa.array([corr], pa.float64()),
+            "cov_pop": pa.array([cov], pa.float64()),
+            "slope": pa.array([slope], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -1,0 +1,243 @@
+"""Content-defined chunking (CDC) duplicate-chunk census — the
+LBFS / rsync / backup-dedup primitive, at document granularity.
+
+Fixed-offset chunking (split every K bytes) misses duplicates the moment
+one byte is inserted upstream; content-defined chunking instead places a
+chunk boundary wherever a rolling hash of the last `window` bytes hits a
+mask value, so identical CONTENT re-synchronizes to identical chunks at
+any byte offset. This is the sub-document analogue of the flagship's
+exact-sha tier (pipelines/dedup.py): where `line_dedup` (stages/code.py)
+needs line structure and `strip_dup_spans` needs token k-grams, CDC works
+on raw bytes and finds shared runs that cross line and token boundaries —
+the standard primitive for binary/blob dedup in a 100-TB corpus store.
+
+Semantics (mirrored EXACTLY by the DuckDB oracle, queries.SQL_CDC_CHUNKS):
+
+  boundary rule   with byte values b[0..L-1] (UTF-8 bytes; oracle parity
+                  is claimed for ASCII corpora, where SQL's per-character
+                  ascii(substr(...)) equals the byte value — same contract
+                  as the tokenizer note in NOTES.md), window w, the
+                  rolling window hash ending at 0-based position i >= w-1:
+                      h_i = ( sum_{k=0}^{w-1} b[i-k] * B1^k ) mod P
+                  A chunk boundary falls AFTER byte i iff
+                      h_i mod M == 0   and   i <= L-2
+                  (never after the final byte — the doc end is already a
+                  boundary; never inside the first w-1 bytes).
+  chunk identity  62-bit key from two independent 31-bit polynomial
+                  content hashes over the chunk bytes c[0..m-1]:
+                      hj = ( sum_t c[t] * Bj^t ) mod P,   j in {1,2}
+                      key = h1 * 2^31 + h2
+                  Grouping is BY KEY on both engines (the engine never
+                  ships chunk bytes through the shuffle — at corpus scale
+                  only 16-byte (key, doc, len, occ) rows move). A 62-bit
+                  collision would merge the same two chunks on BOTH
+                  engines (identical hash function), so the oracle gate is
+                  unaffected; the ~n^2/2^62 semantic bound is the same
+                  contract as stages/code.py's hashed-line census.
+  output          chunks whose content appears in >= 2 distinct docs:
+                  (chunk_key, chunk_len, n_docs, n_occurrences);
+                  chunk_len reported as MIN over the key's occurrences so
+                  both engines resolve a hypothetical collision the same
+                  deterministic way.
+
+Dataflow (reference analogue: the zlsh bucket census, e2lsh.cpp:131-200,
+re-expressed for byte ranges): one vectorized scan computes boundaries +
+chunk keys per batch (the w shifted adds and the reduceat content hash are
+pure numpy over the flat Arrow string buffer — zero copies, no per-row
+Python), pre-aggregates to distinct (key, doc) rows, then ONE coarse
+hash-partition exchange (pairs.py discipline — never a per-key Dataset
+aggregate) finishes n_docs / n_occurrences / min-len with a lexsort
+run-length pass per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_apg_ray.hashing import mix64, run_bounds
+
+_U64 = np.uint64
+
+CDC_P = 2147483647  # 2^31 - 1 (Mersenne); all hash arithmetic is mod P
+CDC_B1 = 1000003
+CDC_B2 = 1000033
+CDC_WINDOW = 8
+CDC_MASK_MOD = 64  # expected chunk length ~ M bytes
+
+# worker-global power tables (extended geometrically on demand): the
+# stateful "hash family once per worker" pattern (SURVEY.md ST1)
+_PW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(base: int, n: int) -> np.ndarray:
+    """[base^0, .., base^(n-1)] mod P as uint64, worker-cached."""
+    tbl = _PW_CACHE.get(base)
+    if tbl is None or len(tbl) < n:
+        m = max(n, 1024, 0 if tbl is None else 2 * len(tbl))
+        out = np.empty(m, _U64)
+        out[0] = 1
+        # O(m) scalar loop ONCE per worker per size doubling (not per
+        # batch): python ints, exact mod
+        acc = 1
+        for i in range(1, m):
+            acc = (acc * base) % CDC_P
+            out[i] = acc
+        _PW_CACHE[base] = tbl = out
+    return tbl
+
+
+def _flat_utf8(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data: uint8[total], offsets: int64[n+1]) zero-copy views of a
+    string column's UTF-8 buffer (offset-sliced like ann._bin_to_matrix)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset: col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    base = off[0]
+    return data[base: off[-1]], off - base
+
+
+def chunk_batch(text_col, *, window: int = CDC_WINDOW,
+                mask_mod: int = CDC_MASK_MOD
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized CDC over one batch: returns per-chunk
+    (doc_index, chunk_key, chunk_len). Null texts produce no chunks."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    if text_col.null_count:
+        text_col = text_col.fill_null("")
+    data, offs = _flat_utf8(text_col)
+    total = len(data)
+    i64 = np.int64
+    if total == 0:
+        z = np.empty(0, i64)
+        return z, z, z
+    doc_starts = offs[:-1][np.diff(offs) > 0]  # non-empty docs only
+
+    pw1 = _powers(CDC_B1, max(window, int(np.diff(offs).max()) + 1))
+    pw2 = _powers(CDC_B2, len(pw1))
+
+    # rolling window hash ending at each global position (w shifted adds)
+    d64 = data.astype(_U64)
+    hw = np.zeros(total, _U64)
+    for k in range(window):
+        if k == 0:
+            hw += d64 * pw1[0]
+        else:
+            hw[k:] += d64[:-k] * pw1[k]
+    hw %= _U64(CDC_P)
+
+    # validity: local position >= w-1 AND not the doc's last byte
+    gpos = np.arange(total, dtype=i64)
+    doc_of_pos = np.searchsorted(offs, gpos, side="right") - 1
+    local = gpos - offs[doc_of_pos]
+    doc_len = np.diff(offs)[doc_of_pos]
+    valid = (local >= window - 1) & (local <= doc_len - 2)
+    boundary_idx = np.flatnonzero(valid & (hw % _U64(mask_mod) == 0))
+
+    starts = np.sort(np.concatenate([doc_starts, boundary_idx + 1]))
+    ends = np.append(starts[1:], total)
+    lens = ends - starts
+
+    # per-chunk content hashes: local exponent = gpos - chunk_start
+    k_local = gpos - np.repeat(starts, lens)
+    t1 = d64 * pw1[k_local]
+    t2 = d64 * pw2[k_local]
+    h1 = np.add.reduceat(t1, starts) % _U64(CDC_P)
+    h2 = np.add.reduceat(t2, starts) % _U64(CDC_P)
+    key = (h1 * _U64(1 << 31) + h2).astype(i64)
+    doc_idx = np.searchsorted(offs, starts, side="right") - 1
+    return doc_idx.astype(i64), key, lens.astype(i64)
+
+
+def cdc_dup_chunks(ds, *, window: int = CDC_WINDOW,
+                   mask_mod: int = CDC_MASK_MOD,
+                   num_partitions: int = 32,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Chunks shared by >= 2 distinct docs:
+    (chunk_key, chunk_len, n_docs, n_occurrences)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, key, lens = chunk_batch(
+            batch[text_col], window=window, mask_mod=mask_mod)
+        did = ids[doc_idx]
+        if len(key):
+            order = np.lexsort((did, key))
+            key, did, lens = key[order], did[order], lens[order]
+            new = np.empty(len(key), bool)
+            new[0] = True
+            new[1:] = (key[1:] != key[:-1]) | (did[1:] != did[:-1])
+            bounds = np.append(np.flatnonzero(new), len(key))
+            occ = np.diff(bounds)
+            key, did = key[bounds[:-1]], did[bounds[:-1]]
+            lens = np.minimum.reduceat(lens, bounds[:-1])
+        else:
+            occ = np.empty(0, np.int64)
+        part = (mix64(key.view(_U64)) % _U64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "chunk_key": pa.array(key, pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "occ": pa.array(occ.astype(np.int64), pa.int64()),
+            "chunk_len": pa.array(lens, pa.int64()),
+            "__kpart": pa.array(part, pa.int64()),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return _EMPTY_OUT
+        key = g["chunk_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        occ = g["occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = g["chunk_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, key))
+        key, did, occ, lens = key[order], did[order], occ[order], lens[order]
+        # collapse same (key, doc) across batches first
+        new = np.empty(len(key), bool)
+        new[0] = True
+        new[1:] = (key[1:] != key[:-1]) | (did[1:] != did[:-1])
+        b = np.append(np.flatnonzero(new), len(key))
+        occ = np.add.reduceat(occ, b[:-1])
+        lens = np.minimum.reduceat(lens, b[:-1])
+        key = key[b[:-1]]
+        kb = run_bounds(key)
+        n_docs = np.diff(kb)  # rows per key == distinct docs (post-collapse)
+        n_occ = np.add.reduceat(occ, kb[:-1])
+        klen = np.minimum.reduceat(lens, kb[:-1])
+        ukey = key[kb[:-1]]
+        keep = n_docs >= 2
+        return pa.table({
+            "chunk_key": pa.array(ukey[keep], pa.int64()),
+            "chunk_len": pa.array(klen[keep], pa.int64()),
+            "n_docs": pa.array(n_docs[keep].astype(np.int64), pa.int64()),
+            "n_occurrences": pa.array(n_occ[keep], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__kpart")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+    # Ray 2.49 drops the schema of an all-empty map_groups result; a 0-row
+    # schema block unioned in front keeps the output contract stable.
+    import ray
+
+    return ray.data.from_arrow(_EMPTY_OUT).union(out)
+
+
+_EMPTY_OUT = pa.table({
+    "chunk_key": pa.array([], pa.int64()),
+    "chunk_len": pa.array([], pa.int64()),
+    "n_docs": pa.array([], pa.int64()),
+    "n_occurrences": pa.array([], pa.int64()),
+})

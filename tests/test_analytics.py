@@ -327,3 +327,75 @@ def test_value_histogram_matches_duckdb():
     ).fetchdf()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
     assert out["bin"].isna().sum() == 3  # one null bin per group
+
+
+# ---------------------------------------------------------------------------
+# grouped co-moment census (correlation / covariance / slope)
+# ---------------------------------------------------------------------------
+
+def test_grouped_comoments_vs_naive():
+    import math
+
+    from lsh_apg_ray.stages.analytics import grouped_comoments
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    grp = rng.choice(["a", "b", "c"], size=n)
+    x = rng.integers(0, 50, size=n).astype(np.int64)
+    # y correlated with x inside group 'a', independent elsewhere
+    y = np.where(grp == "a", 2 * x + rng.integers(0, 5, size=n),
+                 rng.integers(0, 100, size=n)).astype(np.int64)
+    t = pa.table({"g": pa.array(grp.astype(str)),
+                  "x": pa.array(x, pa.int64()),
+                  "y": pa.array(y, pa.int64())})
+
+    def naive():
+        out = {}
+        for gv in ("a", "b", "c"):
+            m = grp == gv
+            nn = int(m.sum())
+            sx, sy = int(x[m].sum()), int(y[m].sum())
+            sxx = int((x[m].astype(object) ** 2).sum())
+            syy = int((y[m].astype(object) ** 2).sum())
+            sxy = int((x[m].astype(object) * y[m]).sum())
+            num = nn * sxy - sx * sy
+            denx = nn * sxx - sx * sx
+            deny = nn * syy - sy * sy
+            corr = (float(num) / (math.sqrt(float(denx))
+                                  * math.sqrt(float(deny)))
+                    if denx > 0 and deny > 0 else None)
+            out[gv] = (nn, corr,
+                       float(num) / float(nn * nn),
+                       float(num) / float(denx) if denx > 0 else None)
+        return out
+
+    want = naive()
+    for nblocks in (1, 4, 9):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        df = grouped_comoments(ds, "g", "x", "y").to_pandas()
+        assert len(df) == 3
+        for _, r in df.iterrows():
+            nn, corr, cov, slope = want[r["g"]]
+            assert r["n_rows"] == nn
+            assert r["corr"] == corr  # bit-identical, not approx
+            assert r["cov_pop"] == cov
+            assert r["slope"] == slope
+    assert abs(want["a"][1]) > 0.9  # the planted correlation is real
+
+
+def test_grouped_comoments_zero_variance_and_overflow():
+    from lsh_apg_ray.stages.analytics import grouped_comoments
+
+    t = pa.table({"g": pa.array(["z"] * 8),
+                  "x": pa.array([7] * 8, pa.int64()),
+                  "y": pa.array(list(range(8)), pa.int64())})
+    df = grouped_comoments(rd.from_arrow(t), "g", "x", "y").to_pandas()
+    assert df["corr"].isna().all() and df["slope"].isna().all()
+    assert (df["n_rows"] == 8).all()
+
+    big = pa.table({"g": pa.array(["z"] * 4),
+                    "x": pa.array([1 << 31] * 4, pa.int64()),
+                    "y": pa.array([1] * 4, pa.int64())})
+    with pytest.raises((OverflowError, Exception)):
+        grouped_comoments(
+            rd.from_arrow(big), "g", "x", "y").to_pandas()

@@ -1,0 +1,151 @@
+"""Content-defined chunking (stages/cdc.py) vs a naive pure-Python
+reference: boundary rule, chunk identity, census semantics, and
+batch/block-split independence."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from lsh_apg_ray.stages.cdc import (
+    CDC_B1,
+    CDC_B2,
+    CDC_MASK_MOD,
+    CDC_P,
+    CDC_WINDOW,
+    cdc_dup_chunks,
+    chunk_batch,
+)
+
+
+def naive_chunks(text: str, window: int = CDC_WINDOW,
+                 mask_mod: int = CDC_MASK_MOD) -> list[tuple[int, int]]:
+    """(chunk_key, chunk_len) per chunk of one doc — scalar replay of the
+    docstring rule in stages/cdc.py."""
+    b = text.encode("utf-8")
+    n = len(b)
+    if n == 0:
+        return []
+    bounds = []
+    for i in range(n):
+        if i < window - 1 or i > n - 2:
+            continue
+        h = sum(b[i - k] * pow(CDC_B1, k, CDC_P)
+                for k in range(window)) % CDC_P
+        if h % mask_mod == 0:
+            bounds.append(i)
+    starts = [0] + [i + 1 for i in bounds]
+    ends = [i + 1 for i in bounds] + [n]
+    out = []
+    for st, en in zip(starts, ends):
+        c = b[st:en]
+        h1 = sum(c[t] * pow(CDC_B1, t, CDC_P) for t in range(len(c))) % CDC_P
+        h2 = sum(c[t] * pow(CDC_B2, t, CDC_P) for t in range(len(c))) % CDC_P
+        out.append((h1 * (1 << 31) + h2, en - st))
+    return out
+
+
+def _mk_texts(rng: np.random.Generator, n: int) -> list[str]:
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(0, 120))
+        texts.append(" ".join(rng.choice(words, size=k).tolist()))
+    # force shared runs: clones and shifted clones (CDC's raison d'être)
+    if n >= 6 and texts[0]:
+        texts[1] = texts[0]
+        texts[2] = "xyz " + texts[0]          # byte-shifted duplicate
+        texts[3] = texts[0] + " tail words"   # shared prefix
+    return texts
+
+
+def test_chunk_batch_matches_naive():
+    rng = np.random.default_rng(7)
+    texts = _mk_texts(rng, 24) + ["", "a", "ab", "abcdefg", "abcdefgh"]
+    col = pa.array(texts, pa.string())
+    doc_idx, key, lens = chunk_batch(col)
+    got = collections.defaultdict(list)
+    for d, k, ln in zip(doc_idx.tolist(), key.tolist(), lens.tolist()):
+        got[d].append((k, ln))
+    for d, text in enumerate(texts):
+        assert got.get(d, []) == naive_chunks(text), f"doc {d}"
+
+
+def test_resync_after_insertion():
+    """The CDC property fixed-offset chunking lacks: a byte insertion
+    upstream re-synchronizes to identical chunk keys downstream."""
+    rng = np.random.default_rng(11)
+    base = " ".join(rng.choice(
+        ["alpha", "bravo", "charlie", "delta", "echo"], size=400).tolist())
+    shifted = "Z" + base
+    k_base = {k for k, _ in naive_chunks(base)}
+    k_shift = {k for k, _ in naive_chunks(shifted)}
+    shared = k_base & k_shift
+    # everything but the first chunk (whose bytes changed) re-synchronizes
+    assert len(shared) >= len(k_base) - 2 and len(shared) > 0
+
+
+def test_census_matches_naive_and_block_splits():
+    rng = np.random.default_rng(3)
+    texts = _mk_texts(rng, 40)
+    ids = list(range(100, 100 + len(texts)))
+
+    per_key_docs: dict[int, set] = collections.defaultdict(set)
+    per_key_occ: dict[int, int] = collections.Counter()
+    per_key_len: dict[int, int] = {}
+    for did, t in zip(ids, texts):
+        for k, ln in naive_chunks(t):
+            per_key_docs[k].add(did)
+            per_key_occ[k] += 1
+            per_key_len[k] = min(per_key_len.get(k, ln), ln)
+    want = sorted(
+        (k, per_key_len[k], len(per_key_docs[k]), per_key_occ[k])
+        for k in per_key_docs if len(per_key_docs[k]) >= 2
+    )
+    assert want, "fixture must produce cross-doc duplicate chunks"
+
+    for nblocks in (1, 3, 8):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ).repartition(nblocks)
+        out = cdc_dup_chunks(ds, num_partitions=4).to_pandas()
+        got = sorted(map(tuple, out[["chunk_key", "chunk_len", "n_docs",
+                                     "n_occurrences"]].itertuples(index=False)))
+        assert got == want, f"nblocks={nblocks}"
+
+
+def test_multi_occurrence_within_doc():
+    """A chunk repeated inside one doc counts occurrences but one doc."""
+    rng = np.random.default_rng(5)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    unit = " ".join(rng.choice(words, size=400).tolist()) + " "
+    texts = [unit + unit, unit]  # doc0 holds unit twice
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = cdc_dup_chunks(ds, num_partitions=2).to_pandas()
+    assert (out["n_docs"] >= 2).all()
+    assert (out["n_occurrences"] >= out["n_docs"]).all()
+    assert len(out) > 0
+
+
+def test_null_and_empty_texts():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([None, "", "short"], pa.string()),
+    }))
+    out = cdc_dup_chunks(ds, num_partitions=2)
+    # Dataset-level schema survives an all-empty result (the 0-row schema
+    # block union in cdc_dup_chunks); to_pandas() on 0 rows drops columns,
+    # a Ray 2.49 conversion quirk outside the engine contract.
+    assert out.schema().names == ["chunk_key", "chunk_len", "n_docs",
+                                  "n_occurrences"]
+    assert out.count() == 0

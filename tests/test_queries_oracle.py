@@ -33,6 +33,9 @@ NEW_QUERIES = [
     "pricing_summary",
     "late_shipment_orders",
     "sentence_stats",
+    "cdc_chunks",
+    "corr_stats",
+    "user_growth",
 ]
 
 

@@ -396,3 +396,43 @@ def test_transition_counts_matches_duckdb(blocks):
            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
     ).fetchdf()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# daily user accumulation (running distinct census)
+# ---------------------------------------------------------------------------
+
+def test_daily_user_accumulation_vs_naive():
+    from lsh_apg_ray.stages.windows import daily_user_accumulation
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    day = rng.integers(0, 40, size=n).astype(np.int64)
+    uid = rng.integers(0, 300, size=n).astype(np.int64)
+    ts = pa.array((day * 86_400_000_000 +
+                   rng.integers(0, 86_400_000_000, size=n)),
+                  pa.int64()).cast(pa.timestamp("us"))
+    t = pa.table({"ts": ts, "user_id": pa.array(uid, pa.int64())})
+
+    df = pd.DataFrame({"day": day, "uid": uid})
+    du = df.drop_duplicates()
+    act = du.groupby("day").size()
+    firsts = du.groupby("uid")["day"].min()
+    new = firsts.value_counts().sort_index()
+    days = sorted(act.index)
+    want = []
+    cum = 0
+    for d in days:
+        nu = int(new.get(d, 0))
+        cum += nu
+        want.append((d, int(act[d]), nu, cum))
+
+    for nblocks in (1, 5):
+        for nparts in (1, 7):
+            ds = rd.from_arrow(t).repartition(nblocks)
+            out = daily_user_accumulation(
+                ds, num_partitions=nparts).to_pandas()
+            got = list(map(tuple, out[["day", "active_users", "new_users",
+                                       "cum_users"]].itertuples(index=False)))
+            assert got == want, f"nblocks={nblocks} nparts={nparts}"
+    assert want[-1][3] == du["uid"].nunique()
