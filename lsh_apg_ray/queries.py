@@ -6685,6 +6685,165 @@ ORDER BY 1
 """
 
 
+def q_customer_revenue_top(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue over one
+    quarter. Scale plan: lineitem(returnflag='R') x orders(quarter window)
+    is a PARTITIONED hash join on orderkey (only keys + int cents cross);
+    the per-customer census is partial-aggregated per batch before one
+    custkey groupby-sum; customer attributes attach via a second
+    partitioned join (customer is fact-sized — never broadcast); nation
+    (25 rows) is the only driver-held lookup. Top-20 via per-block
+    bounded top-k then one tiny sort+limit (the K1/K2 heap pattern);
+    tie-break (revenue DESC, c_custkey ASC) is total, so the row set is
+    deterministic on both engines."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    LO = np.int64(820454400000000)   # 1996-01-01 epoch us
+    HI = np.int64(828316800000000)   # 1996-04-01 epoch us
+    TOPK = 20
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def f_orders(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((us >= LO) & (us < HI))).select(
+            ["o_orderkey", "o_custkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+
+    def f_li(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(flag == "R"))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    j1 = hash_join(
+        li.map_batches(f_li, batch_format="pyarrow"),
+        orders.map_batches(f_orders, batch_format="pyarrow"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("cents", i64)]),
+        right_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+    )
+
+    def local_rev(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        if not len(ck):
+            return pa.table({"c_custkey": pa.array([], i64),
+                             "revenue_e2": pa.array([], i64)})
+        uk = np.unique(ck)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, np.searchsorted(uk, ck), cents)
+        return pa.table({"c_custkey": pa.array(uk, i64),
+                         "revenue_e2": pa.array(rev, i64)})
+
+    agg = (
+        j1.map_batches(local_rev, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_e2", alias_name="revenue_e2"))
+    )
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_nationkey"])
+    j2 = hash_join(
+        agg, cust, left_on="c_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("c_custkey", i64), ("revenue_e2", i64)]),
+        right_schema=pa.schema([("c_custkey", i64),
+                                ("c_name", pa.string()),
+                                ("c_nationkey", pa.int32())]),
+    )
+
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat.sort_values("n_nationkey")
+    n_keys = nat["n_nationkey"].to_numpy(np.int64)
+    n_names = nat["n_name"].to_numpy(object)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue_e2"].to_numpy(zero_copy_only=False)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if not len(rev):
+            return pa.table({"c_custkey": pa.array([], i64),
+                             "c_name": pa.array([], pa.string()),
+                             "n_name": pa.array([], pa.string()),
+                             "revenue_e2": pa.array([], i64)})
+        sel = np.lexsort((ck, -rev))[:TOPK]
+        t = t.take(pa.array(sel))
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = n_names[np.searchsorted(n_keys, nk)]
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(i64),
+            "c_name": t["c_name"],
+            "n_name": pa.array(nn.astype(str), pa.string()),
+            "revenue_e2": t["revenue_e2"].cast(i64),
+        })
+
+    return (
+        j2.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["revenue_e2", "c_custkey"], descending=[True, False])
+        .limit(TOPK)
+    )
+
+
+SQL_CUSTOMER_REVENUE_TOP = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e2 DESC, c_custkey LIMIT 20
+"""
+
+
+def q_events_moving_avg(sf_dir: str):
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import sliding_frame
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    return sliding_frame(ev, key="user_id", ts_col="ts", val_col="value",
+                         frame_rows=4, num_partitions=8)
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH s AS (
+    SELECT event_id, ts, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT event_id, user_id,
+           sum(cents) OVER f AS frame_sum_cents,
+           CAST(count(*) OVER f AS BIGINT) AS frame_n
+    FROM s
+    WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CAST(frame_sum_cents AS BIGINT) AS frame_sum_cents, frame_n,
+       CAST(frame_sum_cents AS DOUBLE) / CAST(frame_n AS DOUBLE)
+         AS frame_avg
+FROM w ORDER BY event_id
+"""
+
+
 SQL_CORR_STATS = """
 WITH t AS (
     SELECT l_returnflag,
@@ -6856,6 +7015,8 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
+    "events_moving_avg": q_events_moving_avg,
+    "customer_revenue_top": q_customer_revenue_top,
     "token_cooccurrence": q_token_cooccurrence,
     "ngram_diversity": q_ngram_diversity,
     "user_retention": q_user_retention,
@@ -7056,6 +7217,8 @@ ORACLE_SQL = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "customer_revenue_top": SQL_CUSTOMER_REVENUE_TOP,
     # round-5 session-4 additions: exact-integer PageRank replay, inverted
     # index, per-lang trigram census, KMV registers (dumped-hash boundary)
     "pagerank": SQL_PAGERANK,

@@ -954,3 +954,78 @@ def daily_user_accumulation(events, ts_col: str = "ts",
     # sum is the correct plan — this is NOT a corpus-cardinality surface
     return daily.repartition(1).map_batches(
         cumsum, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# bounded ROWS-frame moving aggregate (sliding window sum / avg)
+# ---------------------------------------------------------------------------
+
+def sliding_frame(events, key: str, ts_col: str, val_col: str,
+                  frame_rows: int = 4, num_partitions: int = 16,
+                  tie_col: str = "event_id"):
+    """Per-key moving sum/avg over the last `frame_rows` events — the SQL
+    frame `ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT ROW` — the
+    smoothing / trailing-feature window that running_totals' unbounded
+    cumsum cannot express.
+
+    Exactness: values pre-scaled to CENTS via floor(v*100 + 0.5) (the
+    running_totals rule), the frame sum taken as a difference of two
+    exact int64 prefix sums, and the average produced by ONE exactly-
+    rounded IEEE division of two exact integers — replayed in SQL as
+    CAST(sum AS DOUBLE)/CAST(count AS DOUBLE), NOT avg() (whose internal
+    accumulation order an engine does not pin down).
+
+    Physical plan: ONE coarse hash partition on the key, per partition a
+    lexsort by (key, ts, tie) and a padded prefix sum; the frame lower
+    bound is max(segment_start, i - frame_rows + 1) — pure vectorized
+    index arithmetic, no per-row Python and no second exchange."""
+    _SPART = "__spart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_SPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_SPART])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                tie_col: pa.array([], pa.int64()),
+                key: pa.array([], pa.int64()),
+                "frame_sum_cents": pa.array([], pa.int64()),
+                "frame_n": pa.array([], pa.int64()),
+                "frame_avg": pa.array([], pa.float64()),
+            })
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((tie, us, keys))
+        keys_s, tie_s, c_s = keys[order], tie[order], cents[order]
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = keys_s[1:] != keys_s[:-1]
+        seg = np.cumsum(key_change) - 1
+        seg_start = np.flatnonzero(key_change)
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(seg_start[seg], idx - (frame_rows - 1))
+        padded = np.concatenate(([np.int64(0)], np.cumsum(c_s)))
+        fsum = padded[idx + 1] - padded[lo]
+        fn = idx + 1 - lo
+        return pa.table({
+            tie_col: pa.array(tie_s),
+            key: pa.array(keys_s),
+            "frame_sum_cents": pa.array(fsum, pa.int64()),
+            "frame_n": pa.array(fn, pa.int64()),
+            "frame_avg": pa.array(fsum.astype(np.float64)
+                                  / fn.astype(np.float64), pa.float64()),
+        })
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_SPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -36,6 +36,8 @@ NEW_QUERIES = [
     "cdc_chunks",
     "corr_stats",
     "user_growth",
+    "events_moving_avg",
+    "customer_revenue_top",
 ]
 
 

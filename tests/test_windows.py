@@ -436,3 +436,44 @@ def test_daily_user_accumulation_vs_naive():
                                        "cum_users"]].itertuples(index=False)))
             assert got == want, f"nblocks={nblocks} nparts={nparts}"
     assert want[-1][3] == du["uid"].nunique()
+
+
+def test_sliding_frame_vs_naive():
+    from lsh_apg_ray.stages.windows import sliding_frame
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    uid = rng.integers(0, 40, size=n).astype(np.int64)
+    us = rng.integers(0, 10**9, size=n).astype(np.int64)
+    val = np.round(rng.uniform(0, 500, size=n), 2)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "value": pa.array(val, pa.float64()),
+    })
+
+    K = 4
+    cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+    want = {}
+    df = pd.DataFrame({"eid": eid, "uid": uid, "us": us, "c": cents})
+    for _, g in df.sort_values(["uid", "us", "eid"]).groupby("uid"):
+        cs = g["c"].to_numpy()
+        ids = g["eid"].to_numpy()
+        for i in range(len(cs)):
+            lo = max(0, i - K + 1)
+            s = int(cs[lo:i + 1].sum())
+            fn = i + 1 - lo
+            want[int(ids[i])] = (s, fn, float(s) / float(fn))
+
+    for nblocks in (1, 6):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = sliding_frame(ds, key="user_id", ts_col="ts",
+                            val_col="value", frame_rows=K,
+                            num_partitions=5).to_pandas()
+        assert len(out) == n
+        for _, r in out.iterrows():
+            s, fn, avg = want[int(r["event_id"])]
+            assert (r["frame_sum_cents"], r["frame_n"]) == (s, fn)
+            assert r["frame_avg"] == avg  # bit-identical division
