@@ -882,3 +882,190 @@ def grouped_comoments(ds, group_col: str, x_col: str, y_col: str):
         .groupby(group_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier census: per-group median + MAD over an exact-int column
+# ---------------------------------------------------------------------------
+
+def median_mad_stats(ds, group_col: str, value_col: str, k: int = 3,
+                     num_partitions: int = 16) -> pa.Table:
+    """Per-group robust (median/MAD) outlier census over an EXACT-INTEGER
+    column (callers pre-scale doubles to cents — the running_totals
+    discipline): median = quantile_disc(v, 0.5), MAD =
+    quantile_disc(|v - median|, 0.5), outliers = rows with
+    |v - median| > k * MAD. Every comparison is integer-exact (quantile_disc
+    picks actual elements; int cents survive float64 below 2^53), so the
+    whole row set value-hashes cross-engine — no sigma-based float fences.
+
+    Physical plan: grouped_quantiles pass 1 (median; one coarse exchange) ->
+    tiny median map broadcast -> derived |v - med| scan feeding
+    grouped_quantiles pass 2 (MAD) -> fence map broadcast -> ONE counting
+    scan of per-batch bincount partials (the iqr_outlier_stats shape).
+    Output: (group, n, median, mad, n_outliers), O(groups) rows."""
+    from lsh_apg_ray.stages.grouped import grouped_quantiles
+
+    med_tbl = (
+        grouped_quantiles(ds, group_col, value_col, qs=[0.5],
+                          num_partitions=num_partitions)
+        .to_pandas()  # O(groups) rows
+        .sort_values(group_col)
+    )
+    groups = np.asarray(med_tbl[group_col], dtype=object)
+    n_rows = med_tbl["n"].to_numpy(np.int64)
+    med = med_tbl["q50"].to_numpy(np.float64).astype(np.int64)  # exact picks
+    med_ref = ray.put((groups, med))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        gs, mv = ray.get(med_ref)
+        gv = np.asarray(t[group_col].to_pandas(), dtype=object)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(gs, gv)
+        return pa.table({
+            group_col: t[group_col],
+            "absdev": pa.array(np.abs(v - mv[pos]), pa.int64()),
+        })
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad_tbl = (
+        grouped_quantiles(dev, group_col, "absdev", qs=[0.5],
+                          num_partitions=num_partitions)
+        .to_pandas()
+        .sort_values(group_col)
+    )
+    mad = mad_tbl["q50"].to_numpy(np.float64).astype(np.int64)
+    fence_ref = ray.put((groups, med, mad * np.int64(k)))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        gs, mv, fence = ray.get(fence_ref)
+        gv = np.asarray(t[group_col].to_pandas(), dtype=object)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(gs, gv)
+        out = np.abs(v - mv[pos]) > fence[pos]
+        cnt = np.bincount(pos[out], minlength=len(gs)).astype(np.int64)
+        return pa.table({
+            "__gi": pa.array(np.arange(len(gs), dtype=np.int64), pa.int64()),
+            "n_out": pa.array(cnt, pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__gi")
+        .aggregate(Sum("n_out", alias_name="n_out"))
+        .to_pandas()  # O(groups) rows
+        .sort_values("__gi")
+    )
+    n_out = np.zeros(len(groups), np.int64)
+    gi = counts["__gi"].to_numpy().astype(np.int64)
+    n_out[gi] = counts["n_out"].to_numpy().astype(np.int64)
+    return pa.table({
+        group_col: pa.array(list(groups), pa.string()),
+        "n": pa.array(n_rows, pa.int64()),
+        "median": pa.array(med, pa.int64()),
+        "mad": pa.array(mad, pa.int64()),
+        "n_outliers": pa.array(n_out, pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per group (average-rank ties, exact integers)
+# ---------------------------------------------------------------------------
+
+def spearman_stats(ds, group_col: str, x_col: str, y_col: str,
+                   max_cells: int = 1 << 20):
+    """Per-group Spearman rank correlation of two EXACT-INTEGER columns.
+
+    Tie handling is the standard average rank, carried as DOUBLED ranks
+    r2 = 2*min_rank + cnt - 1 (always an integer), because Pearson
+    correlation is invariant under the affine doubling — so the whole
+    computation runs through grouped_comoments' exact-int64 machinery and
+    the final float is bit-identical cross-engine (the corr_stats
+    contract; SQL replays r2 as 2*rank() + count() OVER (group, value) - 1).
+
+    Rank assignment WITHOUT sorting any group in one place: a per-(group,
+    column, value) census (per-batch lexsort run-length partials -> one
+    groupby-sum exchange) is collected to the driver — this assumes a
+    BOUNDED value domain per group (the quality_ntile census contract;
+    raises if the census exceeds max_cells) — min-ranks fall out of a
+    cumsum per group, and a broadcast (group -> sorted values, r2) map
+    attaches ranks in one more scan. Returns (group, n_rows, spearman)."""
+    import pyarrow.compute as pc
+
+    def census(t: pa.Table) -> pa.Table:
+        cols = {"__col": [], group_col: [], "val": [], "cnt": []}
+        out = []
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        for ci, col in enumerate((x_col, y_col)):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(v):
+                continue
+            order = np.lexsort((v, g))
+            g_s, v_s = g[order], v[order]
+            newrun = np.empty(len(v), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+            starts = np.flatnonzero(newrun)
+            cnt = np.diff(np.append(starts, len(v))).astype(np.int64)
+            out.append(pa.table({
+                "__col": pa.array(np.full(len(starts), ci, np.int64)),
+                group_col: pa.array(g_s[starts].astype(str), pa.string()),
+                "val": pa.array(v_s[starts], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }))
+        if not out:
+            return pa.table({"__col": pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string()),
+                             "val": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.concat_tables(out)
+
+    cells = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby(["__col", group_col, "val"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by the (group, value) domain — checked:
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"spearman census has {len(cells)} (group, value) cells "
+            f"(> max_cells={max_cells}); the bounded-value-domain "
+            f"assumption does not hold for these columns")
+    cells = cells.sort_values(["__col", group_col, "val"], kind="mergesort")
+    # doubled average rank per (col, group, value): min_rank = 1 + cumsum of
+    # smaller-value counts within the (col, group) run; r2 = 2*min_rank+cnt-1
+    maps: dict[int, dict[str, tuple[np.ndarray, np.ndarray]]] = {0: {}, 1: {}}
+    for (ci, grp), sub in cells.groupby(["__col", group_col], sort=False):
+        cnt = sub["cnt"].to_numpy(np.int64)
+        vals = sub["val"].to_numpy(np.int64)
+        min_rank = 1 + np.concatenate(([0], np.cumsum(cnt[:-1])))
+        maps[int(ci)][grp] = (vals, 2 * min_rank + cnt - 1)
+    maps_ref = ray.put(maps)
+
+    def attach(t: pa.Table) -> pa.Table:
+        mp = ray.get(maps_ref)
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        n = t.num_rows
+        r2 = {0: np.zeros(n, np.int64), 1: np.zeros(n, np.int64)}
+        for ci, col in enumerate((x_col, y_col)):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            for grp in np.unique(g) if n else []:
+                m = g == grp
+                vals, rr = mp[ci][grp]
+                r2[ci][m] = rr[np.searchsorted(vals, v[m])]
+        return pa.table({
+            group_col: t[group_col],
+            "r2x": pa.array(r2[0], pa.int64()),
+            "r2y": pa.array(r2[1], pa.int64()),
+        })
+
+    ranked = ds.map_batches(attach, batch_format="pyarrow")
+    com = grouped_comoments(ranked, group_col, "r2x", "r2y")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: t[group_col],
+            "n_rows": t["n_rows"],
+            "spearman": t["corr"],
+        })
+
+    return com.map_batches(project, batch_format="pyarrow")

@@ -284,3 +284,130 @@ def kmv_distinct(ds, cfg: DedupConfig, k: int = 16,
         .groupby(group_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (Flajolet-Fusy-Gandouet-Meunier, AofA'07)
+# ---------------------------------------------------------------------------
+
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 values (0 -> 0). No float
+    log2 anywhere — log2 rounding lies near powers of two above 2^53,
+    which would corrupt the register value the driver hash-gates."""
+    v = np.ascontiguousarray(x, dtype=np.uint64).copy()
+    bl = np.zeros(v.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[np.ascontiguousarray(x, dtype=np.uint64) > 0] += 1
+    return bl
+
+
+def hll_rho(hkeys_flipped: np.ndarray, p: int):
+    """(register, rho) for sign-flipped int64 hash keys (`kmv_flip`
+    storage order): register = top p bits of the UNSIGNED 64-bit hash,
+    rho = leading-zero count of the remaining q = 64-p bits + 1 (in
+    [1, q+1]). Pure integer bit arithmetic — bit-replayable in SQL via a
+    power table (the cdc_chunks contract)."""
+    q = 64 - p
+    uh = hkeys_flipped.astype(np.int64).view(np.uint64) ^ _SIGN
+    reg = (uh >> np.uint64(q)).astype(np.int64)
+    rem = uh & np.uint64((1 << q) - 1)
+    rho = (q + 1) - bit_length_u64(rem)
+    return reg, rho
+
+
+def hll_estimate(rho_by_register: np.ndarray, p: int) -> float:
+    """Standard HLL estimator with small-range (linear counting) and the
+    raw-estimate regimes; rho_by_register is the DENSE length-2^p register
+    vector (0 = untouched). Deterministic given the registers; the integer
+    register table is the driver-gated surface, the float estimate is
+    pytest-gated (3 * 1.04/sqrt(m) relative-error bound)."""
+    m = 1 << p
+    if len(rho_by_register) != m:
+        raise ValueError(f"expected dense register vector of length {m}")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -rho_by_register.astype(np.int64))))
+    zeros = int(np.sum(rho_by_register == 0))
+    if est <= 2.5 * m and zeros > 0:
+        import math
+
+        return m * math.log(m / zeros)
+    return est
+
+
+def hll_registers(ds, cfg: DedupConfig, p: int = 10,
+                  group_col: str = "lang", text_col: str = "text"):
+    """Per-group distinct-token HyperLogLog register table: for each
+    (group, register) the max rho observed over the group's DISTINCT token
+    hashes. The register census is order-free (max is commutative +
+    idempotent), so the result is deterministic at any parallelism — the
+    property that makes HLL the 100-TB distinct counter: per-(group,
+    block) at most 2^p rows cross the shuffle regardless of vocabulary
+    size (KMV bounds by k; HLL bounds by 2^p with far better accuracy per
+    byte at large D).
+
+    Output: (group_col, register, rho) SPARSE — only registers actually
+    hit — sorted by (group, register); `hll_estimate` densifies + turns a
+    group's registers into the distinct-count estimate (pytest-gated)."""
+    from ray.data.aggregate import Max
+
+    from lsh_apg_ray.hashing import TokenHasher
+
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "register": pa.array([], pa.int64()),
+            "rho": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ti = arrow_token_index(t[text_col], pattern)
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        de = pc.dictionary_encode(grp)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        v = np.int64(len(dictionary))
+        upair = np.unique(codes[doc_row] * v + indices)
+        g_idx = (upair // v).astype(np.int64)
+        t_idx = (upair % v).astype(np.int64)
+        hk = kmv_flip(hasher.token_hashes(dictionary))[t_idx]
+        reg, rho = hll_rho(hk, p)
+        # per-batch (group, register) max-rho census: lexsort + reduceat
+        key = g_idx * np.int64(1 << p) + reg
+        order = np.lexsort((rho, key))
+        key_s, rho_s = key[order], rho[order]
+        newrun = np.empty(len(key_s), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = key_s[1:] != key_s[:-1]
+        starts = np.flatnonzero(newrun)
+        ends = np.append(starts[1:], len(key_s)) - 1
+        ku = key_s[starts]
+        return pa.table(
+            {
+                group_col: de.dictionary.take(
+                    pa.array(ku // np.int64(1 << p), pa.int64())),
+                "register": pa.array(ku % np.int64(1 << p), pa.int64()),
+                "rho": pa.array(rho_s[ends], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .sort([group_col, "register"])
+    )

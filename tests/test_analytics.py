@@ -399,3 +399,104 @@ def test_grouped_comoments_zero_variance_and_overflow():
     with pytest.raises((OverflowError, Exception)):
         grouped_comoments(
             rd.from_arrow(big), "g", "x", "y").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# median/MAD robust outliers
+# ---------------------------------------------------------------------------
+
+def _disc_median(v: np.ndarray) -> int:
+    """quantile_disc(0.5): sorted element at ceil(0.5*n) - 1."""
+    s = np.sort(v)
+    return int(s[int(np.ceil(0.5 * len(s))) - 1])
+
+
+def test_median_mad_naive_replay():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.analytics import median_mad_stats
+
+    rng = np.random.default_rng(3)
+    groups = np.repeat(["a", "b", "c"], [401, 250, 37])
+    v = rng.integers(-500, 500, size=len(groups)).astype(np.int64)
+    v[:5] = [90000, -90000, 80000, 70000, -70000]  # planted outliers in "a"
+    df = pd.DataFrame({"g": groups, "v": v})
+    out = (median_mad_stats(rd.from_pandas(df).repartition(5), "g", "v", k=3)
+           .to_pandas().set_index("g"))
+    for g in ("a", "b", "c"):
+        vv = v[groups == g]
+        med = _disc_median(vv)
+        mad = _disc_median(np.abs(vv - med))
+        n_out = int(np.sum(np.abs(vv - med) > 3 * mad))
+        row = out.loc[g]
+        assert (int(row["n"]), int(row["median"]), int(row["mad"]),
+                int(row["n_outliers"])) == (len(vv), med, mad, n_out), g
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (average-rank ties)
+# ---------------------------------------------------------------------------
+
+def _naive_spearman(x: np.ndarray, y: np.ndarray) -> float | None:
+    """Textbook average-rank Spearman = Pearson of tie-averaged ranks."""
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), np.float64)
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average rank
+            i = j
+        return ranks
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    dx, dy = rx - rx.mean(), ry - ry.mean()
+    denx, deny = np.sum(dx * dx), np.sum(dy * dy)
+    if denx <= 0 or deny <= 0:
+        return None
+    return float(np.sum(dx * dy) / np.sqrt(denx * deny))
+
+
+def test_spearman_naive_replay_with_ties():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.analytics import spearman_stats
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # group "m": monotone nonlinear relation (spearman 1.0, pearson < 1)
+    for i in range(80):
+        rows.append({"g": "m", "x": i, "y": i * i * i})
+    # group "t": heavy ties
+    xs = rng.integers(0, 5, 300)
+    ys = xs * 2 + rng.integers(0, 3, 300)
+    for x, y in zip(xs, ys):
+        rows.append({"g": "t", "x": int(x), "y": int(y)})
+    # group "z": zero variance in y -> NULL
+    for i in range(10):
+        rows.append({"g": "z", "x": i, "y": 7})
+    df = pd.DataFrame(rows)
+    out = (spearman_stats(rd.from_pandas(df).repartition(6), "g", "x", "y")
+           .to_pandas().set_index("g"))
+    assert out.loc["m", "spearman"] == pytest.approx(1.0, abs=1e-12)
+    for g in ("m", "t"):
+        sub = df[df["g"] == g]
+        want = _naive_spearman(sub["x"].to_numpy(np.int64),
+                               sub["y"].to_numpy(np.int64))
+        assert out.loc[g, "spearman"] == pytest.approx(want, abs=1e-9), g
+    assert np.isnan(out.loc["z", "spearman"])
+    assert int(out.loc["t", "n_rows"]) == 300
+
+
+def test_spearman_census_bound_raises():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.analytics import spearman_stats
+
+    df = pd.DataFrame({"g": ["a"] * 50,
+                       "x": np.arange(50, dtype=np.int64),
+                       "y": np.arange(50, dtype=np.int64)})
+    with pytest.raises(ValueError, match="max_cells"):
+        spearman_stats(rd.from_pandas(df), "g", "x", "y", max_cells=10)

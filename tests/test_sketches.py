@@ -130,3 +130,78 @@ def test_kmv_fewer_distincts_than_k_is_exact(test_cfg):
     out = kmv_distinct(rd.from_pandas(df), test_cfg, k=64).to_pandas()
     assert len(out) == 3  # a, b, c
     assert kmv_estimate(out.sort_values("rank")["hkey"].to_numpy(), 64) == 3.0
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_bit_length_u64_exact():
+    """Exact against Python int.bit_length, including the 2^53 boundary
+    where float log2 would lie and the extremes."""
+    from lsh_apg_ray.stages.sketches import bit_length_u64
+
+    vals = [0, 1, 2, 3, 4, (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+            (1 << 54) - 1, 1 << 62, (1 << 63), (1 << 64) - 1]
+    got = bit_length_u64(np.array(vals, dtype=np.uint64))
+    want = [int(v).bit_length() for v in vals]
+    assert got.tolist() == want
+
+
+def test_hll_rho_matches_naive():
+    from lsh_apg_ray.stages.sketches import hll_rho, kmv_flip
+
+    rng = np.random.default_rng(7)
+    uh = rng.integers(0, 1 << 64, size=2000, dtype=np.uint64)
+    uh[:4] = [0, 1, (1 << 54) - 1, (1 << 64) - 1]
+    p, q = 10, 54
+    reg, rho = hll_rho(kmv_flip(uh), p)
+    for i in range(len(uh)):
+        u = int(uh[i])
+        assert reg[i] == u >> q
+        rem = u & ((1 << q) - 1)
+        want = q + 1 if rem == 0 else q + 1 - rem.bit_length()
+        assert rho[i] == want, (i, u)
+
+
+def test_hll_registers_split_independent(ray_session, test_cfg):
+    """The register table is identical at any batch/block structure —
+    max is order-free (the determinism-across-parallelism contract)."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.sketches import hll_registers
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(800)]
+    rows = [{"lang": ["en", "fr"][i % 2],
+             "text": " ".join(vocab[j] for j in rng.integers(0, 800, 30))}
+            for i in range(200)]
+    df = pd.DataFrame(rows)
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs.append(hll_registers(ds, test_cfg, p=8)
+                    .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hll_estimate_accuracy(ray_session, test_cfg):
+    """Estimate within 3 * 1.04/sqrt(m) of the true distinct count."""
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.sketches import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(13)
+    n_distinct = 5000
+    vocab = [f"w{i}" for i in range(n_distinct)]
+    rows = [{"lang": "en",
+             "text": " ".join(vocab[j] for j in rng.integers(0, n_distinct, 60))}
+            for _ in range(400)]
+    rows.append({"lang": "en", "text": " ".join(vocab)})
+    p = 10
+    out = hll_registers(rd.from_pandas(pd.DataFrame(rows)), test_cfg,
+                        p=p).to_pandas()
+    dense = np.zeros(1 << p, np.int64)
+    dense[out["register"].to_numpy(np.int64)] = out["rho"].to_numpy(np.int64)
+    est = hll_estimate(dense, p)
+    assert abs(est - n_distinct) / n_distinct < 3 * 1.04 / np.sqrt(1 << p), est
