@@ -1029,3 +1029,97 @@ def sliding_frame(events, key: str, ts_col: str, val_col: str,
         .groupby(_SPART)
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def path_counts(events, key: str, ts_col: str, type_col: str,
+                num_partitions: int = 16, tie_col: str = "event_id"):
+    """Consecutive-TRIGRAM path census: global count of (a -> b -> c)
+    length-3 steps within each key's (ts, tie)-ordered sequence, plus the
+    distinct keys exhibiting each path — transition_counts' order-3
+    sibling (behavioral funnel mining without pre-declared stages).
+
+    Same physical plan as transition_counts: ONE coarse hash partition on
+    the key, per-partition lexsort + DOUBLE-shifted run-length census on
+    dictionary codes (path id = ((a*V)+b)*V+c fits int64 for V < 2^21 —
+    raises otherwise), partial (a, b, c, n_paths, n_keys) rows, one tiny
+    groupby-sum. Output: t1, t2, t3, n_paths, n_keys."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    _TPART = "__ppart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_TPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_TPART])
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "n_paths": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if n < 3:
+            return empty
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        col = t[type_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        v = np.int64(len(vocab))
+        if v >= (1 << 21):
+            raise OverflowError(
+                f"path id needs 3*log2(V) bits; V={v} too large for int64")
+        order = np.lexsort((tie, us, keys))
+        keys_s, codes_s = keys[order], codes[order]
+        run3 = (keys_s[2:] == keys_s[1:-1]) & (keys_s[1:-1] == keys_s[:-2])
+        if not run3.any():
+            return empty
+        a = codes_s[:-2][run3]
+        b = codes_s[1:-1][run3]
+        c = codes_s[2:][run3]
+        pathkey = keys_s[2:][run3]
+        path = (a * v + b) * v + c
+        porder = np.lexsort((pathkey, path))
+        path_s, k_s = path[porder], pathkey[porder]
+        pchange = np.empty(len(path_s), dtype=bool)
+        pchange[0] = True
+        pchange[1:] = path_s[1:] != path_s[:-1]
+        kchange = pchange.copy()
+        kchange[1:] |= k_s[1:] != k_s[:-1]
+        p_starts = np.flatnonzero(pchange)
+        n_paths = np.diff(np.append(p_starts, len(path_s))).astype(np.int64)
+        n_keys = np.add.reduceat(kchange.astype(np.int64), p_starts)
+        up = path_s[p_starts]
+        vocab_arr = np.asarray(vocab, dtype=object)
+        return pa.table(
+            {
+                "t1": pa.array(vocab_arr[(up // (v * v))], pa.string()),
+                "t2": pa.array(vocab_arr[(up // v) % v], pa.string()),
+                "t3": pa.array(vocab_arr[(up % v)], pa.string()),
+                "n_paths": pa.array(n_paths, pa.int64()),
+                "n_keys": pa.array(n_keys, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_TPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n_paths", alias_name="n_paths"),
+                   Sum("n_keys", alias_name="n_keys"))
+        .sort(["t1", "t2", "t3"])
+    )

@@ -477,3 +477,44 @@ def test_sliding_frame_vs_naive():
             s, fn, avg = want[int(r["event_id"])]
             assert (r["frame_sum_cents"], r["frame_n"]) == (s, fn)
             assert r["frame_avg"] == avg  # bit-identical division
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_path_counts_matches_duckdb(blocks):
+    import duckdb
+
+    from lsh_apg_ray.stages.windows import path_counts
+
+    rng = np.random.default_rng(17)
+    n = 600
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 15, n).astype(np.int64),
+            "ts": (t0 + rng.integers(0, 1_000_000_000, n)
+                   ).astype("datetime64[us]"),
+            "event_type": np.array(["view", "click", "buy", "share"])[
+                rng.integers(0, 4, n)],
+        }
+    )
+    out = (
+        path_counts(rd.from_pandas(df).repartition(blocks),
+                    "user_id", "ts", "event_type", num_partitions=4)
+        .to_pandas().sort_values(["t1", "t2", "t3"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute(
+        """WITH s AS (
+             SELECT user_id, event_type AS t1,
+                    lead(event_type, 1) OVER w AS t2,
+                    lead(event_type, 2) OVER w AS t3
+             FROM ev
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+           FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
