@@ -6872,6 +6872,1230 @@ FROM s ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 session-8: TPC-H Q18/Q22/Q16 shapes + HLL sketch + robust stats
+# ---------------------------------------------------------------------------
+
+HLL_P = 10
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer — the group-HAVING-join-back plan. Scale plan:
+    the per-order quantity census is per-batch run-length partials ->
+    ONE groupby-sum on the 8-byte orderkey (the combiner discipline);
+    the tiny qualifying-order table then hash-joins orders and customer
+    PARTITIONED (both are fact-sized — never broadcast); top-100 via
+    per-block bounded top-k then one tiny sort+limit merge (K1/K2).
+    Total tie-break (total_cents DESC, o_orderkey ASC) makes the row
+    set deterministic cross-engine."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    QTY_MIN = 250
+    TOPK = 100
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+        if not len(ok):
+            return pa.table({"o_orderkey": pa.array([], i64),
+                             "sum_qty": pa.array([], i64)})
+        uk = np.unique(ok)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, np.searchsorted(uk, ok), q)
+        return pa.table({"o_orderkey": pa.array(uk, i64),
+                         "sum_qty": pa.array(s, i64)})
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        s = t["sum_qty"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(s >= QTY_MIN))
+
+    big = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(keep_big, batch_format="pyarrow")
+    )
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def ord_cents(t: pa.Table) -> pa.Table:
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"].cast(i64),
+                         "o_custkey": t["o_custkey"].cast(i64),
+                         "total_cents": pa.array(cents, i64)})
+
+    j1 = hash_join(
+        big, orders.map_batches(ord_cents, batch_format="pyarrow"),
+        left_on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", i64), ("sum_qty", i64)]),
+        right_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64),
+                                ("total_cents", i64)]),
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j2 = hash_join(
+        j1, cust, left_on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("o_orderkey", i64), ("sum_qty", i64),
+                               ("o_custkey", i64), ("total_cents", i64)]),
+        right_schema=pa.schema([("c_custkey", i64),
+                                ("c_name", pa.string())]),
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        tc = t["total_cents"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ok, -tc))[:TOPK]
+        return t.take(pa.array(sel)).select(
+            ["o_custkey", "c_name", "o_orderkey", "total_cents", "sum_qty"])
+
+    return (
+        j2.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(TOPK)
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) >= 250
+)
+SELECT o_custkey, c_name, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       big.sum_qty
+FROM big
+JOIN orders   USING (o_orderkey)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_cents DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_top_balance_inactive(sf_dir: str):
+    """TPC-H Q22 shape: per-segment census of customers whose balance
+    beats the global positive-balance average and who never placed an
+    URGENT order — the global-scalar-broadcast + anti-join plan. The average is never a
+    float: the filter `cents > avg` is evaluated as the exact integer
+    cross-multiplication cents * n_pos > sum_pos (raises on overflow
+    rather than wrapping). Scale plan: pass 1 is a two-int aggregate;
+    the order-placer side is a per-batch distinct-custkey census ->
+    groupby (bytes = distinct customers, 8 B each); the anti join is
+    PARTITIONED (fk_integrity discipline); the final census is per-batch
+    partials -> one tiny groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        c = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"].cast(i64),
+                         "c_mktsegment": t["c_mktsegment"],
+                         "cents": pa.array(c, i64)})
+
+    cc = cust.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pos = c[c > 0]
+        return pa.table({"n_pos": pa.array([len(pos)], i64),
+                         "sum_pos": pa.array([int(pos.sum())], i64)})
+
+    g = (cc.map_batches(pos_partial, batch_format="pyarrow")
+         .aggregate(Sum("n_pos", alias_name="n_pos"),
+                    Sum("sum_pos", alias_name="sum_pos")))
+    n_pos, sum_pos = int(g["n_pos"]), int(g["sum_pos"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        if len(c) and abs(int(c[np.argmax(np.abs(c))])) * n_pos >= (1 << 63):
+            raise OverflowError("cents * n_pos would overflow int64")
+        return t.filter(pa.array(c * np.int64(n_pos) > np.int64(sum_pos)))
+
+    candidates = cc.map_batches(rich, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+
+    def dk(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t["o_orderpriority"].to_pandas(), dtype=object)
+        u = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)[pr == "1-URGENT"])
+        return pa.table({"o_custkey": pa.array(u, i64),
+                         "one": pa.array(np.ones(len(u), np.int64), i64)})
+
+    placers = (orders.map_batches(dk, batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Sum("one", alias_name="one")))
+
+    inactive = hash_join(
+        candidates, placers, left_on="c_custkey", right_on="o_custkey",
+        how="anti",
+        left_schema=pa.schema([("c_custkey", i64),
+                               ("c_mktsegment", pa.string()),
+                               ("cents", i64)]),
+        right_schema=pa.schema([("o_custkey", i64), ("one", i64)]),
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        seg = np.asarray(t["c_mktsegment"].to_pandas(), dtype=object)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        if not len(seg):
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "n_custs": pa.array([], i64),
+                             "acctbal_cents": pa.array([], i64)})
+        order = np.argsort(seg, kind="stable")
+        s_s, c_s = seg[order], c[order]
+        newrun = np.empty(len(s_s), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = s_s[1:] != s_s[:-1]
+        starts = np.flatnonzero(newrun)
+        cnt = np.diff(np.append(starts, len(s_s))).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": pa.array(s_s[starts].astype(str), pa.string()),
+            "n_custs": pa.array(cnt, i64),
+            "acctbal_cents": pa.array(np.add.reduceat(c_s, starts), i64),
+        })
+
+    # final merge: O(segments x blocks) partial rows; a Dataset groupby on
+    # an all-empty stream drops the schema (Ray 2.49 empty-block quirk), so
+    # the tiny census merges into one TYPED table instead
+    parts = (inactive.map_batches(seg_partial, batch_format="pyarrow")
+             .to_pandas())
+    if len(parts):
+        parts = (parts.groupby("c_mktsegment", as_index=False)
+                 [["n_custs", "acctbal_cents"]].sum()
+                 .sort_values("c_mktsegment"))
+    return pa.table({
+        "c_mktsegment": pa.array(
+            [] if not len(parts) else list(parts["c_mktsegment"]),
+            pa.string()),
+        "n_custs": pa.array(
+            [] if not len(parts) else parts["n_custs"].to_numpy(np.int64),
+            i64),
+        "acctbal_cents": pa.array(
+            [] if not len(parts)
+            else parts["acctbal_cents"].to_numpy(np.int64), i64),
+    })
+
+
+SQL_TOP_BALANCE_INACTIVE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM c WHERE cents > 0
+),
+sel AS (
+  SELECT c.c_mktsegment, c.cents FROM c, g
+  WHERE c.cents * g.n > g.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(cents) AS BIGINT) AS acctbal_cents
+FROM sel GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_part_supplier_census(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier count per (brand, size) over the
+    part-supplier incidence implied by lineitem, excluding one brand and
+    all negative-balance ("complaint") suppliers. Scale plan: incidence
+    dedupe and the (brand, size, supplier) dedupe are each ONE coarse
+    hash-partition exchange + per-partition run-length (never a
+    per-distinct-key Dataset groupby); part attributes attach via a
+    PARTITIONED hash join; the excluded-supplier side is an anti join
+    (suppliers are fact-sized at corpus scale — never broadcast)."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.arrowutil import hash_partition
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    NPART = 8
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk) and (pk.max() >= (1 << 31) or sk.max() >= (1 << 31)):
+            raise OverflowError("packed (partkey, suppkey) needs 31+31 bits")
+        u = np.unique((pk << np.int64(31)) | sk)
+        out = pa.table({"l_partkey": pa.array(u >> np.int64(31), i64),
+                        "l_suppkey": pa.array(u & np.int64((1 << 31) - 1),
+                                              i64)})
+        return out.append_column(
+            "__part", pa.array(
+                hash_partition(out["l_partkey"], NPART), i64))
+
+    def dedupe_pairs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        u = np.unique((pk << np.int64(31)) | sk)
+        return pa.table({"l_partkey": pa.array(u >> np.int64(31), i64),
+                         "l_suppkey": pa.array(u & np.int64((1 << 31) - 1),
+                                               i64)})
+
+    ps = (
+        li.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedupe_pairs, batch_format="pyarrow")
+    )
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_keep(t: pa.Table) -> pa.Table:
+        br = np.asarray(t["p_brand"].to_pandas(), dtype=object)
+        return t.filter(pa.array(br != "Brand#13")).select(
+            ["p_partkey", "p_brand", "p_size"])
+
+    j1 = hash_join(
+        ps, part.map_batches(part_keep, batch_format="pyarrow"),
+        left_on="l_partkey", right_on="p_partkey",
+        left_schema=pa.schema([("l_partkey", i64), ("l_suppkey", i64)]),
+        right_schema=pa.schema([("p_partkey", i64),
+                                ("p_brand", pa.string()),
+                                ("p_size", pa.int32())]),
+    )
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def bad_supp(t: pa.Table) -> pa.Table:
+        bal = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"s_suppkey": t["s_suppkey"].cast(i64)}).filter(
+                pa.array(bal < 0.0))
+
+    ok = hash_join(
+        j1, supp.map_batches(bad_supp, batch_format="pyarrow"),
+        left_on="l_suppkey", right_on="s_suppkey", how="anti",
+        left_schema=pa.schema([("l_partkey", i64), ("l_suppkey", i64),
+                               ("p_brand", pa.string()),
+                               ("p_size", pa.int32())]),
+        right_schema=pa.schema([("s_suppkey", i64)]),
+    )
+
+    # distinct (brand, size, suppkey) -> count per (brand, size):
+    # one coarse exchange keyed on the supplier hash co-locates every copy
+    # of a (brand, size, supplier) triple (supplier is in the key), then
+    # per-partition dedupe + per-(brand, size) run-length census partials
+    # feed one tiny groupby-sum.
+    def triple_part(t: pa.Table) -> pa.Table:
+        t = t.select(["p_brand", "p_size", "l_suppkey"])
+        return t.append_column(
+            "__part", pa.array(hash_partition(t["l_suppkey"], NPART), i64))
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        br = np.asarray(t["p_brand"].to_pandas(), dtype=object)
+        sz = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(br.astype(str), "|"),
+                          np.char.add(sz.astype(str), "|"))
+        key = np.char.add(key, sk.astype(str))
+        _, first = np.unique(key, return_index=True)
+        br, sz = br[first], sz[first]
+        order = np.lexsort((sz, br))
+        br_s, sz_s = br[order], sz[order]
+        newrun = np.empty(len(br_s), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (br_s[1:] != br_s[:-1]) | (sz_s[1:] != sz_s[:-1])
+        starts = np.flatnonzero(newrun)
+        cnt = np.diff(np.append(starts, len(br_s))).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(br_s[starts].astype(str), pa.string()),
+            "p_size": pa.array(sz_s[starts], i64),
+            "supplier_cnt": pa.array(cnt, i64),
+        })
+
+    return (
+        ok.map_batches(triple_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(census, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .sort(["p_brand", "p_size"])
+    )
+
+
+SQL_PART_SUPPLIER_CENSUS = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_distinct_hll(sf_dir: str):
+    """Per-language HyperLogLog distinct-token register table (p=10): the
+    bounded-state distinct counter whose census is order-free max — at
+    most 2^p rows per (group, block) cross the shuffle no matter the
+    vocabulary size. The oracle consumes the dumped (lang, hkey) table
+    (64-bit hashing is the non-SQL boundary — the kmv/fingerprints
+    contract) and re-derives register + rho with pure integer bit
+    arithmetic via a recursive power table; `hll_estimate` (pytest-gated)
+    turns registers into the distinct-count estimate."""
+    import pyarrow.compute as pc
+
+    from lsh_apg_ray.hashing import TokenHasher, arrow_token_index
+    from lsh_apg_ray.stages.sketches import hll_registers, kmv_flip
+
+    cfg = _cfg()
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+
+    docs = read_documents(sf_dir, columns=["lang", "text"])
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], pattern)
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "hkey": pa.array([], pa.int64())})
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        grp = t["lang"]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        de = pc.dictionary_encode(grp)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        v = np.int64(len(dictionary))
+        upair = np.unique(codes[doc_row] * v + indices)
+        g_idx = (upair // v).astype(np.int64)
+        t_idx = (upair % v).astype(np.int64)
+        return pa.table({
+            "lang": de.dictionary.take(pa.array(g_idx, pa.int64())),
+            "hkey": pa.array(kmv_flip(hasher.token_hashes(dictionary))[t_idx],
+                             pa.int64()),
+        })
+
+    _dump_ds(docs.map_batches(hash_rows, batch_format="pyarrow"),
+             sf_dir, "hll_token_hashes")
+    return hll_registers(docs, cfg, p=HLL_P)
+
+
+# register = top p=10 bits of the unsigned hash; rho = 55 - bit_length(rem)
+# over the remaining q=54 bits, bit_length replayed EXACTLY via the power
+# table (no float log2 — the cdc_chunks contract). 2^54 = 18014398509481984.
+SQL_DISTINCT_HLL = f"""
+WITH RECURSIVE powers AS (
+  SELECT 0 AS e, CAST(1 AS HUGEINT) AS pow
+  UNION ALL SELECT e + 1, pow * 2 FROM powers WHERE e < 53
+),
+th AS (
+  SELECT DISTINCT lang,
+         CAST(hkey AS HUGEINT) + 9223372036854775808 AS uh
+  FROM read_parquet('{_dump_path(_SQL_SF, "hll_token_hashes")}/*.parquet')
+),
+rr AS (
+  SELECT lang,
+         CAST(uh // 18014398509481984 AS BIGINT) AS register,
+         uh % 18014398509481984 AS rem
+  FROM th
+),
+rho_t AS (
+  SELECT r.lang, r.register, r.rem,
+         55 - CAST(coalesce(max(p.e) + 1, 0) AS BIGINT) AS rho
+  FROM rr r LEFT JOIN powers p ON p.pow <= r.rem
+  GROUP BY 1, 2, 3
+)
+SELECT lang, register, CAST(max(rho) AS BIGINT) AS rho
+FROM rho_t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_anomaly_mad(sf_dir: str):
+    """Per-event-type robust (median/MAD) outlier census — the
+    scale-free anomaly detector (Tukey fences sibling, but centered on
+    the median so a heavy tail cannot drag the fence). All comparisons
+    are integer-exact on cents (stages/analytics.median_mad_stats)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import median_mad_stats
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(c, pa.int64())})
+
+    return median_mad_stats(ev.map_batches(cents, batch_format="pyarrow"),
+                            "event_type", "cents", k=3)
+
+
+SQL_ANOMALY_MAD = """
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+  FROM s GROUP BY 1
+),
+d AS (
+  SELECT s.event_type, abs(s.cents - m.med) AS adev
+  FROM s JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
+  FROM d GROUP BY 1
+)
+SELECT m.event_type, m.n, m.med AS median, md.mad AS mad,
+       CAST(coalesce(sum(CASE WHEN abs(s.cents - m.med) > 3 * md.mad
+                               THEN 1 END), 0) AS BIGINT) AS n_outliers
+FROM m JOIN md USING (event_type) JOIN s USING (event_type)
+GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""
+
+
+def q_spearman_ranks(sf_dir: str):
+    """Per-returnflag Spearman rank correlation between quantity and
+    discount — monotone-association detection that Pearson (corr_stats)
+    cannot see through nonlinearity. Average-rank ties carried as exact
+    doubled-rank integers (stages/analytics.spearman_stats)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import spearman_stats
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "q_units": pa.array(q, pa.int64()),
+            "d_cents": pa.array(d, pa.int64()),
+        })
+
+    out = spearman_stats(ds.map_batches(to_ints, batch_format="pyarrow"),
+                         "l_returnflag", "q_units", "d_cents")
+    return out.sort("l_returnflag")
+
+
+SQL_SPEARMAN_RANKS = """
+WITH t AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_discount * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+r AS (
+    SELECT l_returnflag,
+           CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+                + count(*) OVER (PARTITION BY l_returnflag, x)
+                - 1 AS BIGINT) AS rx,
+           CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+                + count(*) OVER (PARTITION BY l_returnflag, y)
+                - 1 AS BIGINT) AS ry
+    FROM t
+),
+s AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+           CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+           CAST(sum(ry * ry) AS HUGEINT) AS syy,
+           CAST(sum(rx * ry) AS HUGEINT) AS sxy
+    FROM r GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+            * sqrt(CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)))
+         AS spearman
+FROM s ORDER BY 1
+"""
+
+
+def q_event_paths(sf_dir: str):
+    """Consecutive event-type trigram census per user sequence — funnel
+    mining without pre-declared stages (stages/windows.path_counts, the
+    order-3 sibling of event_transitions). Oracle: two lead() windows."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import path_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    return path_counts(ev, "user_id", "ts", "event_type")
+
+
+SQL_EVENT_PATHS = """
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipped revenue between two nations per year — the
+    multi-hop join-chain plan. Scale plan: BOTH dimension sides are
+    filtered to the two nations BEFORE any fact join (selectivity pushed
+    below the shuffle); lineitem joins the filtered supplier side and
+    orders joins the filtered customer side PARTITIONED (suppliers and
+    customers are fact-sized at corpus scale — never broadcast); the two
+    reduced streams meet in one orderkey join; nation names come from the
+    25-row driver-held lookup. All revenue is exact int cents."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    NAT_A, NAT_B = "NATION_3", "NATION_7"
+
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    keep_keys = nat[nat["n_name"].isin([NAT_A, NAT_B])]
+    nk = keep_keys["n_nationkey"].to_numpy(np.int64)
+    nname = keep_keys["n_name"].to_numpy(object)
+    order = np.argsort(nk)
+    nk, nname = nk[order], nname[order]
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_small(t: pa.Table) -> pa.Table:
+        k = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(k, nk)
+        t = t.filter(pa.array(m))
+        k = k[m]
+        return pa.table({
+            "s_suppkey": t["s_suppkey"].cast(i64),
+            "supp_nation": pa.array(
+                nname[np.searchsorted(nk, k)].astype(str), pa.string()),
+        })
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_small(t: pa.Table) -> pa.Table:
+        k = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(k, nk)
+        t = t.filter(pa.array(m))
+        k = k[m]
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(i64),
+            "cust_nation": pa.array(
+                nname[np.searchsorted(nk, k)].astype(str), pa.string()),
+        })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        us = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        # epoch-us -> year via the day count (exact integer arithmetic both
+        # engines: DuckDB year() on the same timestamps)
+        import datetime
+
+        days = (us // 86_400_000_000).astype(np.int64)
+        # vectorized day->year: dates here span a narrow range; use numpy
+        # datetime64 (proleptic Gregorian, identical to DuckDB's year())
+        years = (np.datetime64("1970-01-01") + days.astype("timedelta64[D]")
+                 ).astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(i64),
+            "l_suppkey": t["l_suppkey"].cast(i64),
+            "cents": pa.array(cents, i64),
+            "ship_year": pa.array(years, i64),
+        })
+
+    j1 = hash_join(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        supp.map_batches(supp_small, batch_format="pyarrow"),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("l_suppkey", i64),
+                               ("cents", i64), ("ship_year", i64)]),
+        right_schema=pa.schema([("s_suppkey", i64),
+                                ("supp_nation", pa.string())]),
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_small = hash_join(
+        orders, cust.map_batches(cust_small, batch_format="pyarrow"),
+        left_on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+        right_schema=pa.schema([("c_custkey", i64),
+                                ("cust_nation", pa.string())]),
+    )
+
+    j2 = hash_join(
+        j1, ord_small, left_on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("l_suppkey", i64),
+                               ("cents", i64), ("ship_year", i64),
+                               ("supp_nation", pa.string())]),
+        right_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64),
+                                ("cust_nation", pa.string())]),
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        sn = np.asarray(t["supp_nation"].to_pandas(), dtype=object)
+        cn = np.asarray(t["cust_nation"].to_pandas(), dtype=object)
+        yr = t["ship_year"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        m = sn != cn
+        if not m.any():
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "ship_year": pa.array([], i64),
+                             "revenue_e2": pa.array([], i64)})
+        sn, cn, yr, cents = sn[m], cn[m], yr[m], cents[m]
+        key = np.char.add(np.char.add(sn.astype(str), "|"),
+                          np.char.add(cn.astype(str), "|"))
+        key = np.char.add(key, yr.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, cents)
+        first = np.zeros(len(uk), np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        return pa.table({
+            "supp_nation": pa.array(sn[first].astype(str), pa.string()),
+            "cust_nation": pa.array(cn[first].astype(str), pa.string()),
+            "ship_year": pa.array(yr[first], i64),
+            "revenue_e2": pa.array(rev, i64),
+        })
+
+    return (
+        j2.map_batches(census, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "ship_year"])
+        .aggregate(Sum("revenue_e2", alias_name="revenue_e2"))
+        .sort(["supp_nation", "cust_nation", "ship_year"])
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+  AND nc.n_name IN ('NATION_3', 'NATION_7')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_supplier_value_share(sf_dir: str):
+    """TPC-H Q11 shape: suppliers whose shipped revenue exceeds a fixed
+    fraction (1/10000) of the GLOBAL total — the global-scalar-broadcast
+    + integer-cross-multiplication plan (top_balance_inactive's sibling
+    on a fact-derived scalar). value*10000 > total is evaluated exactly
+    in integers (raise-guarded), never as a float fraction. Scale plan:
+    per-supplier census is per-batch partials -> one groupby-sum on the
+    8-byte suppkey; the global total is a two-int aggregate of the same
+    partials."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    FRAC_DEN = 10_000
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        if not len(sk):
+            return pa.table({"s_suppkey": pa.array([], i64),
+                             "value_e2": pa.array([], i64)})
+        uk = np.unique(sk)
+        val = np.zeros(len(uk), np.int64)
+        np.add.at(val, np.searchsorted(uk, sk), cents)
+        return pa.table({"s_suppkey": pa.array(uk, i64),
+                         "value_e2": pa.array(val, i64)})
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("value_e2", alias_name="value_e2"))
+    )
+    total = int(per_supp.aggregate(Sum("value_e2", alias_name="t"))["t"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_e2"].to_numpy(zero_copy_only=False)
+        if len(v) and int(v.max()) * FRAC_DEN >= (1 << 63):
+            raise OverflowError("value_e2 * FRAC_DEN would overflow int64")
+        return t.filter(pa.array(v * np.int64(FRAC_DEN) > np.int64(total)))
+
+    return (per_supp.map_batches(keep, batch_format="pyarrow")
+            .sort(["value_e2", "s_suppkey"], descending=[True, False]))
+
+
+SQL_SUPPLIER_VALUE_SHARE = """
+WITH v AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS value_e2
+  FROM lineitem GROUP BY 1
+),
+g AS (SELECT CAST(sum(value_e2) AS HUGEINT) AS total FROM v)
+SELECT s_suppkey, value_e2
+FROM v, g
+WHERE CAST(value_e2 AS HUGEINT) * 10000 > g.total
+ORDER BY value_e2 DESC, s_suppkey
+"""
+
+
+def q_length_gini(sf_dir: str):
+    """Per-language Gini coefficient of document token counts — the
+    length-concentration diagnostic (is the corpus a few huge files plus
+    crumbs?). Exact-integer rank weighting from a bounded (lang, n_tokens)
+    value census (the quality_ntile contract): with x_(1..n) sorted,
+    G = 2*S / (n*T) - (n+1)/n where S = sum(i * x_(i)) and T = sum(x) are
+    exact Python ints accumulated from census runs (a run with value v,
+    count c, 1-based start rank s contributes v*(c*s + c*(c-1)/2)); the
+    two divisions and one subtraction are the only float ops, in one
+    pinned order — bit-identical in DuckDB (HUGEINT -> DOUBLE casts)."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.hashing import arrow_token_index
+
+    cfg = _cfg()
+    pattern = cfg.token_pattern
+    docs = read_documents(sf_dir, columns=["lang", "text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], pattern)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        if ti is None:
+            ntok = np.zeros(n, np.int64)
+        else:
+            _, offsets, _ = ti
+            ntok = np.diff(offsets).astype(np.int64)
+        lang = np.asarray(t["lang"].to_pandas(), dtype=object)
+        order = np.lexsort((ntok, lang))
+        l_s, v_s = lang[order], ntok[order]
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (l_s[1:] != l_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(newrun)
+        cnt = np.diff(np.append(starts, n)).astype(np.int64)
+        return pa.table({
+            "lang": pa.array(l_s[starts].astype(str), pa.string()),
+            "n_tokens": pa.array(v_s[starts], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    cells = (
+        docs.map_batches(census, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded (lang, value) domain — the census contract
+        .sort_values(["lang", "n_tokens"], kind="mergesort")
+    )
+    langs, n_out, gini = [], [], []
+    for lang, sub in cells.groupby("lang", sort=True):
+        v = sub["n_tokens"].to_numpy(np.int64)
+        c = sub["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        t_sum = 0
+        s_sum = 0
+        srank = 1
+        for vi, ci in zip(v.tolist(), c.tolist()):  # O(distinct values)
+            t_sum += vi * ci
+            s_sum += vi * (ci * srank + ci * (ci - 1) // 2)
+            srank += ci
+        g = (float(2 * s_sum) / float(n * t_sum)
+             - float(n + 1) / float(n)) if t_sum > 0 else None
+        langs.append(lang)
+        n_out.append(n)
+        gini.append(g)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array(n_out, pa.int64()),
+        "gini": pa.array(gini, pa.float64()),
+    })
+
+
+SQL_LENGTH_GINI = """
+WITH tok AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT lang, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens)
+              AS HUGEINT) AS rk
+  FROM tok
+),
+s AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_tokens) AS HUGEINT) AS t_sum,
+         CAST(sum(rk * n_tokens) AS HUGEINT) AS s_sum
+  FROM r GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN t_sum > 0 THEN
+         CAST(2 * s_sum AS DOUBLE) / CAST(n * t_sum AS DOUBLE)
+           - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS gini
+FROM s ORDER BY 1
+"""
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation extraction: top-20 token bigrams by the rational PMI
+    surrogate c_xy*N / (c_x*c_y) (log-free — same ranking as PMI, and the
+    score is two exactly-rounded multiplies + one divide over exact
+    integer censuses, so the float is bit-identical cross-engine — the
+    tfidf_keywords contract). Scale plan: bigram and unigram censuses are
+    per-batch dictionary-coded run-length partials -> one groupby-sum
+    each; the min-count filter (>= 3) bounds the candidate table BEFORE
+    the two PARTITIONED unigram joins (the vocabulary is fact-sized —
+    never broadcast); top-20 via per-block bounded top-k + tiny
+    sort+limit."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.hashing import arrow_token_index
+    from lsh_apg_ray.joins import hash_join
+
+    i64 = pa.int64()
+    cfg = _cfg()
+    pattern = cfg.token_pattern
+    MIN_COUNT = 3
+    TOPK = 20
+
+    docs = read_documents(sf_dir, columns=["text"])
+
+    def bigram_census(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "c_xy": pa.array([], i64)})
+        ti = arrow_token_index(t["text"], pattern)
+        if ti is None or len(ti[0]) < 2:
+            return empty
+        indices, offsets, dictionary = ti
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        same = doc_row[1:] == doc_row[:-1]
+        if not same.any():
+            return empty
+        a = indices[:-1][same].astype(np.int64)
+        b = indices[1:][same].astype(np.int64)
+        v = np.int64(len(dictionary))
+        key = a * v + b
+        uk, cnt = np.unique(key, return_counts=True)
+        dict_arr = pa.array(dictionary, pa.string())
+        return pa.table({
+            "t1": dict_arr.take(pa.array(uk // v, i64)),
+            "t2": dict_arr.take(pa.array(uk % v, i64)),
+            "c_xy": pa.array(cnt.astype(np.int64), i64),
+        })
+
+    def unigram_census(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t["text"], pattern)
+        if ti is None or len(ti[0]) == 0:
+            return pa.table({"tk": pa.array([], pa.string()),
+                             "c": pa.array([], i64)})
+        indices, _, dictionary = ti
+        uk, cnt = np.unique(indices.astype(np.int64), return_counts=True)
+        return pa.table({
+            "tk": pa.array(dictionary, pa.string()).take(pa.array(uk, i64)),
+            "c": pa.array(cnt.astype(np.int64), i64),
+        })
+
+    uni = (docs.map_batches(unigram_census, batch_format="pyarrow")
+           .groupby("tk").aggregate(Sum("c", alias_name="c")))
+    n_total = int(uni.aggregate(Sum("c", alias_name="n"))["n"])
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        c = t["c_xy"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c >= MIN_COUNT))
+
+    big = (docs.map_batches(bigram_census, batch_format="pyarrow")
+           .groupby(["t1", "t2"]).aggregate(Sum("c_xy", alias_name="c_xy"))
+           .map_batches(keep_min, batch_format="pyarrow"))
+
+    def ren(col_out):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"tk": t["tk"], col_out: t["c"].cast(i64)})
+        return f
+
+    j1 = hash_join(
+        big, uni.map_batches(ren("c_x"), batch_format="pyarrow"),
+        left_on="t1", right_on="tk",
+        left_schema=pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                               ("c_xy", i64)]),
+        right_schema=pa.schema([("tk", pa.string()), ("c_x", i64)]),
+    )
+    j2 = hash_join(
+        j1, uni.map_batches(ren("c_y"), batch_format="pyarrow"),
+        left_on="t2", right_on="tk",
+        left_schema=pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                               ("c_xy", i64), ("c_x", i64)]),
+        right_schema=pa.schema([("tk", pa.string()), ("c_y", i64)]),
+    )
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        c_xy = t["c_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_x = t["c_x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_y = t["c_y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # pinned order: (c_xy * N) / (c_x * c_y), each op exactly rounded
+        score = (c_xy * np.float64(n_total)) / (c_x * c_y)
+        t = t.append_column("pmi_ratio", pa.array(score, pa.float64()))
+        t1 = np.asarray(t["t1"].to_pandas(), dtype=object)
+        t2 = np.asarray(t["t2"].to_pandas(), dtype=object)
+        sel = np.lexsort((t2, t1, -score))[:TOPK]
+        return t.take(pa.array(sel))
+
+    return (
+        j2.map_batches(score_topk, batch_format="pyarrow")
+        .sort(["pmi_ratio", "t1", "t2"], descending=[True, False, False])
+        .limit(TOPK)
+    )
+
+
+SQL_BIGRAM_PMI = """
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS tk,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM tokarr
+),
+uni AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+big AS (
+  SELECT a.tk AS t1, b.tk AS t2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT t1, t2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       (CAST(c_xy AS DOUBLE) * CAST(nt.n AS DOUBLE))
+         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS pmi_ratio
+FROM big JOIN uni u1 ON u1.tk = big.t1 JOIN uni u2 ON u2.tk = big.t2, nt
+ORDER BY pmi_ratio DESC, t1, t2 LIMIT 20
+"""
+
+
+def q_dup_source_matrix(sf_dir: str):
+    """Cross-source near-duplicate leakage matrix: for each unordered
+    source pair, the number of exact-Jaccard >= theta near-dup pairs that
+    span it — the census that tells a curation run WHICH feeds duplicate
+    each other (dedup_against's reporting sibling). Scale plan: pairs
+    carry only 8-byte ids out of the similarity join; source attachment is
+    two PARTITIONED hash joins against the (doc_id, source) projection;
+    the final census is per-batch canonicalized (lo, hi) run-length
+    partials -> one tiny groupby-sum over the bounded source-pair
+    domain."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+
+    i64 = pa.int64()
+    pairs, _ = _exact_pairs(sf_dir)
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def ren(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"].cast(i64),
+                             name: t["source"]})
+        return f
+
+    j1 = hash_join(
+        pairs.select_columns(["id_a", "id_b"]),
+        docs.map_batches(ren("source_a"), batch_format="pyarrow"),
+        left_on="id_a", right_on="doc_id",
+        left_schema=pa.schema([("id_a", i64), ("id_b", i64)]),
+        right_schema=pa.schema([("doc_id", i64), ("source_a", pa.string())]),
+    )
+    j2 = hash_join(
+        j1, docs.map_batches(ren("source_b"), batch_format="pyarrow"),
+        left_on="id_b", right_on="doc_id",
+        left_schema=pa.schema([("id_a", i64), ("id_b", i64),
+                               ("source_a", pa.string())]),
+        right_schema=pa.schema([("doc_id", i64), ("source_b", pa.string())]),
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        sa = np.asarray(t["source_a"].to_pandas(), dtype=object)
+        sb = np.asarray(t["source_b"].to_pandas(), dtype=object)
+        if not len(sa):
+            return pa.table({"source_lo": pa.array([], pa.string()),
+                             "source_hi": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], i64)})
+        swap = sa.astype(str) > sb.astype(str)
+        lo = np.where(swap, sb, sa).astype(str)
+        hi = np.where(swap, sa, sb).astype(str)
+        key = np.char.add(np.char.add(lo, "|"), hi)
+        uk, inv, cnt = np.unique(key, return_inverse=True,
+                                 return_counts=True)
+        first = np.zeros(len(uk), np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        return pa.table({
+            "source_lo": pa.array(lo[first].astype(str), pa.string()),
+            "source_hi": pa.array(hi[first].astype(str), pa.string()),
+            "n_pairs": pa.array(cnt.astype(np.int64), i64),
+        })
+
+    return (
+        j2.map_batches(census, batch_format="pyarrow")
+        .groupby(["source_lo", "source_hi"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .sort(["source_lo", "source_hi"])
+    )
+
+
+SQL_DUP_SOURCE_MATRIX = f"""
+WITH {_SQL_PAIRS_CTE},
+srcs AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_lo,
+       greatest(a.source, b.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN srcs a ON a.doc_id = p.id_a
+JOIN srcs b ON b.doc_id = p.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape: per part, the cheapest shipped price and the
+    supplier offering it — grouped ARGMIN with a deterministic tie-break,
+    carried as ONE packed int64 (cents * 2^20 + suppkey; both ranges
+    raise-guarded) so the exchange is a plain Min aggregate on an 8-byte
+    key (no per-group sort anywhere) and the tie-break (min cents, then
+    min suppkey) is the packed order itself. Part names attach via a
+    PARTITIONED hash join after the aggregate (the reduced table is one
+    row per part)."""
+    from ray.data.aggregate import Min
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    SUPP_BITS = 20
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        if len(sk) and (sk.max() >= (1 << SUPP_BITS)
+                        or cents.max() >= (1 << (62 - SUPP_BITS))):
+            raise OverflowError("packed (cents, suppkey) exceeds int64")
+        packed = (cents << np.int64(SUPP_BITS)) | sk
+        if not len(pk):
+            return pa.table({"p_partkey": pa.array([], i64),
+                             "packed": pa.array([], i64)})
+        uk = np.unique(pk)
+        best = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, np.searchsorted(uk, pk), packed)
+        return pa.table({"p_partkey": pa.array(uk, i64),
+                         "packed": pa.array(best, i64)})
+
+    best = (
+        li.map_batches(pack, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": t["p_partkey"].cast(i64),
+            "min_cents": pa.array(p >> np.int64(SUPP_BITS), i64),
+            "s_suppkey": pa.array(p & np.int64((1 << SUPP_BITS) - 1), i64),
+        })
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    out = hash_join(
+        best.map_batches(unpack, batch_format="pyarrow"), part,
+        left_on="p_partkey",
+        left_schema=pa.schema([("p_partkey", i64), ("min_cents", i64),
+                               ("s_suppkey", i64)]),
+        right_schema=pa.schema([("p_partkey", i64),
+                                ("p_name", pa.string())]),
+    )
+    return out.sort("p_partkey")
+
+
+SQL_CHEAPEST_SUPPLIER = """
+WITH c AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY floor(l_extendedprice * 100 + 0.5),
+                                     l_suppkey) AS rn
+  FROM lineitem
+)
+SELECT c.p_partkey, c.cents AS min_cents, c.s_suppkey, p.p_name
+FROM c JOIN part p USING (p_partkey)
+WHERE rn = 1 ORDER BY c.p_partkey
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -7013,6 +8237,20 @@ QUERIES = {
     # session-7: below the window (all 50 in-window slots hold queries
     # awaiting their first external row); in-repo oracle + pytest gated
     "cdc_chunks": q_cdc_chunks,
+    # session-8: below the window (same rationale as session-7)
+    "large_volume_customers": q_large_volume_customers,
+    "top_balance_inactive": q_top_balance_inactive,
+    "part_supplier_census": q_part_supplier_census,
+    "distinct_hll": q_distinct_hll,
+    "anomaly_mad": q_anomaly_mad,
+    "spearman_ranks": q_spearman_ranks,
+    "event_paths": q_event_paths,
+    "nation_trade_volume": q_nation_trade_volume,
+    "supplier_value_share": q_supplier_value_share,
+    "length_gini": q_length_gini,
+    "bigram_pmi": q_bigram_pmi,
+    "dup_source_matrix": q_dup_source_matrix,
+    "cheapest_supplier": q_cheapest_supplier,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -7215,6 +8453,19 @@ ORACLE_SQL = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "top_balance_inactive": SQL_TOP_BALANCE_INACTIVE,
+    "part_supplier_census": SQL_PART_SUPPLIER_CENSUS,
+    "distinct_hll": SQL_DISTINCT_HLL,
+    "anomaly_mad": SQL_ANOMALY_MAD,
+    "spearman_ranks": SQL_SPEARMAN_RANKS,
+    "event_paths": SQL_EVENT_PATHS,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "supplier_value_share": SQL_SUPPLIER_VALUE_SHARE,
+    "length_gini": SQL_LENGTH_GINI,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
+    "cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

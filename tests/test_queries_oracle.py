@@ -38,6 +38,18 @@ NEW_QUERIES = [
     "user_growth",
     "events_moving_avg",
     "customer_revenue_top",
+    "large_volume_customers",
+    "top_balance_inactive",
+    "part_supplier_census",
+    "anomaly_mad",
+    "spearman_ranks",
+    "event_paths",
+    "nation_trade_volume",
+    "supplier_value_share",
+    "length_gini",
+    "bigram_pmi",
+    "dup_source_matrix",
+    "cheapest_supplier",
 ]
 
 
