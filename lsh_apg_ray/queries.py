@@ -8096,6 +8096,514 @@ WHERE rn = 1 ORDER BY c.p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue
+# (reference analogue: A3 global min/max aggregation, SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) whose 1996-Q1 shipped revenue
+    equals the global maximum, ties all returned. Revenue is exact integer
+    cents, so the argmax set is well-defined cross-engine.
+
+    Scale plan: one column-pruned lineitem scan -> per-batch supplier
+    census (combiner discipline: <= suppliers x blocks rows shuffle) ->
+    groupby-sum on s_suppkey. The revenue table is supplier-sized, so it
+    is materialized ONCE (dimension scale) and consumed twice: a tiny
+    global Max aggregate, then the equality filter against that scalar.
+    Names attach from the supplier dimension broadcast (regional_revenue's
+    plan)."""
+    from ray.data.aggregate import Max, Sum
+
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    lo = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1996-04-01", "us").astype(np.int64))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def census(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (us >= lo) & (us < hi)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        if not len(sk):
+            return pa.table({"s_suppkey": pa.array([], i64),
+                             "total_e2": pa.array([], i64)})
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        uk = np.unique(sk)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, np.searchsorted(uk, sk), cents)
+        return pa.table({"s_suppkey": pa.array(uk, i64),
+                         "total_e2": pa.array(rev, i64)})
+
+    rev = (
+        li.map_batches(census, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_e2", alias_name="total_e2"))
+        .materialize()  # supplier-sized; reused by the max + the filter
+    )
+    mx = int(rev.aggregate(Max("total_e2", alias_name="mx"))["mx"])
+
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+
+    def winners(t: pa.Table) -> pa.Table:
+        tot = t["total_e2"].to_numpy(zero_copy_only=False)
+        keep = tot == mx
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "s_suppkey": pa.array(sk.astype(np.int64), i64),
+            # winner set only — a handful of rows
+            "s_name": pa.array([name_of[int(k)] for k in sk], pa.string()),
+            "total_e2": pa.array(tot[keep], i64),
+        })
+
+    return rev.map_batches(winners, batch_format="pyarrow").sort("s_suppkey")
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_e2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_e2
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE total_e2 = (SELECT max(total_e2) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue for one brand
+# ---------------------------------------------------------------------------
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: total revenue of Brand#4 lineitems whose quantity
+    is below 20% of that part's average lineitem quantity; avg_yearly_e2 =
+    total/7.0 (the Q17 output), emitted as ONE exactly-rounded division.
+
+    The per-part average never becomes a float: qty < 0.2*avg(qty) is the
+    integer predicate 5*qty*cnt < sum_qty (quantities are integral), so
+    the filter is bit-exact cross-engine.
+
+    Scale plan: lineitem SEMI-joins the brand's parts (partitioned hash
+    join on partkey — part scales with SF, never broadcast); the
+    restricted stream is consumed twice (thresholds census, then the
+    filter join) by re-running the lazy plan — memory stays flat and the
+    second pass re-reads only the three pruned columns. Thresholds are
+    part-bounded and join back PARTITIONED on partkey, so no per-part map
+    is ever collected to the driver."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def brand_parts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["p_brand"], "Brand#4")).select(
+            ["p_partkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty": pa.array(qty, i64),
+                         "cents": pa.array(cents, i64)})
+
+    li_schema = pa.schema([("l_partkey", i64), ("qty", i64), ("cents", i64)])
+    restricted = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        part.map_batches(brand_parts, batch_format="pyarrow"),
+        left_on="l_partkey", right_on="p_partkey",
+        left_schema=li_schema,
+        right_schema=pa.schema([("p_partkey", i64)]),
+        how="semi",
+    )
+
+    def th_census(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if not len(pk):
+            return pa.table({"pk": pa.array([], i64),
+                             "sum_q": pa.array([], i64),
+                             "cnt": pa.array([], i64)})
+        q = t["qty"].to_numpy(zero_copy_only=False)
+        up = np.unique(pk)
+        idx = np.searchsorted(up, pk)
+        sq = np.zeros(len(up), np.int64)
+        np.add.at(sq, idx, q)
+        cnt = np.bincount(idx, minlength=len(up)).astype(np.int64)
+        return pa.table({"pk": pa.array(up.astype(np.int64), i64),
+                         "sum_q": pa.array(sq, i64),
+                         "cnt": pa.array(cnt, i64)})
+
+    th = (
+        restricted.map_batches(th_census, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("sum_q", alias_name="sum_q"),
+                   Sum("cnt", alias_name="cnt"))
+    )
+
+    j2 = hash_join(
+        restricted, th, left_on="l_partkey", right_on="pk",
+        left_schema=li_schema,
+        right_schema=pa.schema([("pk", i64), ("sum_q", i64), ("cnt", i64)]),
+    )
+
+    def small_qty_cents(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        sq = t["sum_q"].to_numpy(zero_copy_only=False)
+        keep = 5 * qty * cnt < sq
+        cents = t["cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"total_e2": pa.array([int(cents.sum())], i64)})
+
+    tot = int(
+        j2.map_batches(small_qty_cents, batch_format="pyarrow")
+        .aggregate(Sum("total_e2", alias_name="t"))["t"]
+    )
+    import pandas as pd
+
+    return pd.DataFrame({"total_e2": pd.array([tot], dtype="int64"),
+                         "avg_yearly_e2": [float(tot) / 7.0]})
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH bl AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#4'),
+th AS (
+  SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM bl GROUP BY 1)
+SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_e2,
+       CAST(CAST(coalesce(sum(cents), 0) AS BIGINT) AS DOUBLE) / 7.0
+         AS avg_yearly_e2
+FROM bl JOIN th ON bl.l_partkey = th.pk
+WHERE 5 * qty * cnt < sum_q
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers who dominate a part's shipped quantity
+# ---------------------------------------------------------------------------
+
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: per supplier, the number of parts for which that
+    supplier shipped MORE than the average per-supplier share of the
+    part's total quantity (qty_ps * n_suppliers > qty_part — integer,
+    bit-exact cross-engine; this corpus spreads each part over ~15
+    suppliers, so Q20's literal >50% bar selects nothing at any SF).
+
+    Scale plan: per-batch (part, supplier) pair census with the composite
+    key folded into one int64 (pair_key = partkey << 20 | suppkey;
+    enforced bound suppkey < 2^20, partkey < 2^43 — raise, never wrap; a
+    larger key domain switches to a two-column groupby), groupby-sum on
+    pair_key; per-part totals are a SECOND census over the pair sums
+    (part-bounded), joined back PARTITIONED on partkey. Supplier names
+    attach from the dimension broadcast."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey",
+                                                 "l_quantity"])
+
+    def pair_census(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sk) and (int(sk.max()) >= (1 << 20)
+                        or int(pk.max()) >= (1 << 43)):
+            raise OverflowError(
+                "pair_key fold bound exceeded (suppkey < 2^20, "
+                "partkey < 2^43); switch to a two-column groupby")
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (pk << 20) | sk
+        uk, idx = np.unique(key, return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        np.add.at(sq, idx, q)
+        return pa.table({"pair_key": pa.array(uk, i64),
+                         "q": pa.array(sq, i64)})
+
+    pairs = (
+        li.map_batches(pair_census, batch_format="pyarrow")
+        .groupby("pair_key")
+        .aggregate(Sum("q", alias_name="q"))
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        key = t["pair_key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": pa.array(key >> 20, i64),
+            "l_suppkey": pa.array(key & ((1 << 20) - 1), i64),
+            "q": t["q"].cast(i64),
+        })
+
+    pairs_x = pairs.map_batches(explode, batch_format="pyarrow")
+    pair_schema = pa.schema([("l_partkey", i64), ("l_suppkey", i64),
+                             ("q", i64)])
+
+    def part_census(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if not len(pk):
+            return pa.table({"pk": pa.array([], i64),
+                             "tq": pa.array([], i64),
+                             "nsup": pa.array([], i64)})
+        q = t["q"].to_numpy(zero_copy_only=False)
+        up = np.unique(pk)
+        idx = np.searchsorted(up, pk)
+        tq = np.zeros(len(up), np.int64)
+        np.add.at(tq, idx, q)
+        nsup = np.bincount(idx, minlength=len(up)).astype(np.int64)
+        return pa.table({"pk": pa.array(up.astype(np.int64), i64),
+                         "tq": pa.array(tq, i64),
+                         "nsup": pa.array(nsup, i64)})
+
+    totals = (
+        pairs_x.map_batches(part_census, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("tq", alias_name="tq"),
+                   Sum("nsup", alias_name="nsup"))
+    )
+
+    j = hash_join(
+        pairs_x, totals, left_on="l_partkey", right_on="pk",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("pk", i64), ("tq", i64), ("nsup", i64)]),
+    )
+
+    def supp_census(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False)
+        tq = t["tq"].to_numpy(zero_copy_only=False)
+        nsup = t["nsup"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[q * nsup > tq]
+        if not len(sk):
+            return pa.table({"s_suppkey": pa.array([], i64),
+                             "n_parts": pa.array([], i64)})
+        uk, cnt = np.unique(sk, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(uk.astype(np.int64), i64),
+                         "n_parts": pa.array(cnt.astype(np.int64), i64)})
+
+    agg = (
+        j.map_batches(supp_census, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+    )
+
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_name"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    import ray as _ray
+
+    dim_ref = _ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                        sup["s_name"].to_numpy(object)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, names = _ray.get(dim_ref)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        return pa.table({
+            "s_suppkey": pa.array(sk.astype(np.int64), i64),
+            "s_name": pa.array(names[pos].astype(str), pa.string()),
+            "n_parts": t["n_parts"].cast(i64),
+        })
+
+    return agg.map_batches(attach, batch_format="pyarrow").sort("s_suppkey")
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+pt AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS tq,
+              CAST(count(*) AS BIGINT) AS nsup
+       FROM ps GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts
+FROM ps JOIN pt ON ps.l_partkey = pt.pk
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE q * nsup > tq
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+
+def q_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape: per (supplier nation, order year) profit over parts
+    whose name contains 'gear'; per-row profit = revenue cents −
+    qty·retail cents (partsupp does not exist in this corpus, so
+    p_retailprice stands in for ps_supplycost — same join shape). All
+    money is integer cents, so the grouped sum is accumulation-order-free.
+
+    Scale plan: part scales with SF -> lineitem x part is a PARTITIONED
+    hash join on partkey (only keys + 2 int columns cross); the result
+    joins orders PARTITIONED on orderkey for the year. supplier/nation are
+    dimension broadcasts (searchsorted per batch). Census key folds
+    (nationkey, year) into one int64; one tiny groupby-sum finishes."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name",
+                                               "p_retailprice"])
+
+    def gear_parts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.match_substring(t["p_name"], "gear"))
+        retail = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "retail_e2": pa.array(
+                np.floor(retail * 100.0 + 0.5).astype(np.int64), i64),
+        })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "qty": pa.array(qty, i64),
+                         "rev_e2": pa.array(rev, i64)})
+
+    li_schema = pa.schema([("l_partkey", i64), ("l_orderkey", i64),
+                           ("l_suppkey", i64), ("qty", i64),
+                           ("rev_e2", i64)])
+    j1 = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        part.map_batches(gear_parts, batch_format="pyarrow"),
+        left_on="l_partkey", right_on="p_partkey",
+        left_schema=li_schema,
+        right_schema=pa.schema([("p_partkey", i64), ("retail_e2", i64)]),
+    )
+
+    def fold_profit(t: pa.Table) -> pa.Table:
+        rev = t["rev_e2"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        ret = t["retail_e2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "profit_e2": pa.array(rev - qty * ret, i64),
+        })
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        year = 1970 + us.astype("datetime64[us]").astype(
+            "datetime64[Y]").astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pa.array(year, i64)})
+
+    j2 = hash_join(
+        j1.map_batches(fold_profit, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("l_suppkey", i64),
+                               ("profit_e2", i64)]),
+        right_schema=pa.schema([("o_orderkey", i64), ("o_year", i64)]),
+    )
+
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    import ray as _ray
+
+    dim_ref = _ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                        sup["s_nationkey"].to_numpy(np.int64)))
+
+    def census(t: pa.Table) -> pa.Table:
+        keys, nats = _ray.get(dim_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(sk):
+            return pa.table({"grp": pa.array([], i64),
+                             "profit_e2": pa.array([], i64)})
+        nk = nats[np.searchsorted(keys, sk)]
+        yr = t["o_year"].to_numpy(zero_copy_only=False)
+        p = t["profit_e2"].to_numpy(zero_copy_only=False)
+        grp = nk * 10000 + yr
+        ug, idx = np.unique(grp, return_inverse=True)
+        s = np.zeros(len(ug), np.int64)
+        np.add.at(s, idx, p)
+        return pa.table({"grp": pa.array(ug, i64),
+                         "profit_e2": pa.array(s, i64)})
+
+    agg = (
+        j2.map_batches(census, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(Sum("profit_e2", alias_name="profit_e2"))
+    )
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        grp = t["grp"].to_numpy(zero_copy_only=False)
+        nk = grp // 10000
+        yr = grp % 10000
+        return pa.table({
+            # (nation, year) result grid — 25x7 rows at most
+            "n_name": pa.array([name_of[int(k)] for k in nk], pa.string()),
+            "o_year": pa.array(yr, i64),
+            "profit_e2": t["profit_e2"].cast(i64),
+        })
+
+    return (agg.map_batches(attach, batch_format="pyarrow")
+            .sort(["n_name", "o_year"]))
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS profit_e2
+FROM lineitem, part, supplier, nation, orders
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8251,6 +8759,13 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "dup_source_matrix": q_dup_source_matrix,
     "cheapest_supplier": q_cheapest_supplier,
+    # round-5 session-9: remaining TPC-H shapes (Q15 argmax-set, Q17
+    # decorrelated per-part-average predicate, Q20 dominance census, Q9
+    # two-chained-partitioned-join profit rollup)
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "dominant_suppliers": q_dominant_suppliers,
+    "nation_profit": q_nation_profit,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -8466,6 +8981,10 @@ ORACLE_SQL = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
+    "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
+    "nation_profit": SQL_NATION_PROFIT,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

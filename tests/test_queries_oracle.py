@@ -50,6 +50,10 @@ NEW_QUERIES = [
     "bigram_pmi",
     "dup_source_matrix",
     "cheapest_supplier",
+    "top_revenue_supplier",
+    "small_qty_revenue",
+    "dominant_suppliers",
+    "nation_profit",
 ]
 
 
