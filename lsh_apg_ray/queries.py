@@ -8604,6 +8604,135 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney rank-sum: does src0 write longer docs than src1, per lang?
+# ---------------------------------------------------------------------------
+
+def q_length_ranksum(sf_dir: str):
+    """Per-language Mann-Whitney U (ties averaged) comparing doc lengths
+    between two sources — the exact nonparametric A/B location test; AUC
+    is one exactly-rounded division over exact integers."""
+    from lsh_apg_ray.stages.analytics import ranksum_u2
+
+    ds = read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+    return ranksum_u2(ds, "lang", "n_chars", "source",
+                      "src0", "src1").sort("lang")
+
+
+SQL_LENGTH_RANKSUM = """
+WITH d AS (SELECT lang, source, n_chars FROM documents
+           WHERE source IN ('src0', 'src1')),
+c AS (SELECT lang, n_chars AS v,
+             CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS cb
+      FROM d GROUP BY 1, 2),
+w AS (SELECT lang, v, ca, cb,
+             CAST(coalesce(sum(ca + cb) OVER (
+                 PARTITION BY lang ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS less
+      FROM c)
+SELECT lang,
+       CAST(sum(ca) AS BIGINT) AS n_a,
+       CAST(sum(cb) AS BIGINT) AS n_b,
+       CAST(sum(ca * (2 * less + ca + cb + 1))
+            - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2,
+       CAST(CAST(sum(ca * (2 * less + ca + cb + 1))
+                 - sum(ca) * (sum(ca) + 1) AS BIGINT) AS DOUBLE)
+         / CAST(NULLIF(2 * sum(ca) * sum(cb), 0) AS DOUBLE) AS auc
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolated per-group quantiles (quantile_cont semantics)
+# ---------------------------------------------------------------------------
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Per-language interpolated quartiles of doc length — DuckDB
+    quantile_cont parity; bit-exact because the metric is integer-valued
+    and the fractions are dyadic (see grouped_quantiles_cont)."""
+    from lsh_apg_ray.stages.grouped import grouped_quantiles_cont
+
+    ds = read_documents(sf_dir, columns=["lang", "n_chars"])
+    return grouped_quantiles_cont(
+        ds, "lang", "n_chars", [0.25, 0.5, 0.75]).sort("lang")
+
+
+SQL_VALUE_QUANTILES_CONT = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5) AS q50,
+       quantile_cont(n_chars, 0.75) AS q75
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-language vocabulary overlap matrix
+# ---------------------------------------------------------------------------
+
+def q_lang_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between languages (token-set overlap
+    census over the whole corpus; int64-bitmask group membership, only
+    (token_h, mask) 16-byte rows ever shuffle)."""
+    from lsh_apg_ray.stages.textstats import vocab_overlap
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+    return vocab_overlap(ds, _cfg(), group_col="lang")
+
+
+SQL_LANG_VOCAB_OVERLAP = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+v AS (SELECT DISTINCT lang, tok FROM tok),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS sz FROM v GROUP BY 1),
+i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2)
+SELECT lang_a, lang_b, inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+         AS jaccard
+FROM i JOIN s sa ON sa.lang = i.lang_a JOIN s sb ON sb.lang = i.lang_b
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+def q_phrase_search(sf_dir: str):
+    """Exact token-adjacency phrase match census ('order fast') — the
+    positional-index boolean retrieval query; per-doc occurrence counts,
+    zero shuffle."""
+    from lsh_apg_ray.stages.textstats import phrase_count
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return phrase_count(ds, _cfg(), ["order", "fast"])
+
+
+SQL_PHRASE_SEARCH = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS w,
+               unnest(range(1, len(toks) + 1)) AS i
+        FROM tok)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.w = 'order' AND b.w = 'fast'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8766,6 +8895,12 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_suppliers": q_dominant_suppliers,
     "nation_profit": q_nation_profit,
+    # round-5 session-9: exact nonparametric A/B test, interpolated
+    # quantiles, cross-group set-overlap census, positional phrase search
+    "length_ranksum": q_length_ranksum,
+    "value_quantiles_cont": q_value_quantiles_cont,
+    "lang_vocab_overlap": q_lang_vocab_overlap,
+    "phrase_search": q_phrase_search,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -8985,6 +9120,10 @@ ORACLE_SQL = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     "nation_profit": SQL_NATION_PROFIT,
+    "length_ranksum": SQL_LENGTH_RANKSUM,
+    "value_quantiles_cont": SQL_VALUE_QUANTILES_CONT,
+    "lang_vocab_overlap": SQL_LANG_VOCAB_OVERLAP,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

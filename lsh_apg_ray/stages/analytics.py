@@ -1069,3 +1069,131 @@ def spearman_stats(ds, group_col: str, x_col: str, y_col: str,
         })
 
     return com.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney rank-sum (two-sample location test per group)
+# ---------------------------------------------------------------------------
+
+def ranksum_u2(ds, group_col: str, value_col: str, side_col: str,
+               side_a: str, side_b: str, num_partitions: int = 16):
+    """Per-group Mann-Whitney U between two slices of a metric column —
+    the exact two-sample location statistic (does slice A stochastically
+    dominate slice B within each group?). Ties take average ranks.
+
+    Everything stays INTEGER until the last op: with avg_rank(v) =
+    less(v) + (tie(v)+1)/2, twice A's rank sum is the integer
+    r2a = Σ_v ca(v)·(2·less(v) + tie(v) + 1), u2 = 2U = r2a − n_a(n_a+1),
+    and AUC = U/(n_a·n_b) = u2 / (2·n_a·n_b) is ONE exactly-rounded
+    division — bit-identical cross-engine (the bm25 float contract). NULL
+    AUC when either side is empty (SQL NULLIF parity).
+
+    Physical plan: per-batch (group, value, ca, cb) census — the shuffle
+    moves at most (distinct values x groups) rows per block, never the
+    input — then ONE coarse hash-partition exchange on the group and a
+    single lexsorted segmented-cumsum pass per partition (the
+    grouped_quantiles discipline)."""
+    i64 = pa.int64()
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "v": pa.array([], i64),
+                          "ca": pa.array([], i64),
+                          "cb": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        side = np.asarray(t[side_col].to_pandas(), dtype=object)
+        sel = (side == side_a) | (side == side_b)
+        if not sel.any():
+            return empty
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)[sel]
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[sel]
+        is_a = (side[sel] == side_a).astype(np.int64)
+        order = np.lexsort((v, g))
+        g_s, v_s, a_s = g[order], v[order], is_a[order]
+        change = np.empty(len(g_s), dtype=bool)
+        change[0] = True
+        change[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(g_s))
+        ca = segment_sums_i64(a_s, bounds)
+        cnt = np.diff(bounds)
+        return pa.table({group_col: pa.array(g_s[starts].astype(str)),
+                         "v": pa.array(v_s[starts], i64),
+                         "ca": pa.array(ca, i64),
+                         "cb": pa.array(cnt - ca, i64)})
+
+    def _part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[group_col], num_partitions)
+        return t.append_column("__rpart", pa.array(part, pa.int64()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__rpart"])
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_a": pa.array([], i64),
+                          "n_b": pa.array([], i64),
+                          "u2": pa.array([], i64),
+                          "auc": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v, ca, cb = g[order], v[order], ca[order], cb[order]
+        # combine per-(group, value) partials from different blocks
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = (g[1:] != g[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(g))
+        g, v = g[starts], v[starts]
+        ca = segment_sums_i64(ca, bounds)
+        cb = segment_sums_i64(cb, bounds)
+        # per-group segmented cumulative "count strictly below v"
+        tie = ca + cb
+        gchange = np.empty(len(g), dtype=bool)
+        gchange[0] = True
+        gchange[1:] = g[1:] != g[:-1]
+        gstarts = np.flatnonzero(gchange)
+        gbounds = np.append(gstarts, len(g))
+        cum = np.cumsum(tie)
+        base = np.repeat(
+            np.concatenate(([0], cum[gbounds[1:-1] - 1])),
+            np.diff(gbounds))
+        less = cum - tie - base
+        r2a_terms = ca * (2 * less + tie + 1)
+        n_a = segment_sums_i64(ca, gbounds)
+        n_b = segment_sums_i64(cb, gbounds)
+        r2a = segment_sums_i64(r2a_terms, gbounds)
+        u2 = r2a - n_a * (n_a + 1)
+        den = 2 * n_a * n_b
+        ok = den > 0
+        auc = np.zeros(len(den), np.float64)
+        auc[ok] = u2[ok].astype(np.float64) / den[ok].astype(np.float64)
+        return pa.table({
+            group_col: pa.array(g[gstarts].astype(str)),
+            "n_a": pa.array(n_a, i64),
+            "n_b": pa.array(n_b, i64),
+            "u2": pa.array(u2, i64),
+            "auc": pa.array(auc, pa.float64(), mask=~ok),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("__rpart")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def segment_sums_i64(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Per-segment int64 sums under bounds[n_seg + 1] (cumsum-based — exact
+    for empty segments, unlike reduceat)."""
+    cs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(values, out=cs[1:])
+    return cs[bounds[1:]] - cs[bounds[:-1]]

@@ -290,3 +290,73 @@ def grouped_string_agg(ds, group_col: str, value_col: str, sep: str = ",",
         .groupby(_SPART)
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def grouped_quantiles_cont(ds, group_col: str, value_col: str,
+                           qs: list[float], num_partitions: int = 16):
+    """Exact per-group INTERPOLATED quantiles with DuckDB `quantile_cont`
+    semantics: linear interpolation at rank q*(n-1) — lo + (hi-lo)*frac
+    over the two bounding order statistics.
+
+    Exactness contract: restricted to INTEGER-VALUED metric columns and
+    DYADIC quantile fractions (0.25 / 0.5 / 0.75 ...): then frac is an
+    exact double, (hi-lo)*frac and the final sum are exactly-rounded
+    products/sums of exactly-representable values, so the result is
+    bit-identical regardless of which algebraically-equivalent
+    interpolation formula the other engine uses. Same physical plan as
+    grouped_quantiles (coarse hash partition -> one lexsort -> per-group
+    index arithmetic)."""
+    names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile names collide: {names}")
+    for q in qs:
+        if (q * 4) != int(q * 4):
+            raise ValueError(
+                f"quantile fraction {q} is not dyadic (k/4); the bit-exact "
+                "contract requires exact-double fractions")
+
+    def _part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[group_col], num_partitions)
+        return t.append_column("__qpart", pa.array(part, pa.int64()))
+
+    def _quant(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__qpart"])
+        n = t.num_rows
+        if n == 0:
+            cols = {group_col: pa.array([], t.schema.field(group_col).type),
+                    "n": pa.array([], pa.int64())}
+            for nm in names:
+                cols[nm] = pa.array([], pa.float64())
+            return pa.table(cols)
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not np.array_equal(val, np.floor(val)):
+            raise ValueError(
+                "grouped_quantiles_cont requires an integer-valued metric "
+                "column (bit-exact interpolation contract)")
+        order = np.lexsort((val, grp))
+        g_s, v_s = grp[order], val[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        cols = {group_col: pa.array(g_s[starts]),
+                "n": pa.array(counts, pa.int64())}
+        for q, nm in zip(qs, names):
+            pos = q * (counts - 1).astype(np.float64)  # exact double
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, counts - 1)
+            vlo = v_s[starts + lo]
+            vhi = v_s[starts + hi]
+            cols[nm] = pa.array(vlo + (vhi - vlo) * frac, pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("__qpart")
+        .map_groups(_quant, batch_format="pyarrow")
+    )

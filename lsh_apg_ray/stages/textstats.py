@@ -1522,3 +1522,180 @@ def sentence_stats(ds, cfg: DedupConfig, text_col: str = "text",
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-group vocabulary overlap (group-to-group set similarity census)
+# ---------------------------------------------------------------------------
+
+def vocab_overlap(ds, cfg: DedupConfig, group_col: str = "lang",
+                  text_col: str = "text", num_partitions: int = 16):
+    """Pairwise vocabulary Jaccard between groups (languages): for every
+    group pair (a < b), |Va ∩ Vb|, |Va|, |Vb| and jaccard =
+    inter / (|Va| + |Vb| − inter) as ONE exactly-rounded division over
+    exact integers.
+
+    Token identity is the 64-bit token hash (the line_dedup contract: the
+    SQL oracle compares TRUE token strings, so the value-hash gate also
+    gates hash-identity — a collision would change the counts). Group
+    count is bounded (≤ 62) so per-token group membership packs into one
+    int64 BITMASK.
+
+    Physical plan: tiny group census first (assigns each group a bit);
+    per batch, per-doc-deduped (token_h, group_bit) pairs fold into
+    (token_h, mask) rows — the only exchange is token-hash-partitioned
+    8+8-byte rows, token strings never shuffle; per partition one sort
+    OR-combines masks per distinct token and a 2^L-bounded mask census
+    comes back; the driver reduces ≤ 2^L mask counts into the C(L,2) pair
+    table. Scale note: the exchange is |unique tokens per block| rows —
+    the same volume as any df census over the corpus."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.arrowutil import hash_partition
+
+    hasher = TokenHasher(cfg.token_pattern)
+    pattern = cfg.token_pattern
+    i64 = pa.int64()
+
+    # group -> bit assignment (tiny census; bounded by group cardinality)
+    gdf = (ds.groupby(group_col).count().to_pandas())
+    groups = sorted(gdf[group_col].astype(str).tolist())
+    if len(groups) > 62:
+        raise ValueError(f"vocab_overlap packs groups into an int64 "
+                         f"bitmask; got {len(groups)} groups > 62")
+    bit_of = {g: i for i, g in enumerate(groups)}
+
+    def token_masks(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token_h": pa.array([], i64),
+                          "mask": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        ti = arrow_token_index(t[text_col], pattern)
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        dict_h = hasher.token_hashes(dictionary).view(np.int64)
+        g = np.asarray(t[group_col].to_pandas(), dtype=object)
+        gbits = np.array([np.int64(1) << bit_of[str(x)] for x in g],
+                         dtype=np.int64)
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        v = np.int64(len(dictionary))
+        # distinct (doc, token) then OR each token's group bits
+        uniq = np.unique(doc_row * v + indices)
+        tok_idx = (uniq % v).astype(np.int64)
+        doc_idx = (uniq // v).astype(np.int64)
+        masks = np.zeros(len(dictionary), np.int64)
+        np.bitwise_or.at(masks, tok_idx, gbits[doc_idx])
+        used = np.flatnonzero(masks)
+        return pa.table({"token_h": pa.array(dict_h[used], i64),
+                         "mask": pa.array(masks[used], i64)})
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = hash_partition(t["token_h"], num_partitions)
+        return t.append_column("__vpart", pa.array(part, pa.int64()))
+
+    def mask_census(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__vpart"])
+        if t.num_rows == 0:
+            return pa.table({"mask": pa.array([], i64),
+                             "n": pa.array([], i64)})
+        h = t["token_h"].to_numpy(zero_copy_only=False)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s, m_s = h[order], m[order]
+        change = np.empty(len(h_s), dtype=bool)
+        change[0] = True
+        change[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(change)
+        # OR-combine per distinct token (runs are non-empty -> reduceat ok)
+        combined = np.bitwise_or.reduceat(m_s, starts)
+        um, cnt = np.unique(combined, return_counts=True)
+        return pa.table({"mask": pa.array(um, i64),
+                         "n": pa.array(cnt.astype(np.int64), i64)})
+
+    census = (
+        ds.map_batches(token_masks, batch_format="pyarrow")
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("__vpart")
+        .map_groups(mask_census, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 2^len(groups) rows, typically a few dozen
+    )
+    masks = census["mask"].to_numpy(np.int64)
+    cnts = census["n"].to_numpy(np.int64)
+    rows = []
+    for a in range(len(groups)):
+        for b in range(a + 1, len(groups)):
+            ba, bb = np.int64(1) << a, np.int64(1) << b
+            size_a = int(cnts[(masks & ba) != 0].sum())
+            size_b = int(cnts[(masks & bb) != 0].sum())
+            inter = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            if inter == 0:
+                continue  # SQL inner-join parity: zero-overlap pairs absent
+            union = size_a + size_b - inter
+            rows.append((groups[a], groups[b], inter, size_a, size_b,
+                         float(inter) / float(union)))
+    return pd.DataFrame(
+        rows, columns=["lang_a", "lang_b", "inter", "size_a", "size_b",
+                       "jaccard"]
+    ).astype({"inter": "int64", "size_a": "int64", "size_b": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search (token-adjacency match census)
+# ---------------------------------------------------------------------------
+
+def phrase_count(ds, cfg: DedupConfig, phrase: list[str],
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Exact phrase occurrence count per document: positions i where
+    token[i..i+k-1] equals the k-token phrase (token-space adjacency — the
+    boolean-retrieval positional-index query, reference analogue J1's
+    key-equality probe with position structure instead of bucket keys).
+
+    Embarrassingly parallel: per batch, one dictionary lookup per phrase
+    token, then a rolling AND of k shifted comparisons over the flat index
+    array with a same-document guard; per-doc counts come from one
+    bincount. No shuffle at all — emits only matched (doc_id, n_matches)
+    rows."""
+    if not phrase or len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    phrase = [w.lower() for w in phrase]
+    pattern = cfg.token_pattern
+    k = len(phrase)
+    i64 = pa.int64()
+
+    def matches(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], i64),
+                          "n_matches": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        ti = arrow_token_index(t[text_col], pattern)
+        if ti is None or len(ti[2]) == 0:
+            return empty
+        indices, offsets, dictionary = ti
+        pos_of = {tok: i for i, tok in enumerate(dictionary)}
+        want = [pos_of.get(w, -1) for w in phrase]
+        if any(w < 0 for w in want) or len(indices) < k:
+            return empty
+        n = len(indices)
+        w = n - k + 1
+        hit = indices[:w] == want[0]
+        for j in range(1, k):
+            hit &= indices[j:j + w] == want[j]
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        hit &= doc_row[:w] == doc_row[k - 1:]
+        if not hit.any():
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(doc_row[:w][hit], minlength=t.num_rows)
+        got = np.flatnonzero(cnt)
+        return pa.table({id_col: pa.array(ids[got], i64),
+                         "n_matches": pa.array(cnt[got].astype(np.int64),
+                                               i64)})
+
+    return ds.map_batches(matches, batch_format="pyarrow").sort(id_col)

@@ -500,3 +500,44 @@ def test_spearman_census_bound_raises():
                        "y": np.arange(50, dtype=np.int64)})
     with pytest.raises(ValueError, match="max_cells"):
         spearman_stats(rd.from_pandas(df), "g", "x", "y", max_cells=10)
+
+
+def _naive_u2(va: np.ndarray, vb: np.ndarray) -> int:
+    """2*U for side A with average-rank ties, by direct pair comparison:
+    U = #(a > b) + 0.5 * #(a == b)."""
+    gt = int((va[:, None] > vb[None, :]).sum())
+    eq = int((va[:, None] == vb[None, :]).sum())
+    return 2 * gt + eq
+
+
+def test_ranksum_u2_matches_naive_pair_count():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.analytics import ranksum_u2
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, shift in (("g1", 0), ("g2", 3), ("g3", -2)):
+        for v in rng.integers(0, 12, 90) + shift:
+            rows.append({"g": g, "s": "A", "v": int(v)})
+        for v in rng.integers(0, 12, 70):
+            rows.append({"g": g, "s": "B", "v": int(v)})
+    # a side C that must be ignored, and a group with only side A
+    rows += [{"g": "g1", "s": "C", "v": 999}] * 5
+    rows += [{"g": "only_a", "s": "A", "v": 1}] * 4
+    df = pd.DataFrame(rows)
+    for blocks in (1, 7):
+        out = (ranksum_u2(rd.from_pandas(df).repartition(blocks),
+                          "g", "v", "s", "A", "B")
+               .to_pandas().set_index("g"))
+        for g in ("g1", "g2", "g3"):
+            sub = df[(df["g"] == g)]
+            va = sub[sub["s"] == "A"]["v"].to_numpy(np.int64)
+            vb = sub[sub["s"] == "B"]["v"].to_numpy(np.int64)
+            u2 = _naive_u2(va, vb)
+            assert int(out.loc[g, "u2"]) == u2, (g, blocks)
+            assert int(out.loc[g, "n_a"]) == len(va)
+            assert int(out.loc[g, "n_b"]) == len(vb)
+            assert out.loc[g, "auc"] == u2 / (2 * len(va) * len(vb))
+        assert np.isnan(out.loc["only_a", "auc"])
+        assert int(out.loc["only_a", "u2"]) == 0

@@ -214,3 +214,42 @@ def test_quota_sample_matches_naive_and_layouts():
     # g3 (80 members, quota 10k) comes back whole; g0 exactly 3
     sizes = frames[0].groupby("grp").size().to_dict()
     assert sizes["g3"] == 80 and sizes["g0"] == 3 and sizes["g1"] == 17
+
+
+def test_grouped_quantiles_cont_matches_numpy_linear():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.grouped import grouped_quantiles_cont
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 500),
+        "v": rng.integers(0, 1000, 500).astype(np.int64),
+    })
+    for blocks in (1, 6):
+        out = (grouped_quantiles_cont(
+            rd.from_pandas(df).repartition(blocks), "g", "v",
+            [0.25, 0.5, 0.75])
+            .to_pandas().set_index("g"))
+        for g, sub in df.groupby("g"):
+            for q, nm in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+                want = float(np.percentile(
+                    sub["v"].to_numpy(np.float64), q * 100,
+                    method="linear"))
+                assert out.loc[g, nm] == want, (g, nm, blocks)
+            assert int(out.loc[g, "n"]) == len(sub)
+
+
+def test_grouped_quantiles_cont_rejects_non_dyadic_and_float_values():
+    import pytest
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.grouped import grouped_quantiles_cont
+
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1, 2, 3, 4]})
+    with pytest.raises(ValueError, match="dyadic"):
+        grouped_quantiles_cont(rd.from_pandas(df), "g", "v", [0.3])
+    df2 = pd.DataFrame({"g": ["a"] * 4, "v": [1.5, 2.0, 3.0, 4.0]})
+    with pytest.raises(Exception, match="integer-valued"):
+        grouped_quantiles_cont(
+            rd.from_pandas(df2), "g", "v", [0.5]).to_pandas()

@@ -54,6 +54,10 @@ NEW_QUERIES = [
     "small_qty_revenue",
     "dominant_suppliers",
     "nation_profit",
+    "length_ranksum",
+    "value_quantiles_cont",
+    "lang_vocab_overlap",
+    "phrase_search",
 ]
 
 

@@ -596,3 +596,91 @@ def test_lexical_diversity_matches_naive():
         else:
             assert pd.isna(out.loc[i, "simpson"])
     assert out.loc[0, "simpson"] == 1.0 and out.loc[1, "simpson"] == 0.0
+
+
+def test_vocab_overlap_matches_naive_sets():
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.textstats import vocab_overlap
+
+    docs = [
+        ("en", "the cat sat on the mat"),
+        ("en", "a dog and a cat"),
+        ("de", "der hund und die katze cat"),
+        ("fr", "le chat et the dog"),
+        ("zh", "totally disjoint tokens here"),
+    ]
+    df = pd.DataFrame(docs, columns=["lang", "text"])
+    cfg = DedupConfig()
+    out = (vocab_overlap(rd.from_pandas(df).repartition(3), cfg)
+           .set_index(["lang_a", "lang_b"]))
+    vocab = {}
+    for lang, sub in df.groupby("lang"):
+        toks = set()
+        for t in sub["text"]:
+            toks |= set(re.findall("[a-z0-9_]+", t.lower()))
+        vocab[lang] = toks
+    langs = sorted(vocab)
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in out.index
+                continue
+            row = out.loc[(a, b)]
+            assert int(row["inter"]) == inter
+            assert int(row["size_a"]) == len(vocab[a])
+            assert int(row["size_b"]) == len(vocab[b])
+            assert row["jaccard"] == inter / len(vocab[a] | vocab[b])
+
+
+def test_phrase_count_matches_naive_scan():
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.textstats import phrase_count
+
+    docs = [
+        (0, "order fast order fast slow"),       # 2 non-overlapping hits
+        (1, "order order fast"),                 # 1 hit
+        (2, "fast order"),                       # 0 hits
+        (3, "Order FAST!"),                      # case/punct -> 1 hit
+        (4, "order fast order fast order fast"),  # 3 hits
+        (5, ""),                                  # empty doc
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    cfg = DedupConfig()
+    for blocks in (1, 4):
+        out = (phrase_count(rd.from_pandas(df).repartition(blocks), cfg,
+                            ["order", "fast"])
+               .to_pandas().set_index("doc_id"))
+        for did, text in docs:
+            toks = re.findall("[a-z0-9_]+", text.lower())
+            want = sum(1 for i in range(len(toks) - 1)
+                       if toks[i] == "order" and toks[i + 1] == "fast")
+            if want == 0:
+                assert did not in out.index
+            else:
+                assert int(out.loc[did, "n_matches"]) == want
+
+
+def test_phrase_count_boundary_does_not_cross_docs():
+    import pandas as pd
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.textstats import phrase_count
+
+    # doc 0 ends with 'order', doc 1 starts with 'fast' — no phantom hit
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["wait order", "fast lane"]})
+    out = phrase_count(rd.from_pandas(df), DedupConfig(),
+                       ["order", "fast"]).to_pandas()
+    assert len(out) == 0
