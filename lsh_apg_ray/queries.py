@@ -8733,6 +8733,114 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# lag-1 serial correlation of event values per type
+# ---------------------------------------------------------------------------
+
+def q_events_autocorr(sf_dir: str):
+    """Per-event-type lag-1 autocorrelation of the value stream: lag_pairs
+    (one coarse key exchange + shifted mask) feeds grouped_comoments, so
+    serial correlation inherits the corr_stats exact-integer float
+    contract (values in floor-half-up cents)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import grouped_comoments
+    from lsh_apg_ray.stages.windows import lag_pairs
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(c, pa.int64())})
+
+    pairs = lag_pairs(ev.map_batches(cents, batch_format="pyarrow"),
+                      "event_type", "ts", "cents")
+    return grouped_comoments(pairs, "event_type", "x", "y").sort(
+        "event_type")
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS tu,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT event_type, c AS x,
+         lead(c) OVER (PARTITION BY event_type
+                       ORDER BY tu, event_id) AS y
+  FROM e),
+t AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM t GROUP BY 1)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+            * sqrt(CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))) AS corr,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov_pop,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope
+FROM s ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average event value per user (trapezoidal)
+# ---------------------------------------------------------------------------
+
+def q_events_twa(sf_dir: str):
+    """Per-user time-weighted average event value — trapezoid integral
+    over the irregular event timeline as an exact integer (area2), twa as
+    one exactly-rounded division. Users with < 2 events or zero span are
+    absent (no interval to integrate; SQL parity)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import time_weighted_avg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "cents": pa.array(c, pa.int64())})
+
+    return time_weighted_avg(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "ts", "cents").sort("user_id")
+
+
+SQL_EVENTS_TWA = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events),
+p AS (
+  SELECT user_id, x, tu,
+         lead(x) OVER w AS x2, lead(tu) OVER w AS tu2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+a AS (
+  SELECT user_id,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(max(tu2) - min(tu) AS BIGINT) AS span_us,
+         CAST(sum(CAST(x + x2 AS HUGEINT) * (tu2 - tu)) AS BIGINT) AS area2
+  FROM p WHERE tu2 IS NOT NULL GROUP BY 1)
+SELECT user_id, n_events, span_us, area2,
+       CAST(area2 AS DOUBLE) / CAST(2 * span_us AS DOUBLE) AS twa
+FROM a WHERE span_us > 0 ORDER BY 1
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8901,6 +9009,8 @@ QUERIES = {
     "value_quantiles_cont": q_value_quantiles_cont,
     "lang_vocab_overlap": q_lang_vocab_overlap,
     "phrase_search": q_phrase_search,
+    "events_autocorr": q_events_autocorr,
+    "events_twa": q_events_twa,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -9124,6 +9234,8 @@ ORACLE_SQL = {
     "value_quantiles_cont": SQL_VALUE_QUANTILES_CONT,
     "lang_vocab_overlap": SQL_LANG_VOCAB_OVERLAP,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "events_autocorr": SQL_EVENTS_AUTOCORR,
+    "events_twa": SQL_EVENTS_TWA,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

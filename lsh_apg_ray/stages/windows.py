@@ -1123,3 +1123,147 @@ def path_counts(events, key: str, ts_col: str, type_col: str,
                    Sum("n_keys", alias_name="n_keys"))
         .sort(["t1", "t2", "t3"])
     )
+
+
+def lag_pairs(events, key: str, ts_col: str, value_col: str,
+              num_partitions: int = 16, tie_col: str = "event_id"):
+    """Consecutive-value pair stream per key: for each key's (ts, tie)-
+    ordered sequence, emit (key, x = v_i, y = v_{i+1}) — the lag-1 pairing
+    that turns serial correlation into plain grouped co-moments
+    (autocorrelation = grouped_comoments over lag_pairs; the value column
+    must already be exact integers, the cents discipline).
+
+    Physical plan: ONE coarse hash partition on the key (transition_counts'
+    shape), per partition one lexsort + shifted same-key mask; emits
+    n − n_keys rows, no further exchange."""
+    _LPART = "__lpart"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_LPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_LPART])
+        n = t.num_rows
+        ktype = t.schema.field(key).type
+        empty = pa.table({key: pa.array([], ktype),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        import pyarrow.compute as pc
+
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # dictionary codes sort/compare; key values leave via Arrow take
+        # (no per-row Python even for string keys)
+        codes = pc.dictionary_encode(col).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, us, codes))
+        codes_s, v_s = codes[order], v[order]
+        m = codes_s[1:] == codes_s[:-1]
+        if not m.any():
+            return empty
+        pos = np.flatnonzero(m)
+        key_arr = pc.take(col, pa.array(order[pos + 1], pa.int64()))
+        return pa.table({key: key_arr,
+                         "x": pa.array(v_s[pos], pa.int64()),
+                         "y": pa.array(v_s[pos + 1], pa.int64())})
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_LPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def time_weighted_avg(events, key: str, ts_col: str, value_col: str,
+                      num_partitions: int = 16, tie_col: str = "event_id"):
+    """Per-key time-weighted average (trapezoidal rule) of an
+    integer-cents value column — the telemetry aggregate where irregular
+    sampling makes the plain mean wrong.
+
+    Exactness: twice the integral is the INTEGER
+    area2 = Σ (x_i + x_{i+1})·(t_{i+1} − t_i) (per-key bound
+    2·max|x|·span < 2^62 enforced — raises, never wraps; repartition finer
+    if hit), and twa = area2 / (2·span) is ONE exactly-rounded division.
+    Keys with < 2 events or zero span have no time interval and are
+    absent (SQL `lead IS NOT NULL` / `span > 0` parity — also keeps the
+    division-by-zero semantics out of the cross-engine contract).
+
+    Physical plan: ONE coarse hash partition on the key, per partition one
+    lexsort; per-key area2 via reduceat over zeroed cross-key boundary
+    terms (never a partition-global cumsum, whose total COULD overflow
+    even when every per-key sum is in bounds). Output: key, n_events,
+    span_us, area2, twa."""
+    _TPART = "__twpart"
+    _LIM = np.int64(1) << 62
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_TPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_TPART])
+        n = t.num_rows
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "span_us": pa.array([], pa.int64()),
+                          "area2": pa.array([], pa.int64()),
+                          "twa": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, us, keys))
+        keys_s, us_s, v_s = keys[order], us[order], v[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys_s[1:] != keys_s[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+        # per-key overflow guard BEFORE any product
+        absmax = np.maximum.reduceat(np.abs(v_s), starts)
+        span = us_s[ends - 1] - us_s[starts]
+        if np.any(2.0 * absmax.astype(np.float64)
+                  * np.maximum(span, 1).astype(np.float64) >= float(_LIM)):
+            raise OverflowError(
+                "time_weighted_avg per-key area bound exceeded "
+                "(2*max|x|*span >= 2^62); rescale the value column")
+        m = keys_s[1:] == keys_s[:-1]
+        terms = (v_s[:-1] + v_s[1:]) * (us_s[1:] - us_s[:-1])
+        terms[~m] = 0
+        valid = starts < n - 1  # key run contributes >= 1 pair position
+        area2 = np.zeros(len(starts), np.int64)
+        if valid.any():
+            area2[valid] = np.add.reduceat(terms, starts[valid])
+        keep = (lens >= 2) & (span > 0)
+        if not keep.any():
+            return empty
+        a2 = area2[keep]
+        sp = span[keep]
+        twa = a2.astype(np.float64) / (2 * sp).astype(np.float64)
+        return pa.table({
+            key: pa.array(keys_s[starts][keep].astype(np.int64), pa.int64()),
+            "n_events": pa.array(lens[keep].astype(np.int64), pa.int64()),
+            "span_us": pa.array(sp, pa.int64()),
+            "area2": pa.array(a2, pa.int64()),
+            "twa": pa.array(twa, pa.float64()),
+        })
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_TPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -58,6 +58,8 @@ NEW_QUERIES = [
     "value_quantiles_cont",
     "lang_vocab_overlap",
     "phrase_search",
+    "events_autocorr",
+    "events_twa",
 ]
 
 

@@ -518,3 +518,90 @@ def test_path_counts_matches_duckdb(blocks):
            FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     ).fetchdf()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_lag_pairs_matches_naive_replay():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.windows import lag_pairs
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    for blocks in (1, 5):
+        out = (lag_pairs(rd.from_pandas(df).repartition(blocks),
+                         "k", "ts", "v", tie_col="event_id")
+               .to_pandas())
+        got = sorted(map(tuple, out[["k", "x", "y"]].to_numpy()))
+        want = []
+        for k, sub in df.groupby("k"):
+            sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            v = sub["v"].to_numpy()
+            want += [(k, int(a), int(b)) for a, b in zip(v[:-1], v[1:])]
+        assert got == sorted(want), blocks
+
+
+def test_time_weighted_avg_matches_naive_trapezoid():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.windows import time_weighted_avg
+
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 100_000, n), unit="us"),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "v": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    # a single-event user and a zero-span user must be absent
+    df.loc[len(df)] = [10_000, pd.Timestamp("2024-02-01"), 99, 5]
+    df.loc[len(df)] = [10_001, pd.Timestamp("2024-03-01"), 98, 5]
+    df.loc[len(df)] = [10_002, pd.Timestamp("2024-03-01"), 98, 7]
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df["v"] = df["v"].astype(np.int64)
+    for blocks in (1, 4):
+        out = (time_weighted_avg(rd.from_pandas(df).repartition(blocks),
+                                 "user_id", "ts", "v",
+                                 tie_col="event_id")
+               .to_pandas().set_index("user_id"))
+        assert 99 not in out.index and 98 not in out.index
+        for uid, sub in df.groupby("user_id"):
+            if uid in (98, 99):
+                continue
+            sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            tu = sub["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+            v = sub["v"].to_numpy(np.int64)
+            area2 = int(((v[:-1] + v[1:]) * np.diff(tu)).sum())
+            span = int(tu[-1] - tu[0])
+            row = out.loc[uid]
+            assert int(row["area2"]) == area2, (uid, blocks)
+            assert int(row["span_us"]) == span
+            assert int(row["n_events"]) == len(sub)
+            assert row["twa"] == area2 / (2 * span)
+
+
+def test_time_weighted_avg_overflow_guard_raises():
+    import pytest
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.windows import time_weighted_avg
+
+    big = np.int64(1) << 40
+    df = pd.DataFrame({
+        "event_id": [0, 1],
+        "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2030-01-01")],
+        "user_id": [1, 1],
+        "v": [big, big],
+    })
+    with pytest.raises(Exception, match="area bound"):
+        time_weighted_avg(rd.from_pandas(df), "user_id", "ts", "v",
+                          tie_col="event_id").to_pandas()
