@@ -8841,6 +8841,95 @@ FROM a WHERE span_us > 0 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and raw-tf rankings
+# ---------------------------------------------------------------------------
+
+def q_hybrid_rrf(sf_dir: str):
+    """Per rare query term, RRF fusion of the BM25 top-10 and the raw
+    term-frequency top-10 — fused scores are exact integers
+    (L // (k0 + rank) with L = lcm(61..70)), so no float summation ever
+    reaches the hash gate; the underlying BM25 ranking rides bm25_topk's
+    exactly-rounded score contract."""
+    from lsh_apg_ray.stages.textstats import rrf_fuse_topk
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = rrf_fuse_topk(docs, _cfg(), n_terms=5, topk=10,
+                        join_partitions=4)
+    return out.select_columns(["term", "doc_id", "rrf_num", "fused_rank",
+                               "bm25_rank", "tf_rank"])
+
+
+# L = lcm(61..70) = 142813628717760; // is DuckDB integer floor division
+SQL_HYBRID_RRF = """
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS token FROM tokarr),
+posting AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dls AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM tokarr),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(len(arr)), 0) AS BIGINT) AS tot
+  FROM tokarr
+),
+qterms AS (SELECT token, df FROM dfreq ORDER BY df, token LIMIT 5),
+scored AS (
+  SELECT q.token AS term, p.doc_id, p.tf,
+         ((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+            / (CAST(q.df AS DOUBLE) + 0.5))
+         * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(p.tf AS DOUBLE)
+               + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * (CAST(l.dl AS DOUBLE)
+                                  / (CAST(s.tot AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))))
+           AS score
+  FROM qterms q
+  JOIN posting p ON p.token = q.token
+  JOIN dls l ON l.doc_id = p.doc_id, stats s
+),
+r1 AS (
+  SELECT term, doc_id, rank FROM (
+    SELECT term, doc_id,
+           CAST(row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored) WHERE rank <= 10
+),
+r2 AS (
+  SELECT term, doc_id, rank FROM (
+    SELECT term, doc_id,
+           CAST(row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored) WHERE rank <= 10
+),
+fused AS (
+  SELECT coalesce(r1.term, r2.term) AS term,
+         coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+         CAST(coalesce(142813628717760 // (60 + r1.rank), 0)
+              + coalesce(142813628717760 // (60 + r2.rank), 0) AS BIGINT)
+           AS rrf_num,
+         r1.rank AS bm25_rank, r2.rank AS tf_rank
+  FROM r1 FULL OUTER JOIN r2
+    ON r1.term = r2.term AND r1.doc_id = r2.doc_id
+)
+SELECT term, doc_id, rrf_num,
+       CAST(row_number() OVER (PARTITION BY term
+                               ORDER BY rrf_num DESC, doc_id) AS BIGINT)
+         AS fused_rank,
+       bm25_rank, tf_rank
+FROM fused ORDER BY term, fused_rank
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -9011,6 +9100,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "events_autocorr": q_events_autocorr,
     "events_twa": q_events_twa,
+    "hybrid_rrf": q_hybrid_rrf,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -9236,6 +9326,7 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "events_autocorr": SQL_EVENTS_AUTOCORR,
     "events_twa": SQL_EVENTS_TWA,
+    "hybrid_rrf": SQL_HYBRID_RRF,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

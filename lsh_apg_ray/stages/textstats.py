@@ -1699,3 +1699,155 @@ def phrase_count(ds, cfg: DedupConfig, phrase: list[str],
                                                i64)})
 
     return ds.map_batches(matches, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion of two retrieval rankings (hybrid search)
+# ---------------------------------------------------------------------------
+
+def rrf_fuse_topk(ds, cfg: DedupConfig, n_terms: int = 5, topk: int = 10,
+                  k0: int = 60, k1: float = 1.2, b: float = 0.75,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  join_partitions: int = 8):
+    """Hybrid retrieval: fuse each query term's BM25 top-k with its raw
+    term-frequency top-k by reciprocal-rank fusion — the standard way to
+    combine heterogeneous rankers without score calibration.
+
+    RRF stays EXACT-INTEGER: with L = lcm(k0+1 .. k0+topk), the fused
+    score Σ_lists 1/(k0+rank) scales to rrf_num = Σ_lists L // (k0+rank),
+    an int64 (L ≈ 1.4e14 at k0=60, topk=10) — no float summation order to
+    pin. Both input rankings are deterministic cross-engine: BM25 scores
+    follow bm25_topk's exactly-rounded no-log contract; tf is an integer;
+    all ties break by doc_id ascending.
+
+    Dataflow: postings built ONCE (inverted_index, partitioned join);
+    per-batch partials keep each term's top-k by score AND by tf (the
+    bounded-heap K2 discipline, one lexsort each) — the union of both
+    survivor sets reaches the per-term merge, ≤ 2·topk·blocks rows per
+    term; the merge dedupes, takes each list's global top-k, and fuses.
+    Output: term, doc_id, rrf_num, fused_rank, bm25_rank, tf_rank
+    (list-ranks NULL when the doc is outside that list's top-k)."""
+    import math
+
+    import pandas as pd
+
+    L = math.lcm(*range(k0 + 1, k0 + topk + 1))
+    if L >= (1 << 62):
+        raise OverflowError(f"RRF integer scale lcm({k0+1}..{k0+topk}) "
+                            f"does not fit int64")
+
+    post = inverted_index(ds, cfg, text_col=text_col, id_col=id_col,
+                          join_partitions=join_partitions).materialize()
+
+    def vol(t: pa.Table) -> pa.Table:
+        ti = arrow_token_index(t[text_col], cfg.token_pattern)
+        lens = (np.diff(ti[1]) if ti is not None
+                else np.zeros(t.num_rows, np.int64))
+        return pa.table({"n_docs": pa.array([t.num_rows], pa.int64()),
+                         "tot": pa.array([int(lens.sum())], pa.int64())})
+
+    stats = ds.map_batches(vol, batch_format="pyarrow").sum(
+        ["n_docs", "tot"])
+    n_docs, tot = int(stats["sum(n_docs)"]), int(stats["sum(tot)"])
+    avgdl = np.float64(tot) / np.float64(n_docs)
+
+    def tok_df(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        toks = tok.to_numpy(zero_copy_only=False)
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((toks, dfs))
+        ts, ds_ = toks[order], dfs[order]
+        keep = np.ones(len(ts), bool)
+        if len(ts):
+            keep[1:] = ts[1:] != ts[:-1]
+        sel = np.flatnonzero(keep)[: n_terms]
+        return pa.table({"token": pa.array(ts[sel], pa.string()),
+                         "df": pa.array(ds_[sel], pa.int64())})
+
+    qterms = (
+        post.map_batches(tok_df, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("token")
+        .sort_values(["df", "token"], kind="mergesort")
+        .head(n_terms)
+    )
+    terms = set(qterms["token"])
+    kk1, bb = np.float64(k1), np.float64(b)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        toks = tok.to_numpy(zero_copy_only=False)
+        m = np.isin(toks, list(terms))
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64()),
+                          "tf": pa.array([], pa.int64())})
+        if not m.any():
+            return empty
+        tfi = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        tf = tfi.astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)[m]
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)[m]
+        N = np.float64(n_docs)
+        idf = (N - dfv + 0.5) / (dfv + 0.5)
+        tfn = (tf * (kk1 + 1.0)) / (
+            tf + kk1 * ((1.0 - bb) + bb * (dl / avgdl)))
+        score = idf * tfn
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        tm = toks[m]
+
+        def per_term_topk(order: np.ndarray) -> np.ndarray:
+            ts_o = tm[order]
+            newrun = np.empty(len(ts_o), bool)
+            newrun[0] = True
+            newrun[1:] = ts_o[1:] != ts_o[:-1]
+            starts = np.flatnonzero(newrun)
+            rank = np.arange(len(ts_o)) - starts[np.cumsum(newrun) - 1]
+            return order[rank < topk]
+
+        sel_s = per_term_topk(np.lexsort((ids, -score, tm)))
+        sel_t = per_term_topk(np.lexsort((ids, -tfi, tm)))
+        sel = np.unique(np.concatenate([sel_s, sel_t]))
+        return pa.table({"term": pa.array(tm[sel], pa.string()),
+                         "doc_id": pa.array(ids[sel], pa.int64()),
+                         "score": pa.array(score[sel], pa.float64()),
+                         "tf": pa.array(tfi[sel], pa.int64())})
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").reset_index(drop=True)
+        by_s = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(topk)
+        by_t = g.sort_values(["tf", "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(topk)
+        r1 = {d: i + 1 for i, d in enumerate(by_s["doc_id"])}
+        r2 = {d: i + 1 for i, d in enumerate(by_t["doc_id"])}
+        docs = sorted(set(r1) | set(r2))
+        rows = []
+        for d in docs:  # <= 2*topk rows per term
+            num = 0
+            if d in r1:
+                num += L // (k0 + r1[d])
+            if d in r2:
+                num += L // (k0 + r2[d])
+            rows.append((g["term"].iloc[0], int(d), num,
+                         r1.get(d), r2.get(d)))
+        out = pd.DataFrame(rows, columns=["term", "doc_id", "rrf_num",
+                                          "bm25_rank", "tf_rank"])
+        out = out.sort_values(["rrf_num", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        out["fused_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        out["rrf_num"] = out["rrf_num"].astype(np.int64)
+        out["bm25_rank"] = out["bm25_rank"].astype("Int64")
+        out["tf_rank"] = out["tf_rank"].astype("Int64")
+        return out
+
+    return (
+        post.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(fuse, batch_format="pandas")
+    )

@@ -60,6 +60,7 @@ NEW_QUERIES = [
     "phrase_search",
     "events_autocorr",
     "events_twa",
+    "hybrid_rrf",
 ]
 
 

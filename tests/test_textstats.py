@@ -684,3 +684,68 @@ def test_phrase_count_boundary_does_not_cross_docs():
     out = phrase_count(rd.from_pandas(df), DedupConfig(),
                        ["order", "fast"]).to_pandas()
     assert len(out) == 0
+
+
+def test_rrf_fuse_topk_matches_naive_fusion():
+    import math
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.textstats import rrf_fuse_topk
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)] + ["rareterm"]
+    docs = []
+    for d in range(40):
+        toks = list(rng.choice(vocab[:30], rng.integers(5, 60)))
+        if d % 7 == 0:
+            toks += ["rareterm"] * int(rng.integers(1, 4))
+        docs.append((d, " ".join(toks)))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    cfg = DedupConfig()
+    topk, k0, n_terms = 4, 60, 2
+    L = math.lcm(*range(k0 + 1, k0 + topk + 1))
+    out = (rrf_fuse_topk(rd.from_pandas(df).repartition(5), cfg,
+                         n_terms=n_terms, topk=topk, k0=k0,
+                         join_partitions=4)
+           .to_pandas())
+
+    # naive replay
+    tok_docs = {d: re.findall("[a-z0-9_]+", t.lower()) for d, t in docs}
+    df_count = {}
+    for d, toks in tok_docs.items():
+        for w in set(toks):
+            df_count[w] = df_count.get(w, 0) + 1
+    qterms = sorted(df_count, key=lambda w: (df_count[w], w))[:n_terms]
+    n_docs = len(docs)
+    avgdl = np.float64(sum(len(t) for t in tok_docs.values())) / np.float64(n_docs)
+    for term in qterms:
+        posts = [(d, toks.count(term), len(toks))
+                 for d, toks in tok_docs.items() if term in toks]
+        scores = {}
+        for d, tf, dl in posts:
+            idf = (np.float64(n_docs) - np.float64(df_count[term]) + 0.5) / (
+                np.float64(df_count[term]) + 0.5)
+            tfn = (np.float64(tf) * (np.float64(1.2) + 1.0)) / (
+                np.float64(tf) + np.float64(1.2)
+                * ((1.0 - np.float64(0.75))
+                   + np.float64(0.75) * (np.float64(dl) / avgdl)))
+            scores[d] = idf * tfn
+        by_s = sorted(posts, key=lambda p: (-scores[p[0]], p[0]))[:topk]
+        by_t = sorted(posts, key=lambda p: (-p[1], p[0]))[:topk]
+        r1 = {d: i + 1 for i, (d, _, _) in enumerate(by_s)}
+        r2 = {d: i + 1 for i, (d, _, _) in enumerate(by_t)}
+        want = {}
+        for d in set(r1) | set(r2):
+            want[d] = (L // (k0 + r1[d]) if d in r1 else 0) + (
+                L // (k0 + r2[d]) if d in r2 else 0)
+        sub = out[out["term"] == term].set_index("doc_id")
+        assert set(sub.index) == set(want), term
+        for d, num in want.items():
+            assert int(sub.loc[d, "rrf_num"]) == num, (term, d)
+        fused = sorted(want, key=lambda d: (-want[d], d))
+        got_order = sub.sort_values("fused_rank").index.tolist()
+        assert got_order == fused, term
