@@ -8930,6 +8930,169 @@ FROM fused ORDER BY term, fused_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# CUBE census, grouped standardization, Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+def q_lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) corpus census — all four grouping sets
+    from ONE cell-table exchange (stages/analytics.py:cube_counts)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.analytics import cube_counts
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["lang", "source", "n_chars"])
+    return cube_counts(docs, "lang", "source", "n_chars",
+                       n_alias="n_docs", sum_alias="total_chars")
+
+
+SQL_LANG_SOURCE_CUBE = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(GROUPING(lang) + GROUPING(source) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+ORDER BY lvl, lang, source
+"""
+
+
+def q_length_zscore(sf_dir: str):
+    """Per-document z-score of length within its language (grouped feature
+    standardization): z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) — the numerator
+    and radicand are EXACT integers (per-batch int64 partials, combiner
+    discipline), so the only floats are one exactly-rounded int→double
+    cast each, one sqrt and one division — bit-identical cross-engine.
+    Zero-variance groups emit NULL (SQL NULLIF parity). The per-lang
+    moment table is group-bounded and broadcasts back into the second
+    column-pruned scan."""
+    from ray.data.aggregate import Sum
+
+    i64 = pa.int64()
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["lang"].to_pandas(), dtype=object)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and int(np.abs(x).max()) ** 2 * len(x) >= (1 << 62):
+            raise OverflowError("zscore moment partial would overflow")
+        order = np.argsort(g, kind="stable")
+        g_s, x_s = g[order], x[order]
+        change = np.empty(len(g_s), dtype=bool)
+        change[0] = True
+        change[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(g_s))
+        cs = np.zeros(len(x_s) + 1, np.int64)
+        np.cumsum(x_s, out=cs[1:])
+        sx = cs[bounds[1:]] - cs[bounds[:-1]]
+        cs2 = np.zeros(len(x_s) + 1, np.int64)
+        np.cumsum(x_s * x_s, out=cs2[1:])
+        sxx = cs2[bounds[1:]] - cs2[bounds[:-1]]
+        return pa.table({"lang": pa.array(g_s[starts].astype(str)),
+                         "n": pa.array(np.diff(bounds), i64),
+                         "sx": pa.array(sx, i64),
+                         "sxx": pa.array(sxx, i64)})
+
+    mom = (
+        docs.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()  # group-bounded (one row per language)
+    )
+    stats = {r["lang"]: (int(r["n"]), int(r["sx"]), int(r["sxx"]))
+             for _, r in mom.iterrows()}
+    import ray as _ray
+
+    stats_ref = _ray.put(stats)
+
+    def zmap(t: pa.Table) -> pa.Table:
+        st = _ray.get(stats_ref)
+        g = np.asarray(t["lang"].to_pandas(), dtype=object)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = sorted(st)
+        code = np.searchsorted(np.asarray(langs, object), g)
+        n = np.array([st[la][0] for la in langs], np.int64)[code]
+        sx = np.array([st[la][1] for la in langs], np.int64)[code]
+        sxx = np.array([st[la][2] for la in langs], np.int64)[code]
+        num = (n * x - sx).astype(np.float64)
+        rad = (n * sxx - sx * sx).astype(np.float64)
+        ok = rad > 0
+        z = np.zeros(len(x), np.float64)
+        z[ok] = num[ok] / np.sqrt(rad[ok])
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang": t["lang"],
+                         "zscore": pa.array(z, pa.float64(), mask=~ok)})
+
+    return docs.map_batches(zmap, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_LENGTH_ZSCORE = """
+WITH s AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_chars) AS HUGEINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS HUGEINT) AS sxx
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang,
+       CAST(n * d.n_chars - sx AS DOUBLE)
+         / sqrt(CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)) AS zscore
+FROM documents d JOIN s USING (lang)
+ORDER BY d.doc_id
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """First-significant-digit census of order totals (the Benford
+    data-quality audit): digit extraction is a vectorized divide-down loop
+    (≤ 19 halvings of the decimal width, whole-array ops), census rides
+    one tiny groupby; share = n / total is one exactly-rounded division."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        d = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(u, i64),
+                         "n_orders": pa.array(c.astype(np.int64), i64)})
+
+    census = (
+        orders.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()  # ≤ 9 rows
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    census["digit"] = census["digit"].astype("int64")
+    census["n_orders"] = census["n_orders"].astype("int64")
+    total = int(census["n_orders"].sum())
+    census["share"] = census["n_orders"].to_numpy(np.float64) / float(total)
+    return census
+
+
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1)
+SELECT digit, n_orders,
+       CAST(n_orders AS DOUBLE)
+         / CAST((SELECT sum(n_orders) FROM c) AS DOUBLE) AS share
+FROM c ORDER BY digit
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -9101,6 +9264,9 @@ QUERIES = {
     "events_autocorr": q_events_autocorr,
     "events_twa": q_events_twa,
     "hybrid_rrf": q_hybrid_rrf,
+    "lang_source_cube": q_lang_source_cube,
+    "length_zscore": q_length_zscore,
+    "benford_digits": q_benford_digits,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -9327,6 +9493,9 @@ ORACLE_SQL = {
     "events_autocorr": SQL_EVENTS_AUTOCORR,
     "events_twa": SQL_EVENTS_TWA,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "lang_source_cube": SQL_LANG_SOURCE_CUBE,
+    "length_zscore": SQL_LENGTH_ZSCORE,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

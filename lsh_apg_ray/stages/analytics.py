@@ -407,15 +407,10 @@ def _rollup_cells(d1: str, d2: str, aggs: list[str], *blocks: pa.Table
     return pa.table(cols)
 
 
-def rollup_counts(ds, d1: str, d2: str, sum_col: str,
-                  n_alias: str = "n_rows", sum_alias: str = "total"
-                  ) -> pa.Table:
-    """GROUP BY ROLLUP(d1, d2) over (count(*), sum(sum_col)) — finest cells
-    via per-batch partial aggregation + ONE groupby-sum exchange; the two
-    coarser levels derive from the tiny cell table in a worker task
-    (integer sums are order-free, so the rollup is exact). Rolled-up
-    dimension values appear as '<all>' (both engines COALESCE identically).
-    Returns a pyarrow Table sorted by (lvl, d1, d2)."""
+def _finest_cells(ds, d1: str, d2: str, sum_col: str,
+                  n_alias: str, sum_alias: str):
+    """Finest-level (d1, d2) cell table for rollup/cube: per-batch partial
+    aggregation + ONE groupby-sum exchange (cells are |d1|x|d2| rows)."""
 
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -440,7 +435,7 @@ def rollup_counts(ds, d1: str, d2: str, sum_col: str,
             }
         )
 
-    cells = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([d1, d2])
         .aggregate(Sum(n_alias, alias_name=n_alias),
@@ -453,9 +448,72 @@ def rollup_counts(ds, d1: str, d2: str, sum_col: str,
             batch_format="pandas",
         )
     )
+
+
+def rollup_counts(ds, d1: str, d2: str, sum_col: str,
+                  n_alias: str = "n_rows", sum_alias: str = "total"
+                  ) -> pa.Table:
+    """GROUP BY ROLLUP(d1, d2) over (count(*), sum(sum_col)) — finest cells
+    via per-batch partial aggregation + ONE groupby-sum exchange; the two
+    coarser levels derive from the tiny cell table in a worker task
+    (integer sums are order-free, so the rollup is exact). Rolled-up
+    dimension values appear as '<all>' (both engines COALESCE identically).
+    Returns a pyarrow Table sorted by (lvl, d1, d2)."""
+    cells = _finest_cells(ds, d1, d2, sum_col, n_alias, sum_alias)
     return ray.get(
         _rollup_cells.remote(d1, d2, [n_alias, sum_alias],
                              *cells.to_arrow_refs())
+    )
+
+
+@ray.remote
+def _cube_cells(d1: str, d2: str, aggs: list[str], *blocks: pa.Table
+                ) -> pa.Table:
+    """Derive ALL FOUR CUBE grouping sets from the finest cell table in one
+    worker task; lvl = GROUPING(d1) + GROUPING(d2) (so both one-dimension
+    marginals share lvl 1, SQL parity)."""
+    import pandas as pd
+
+    live = [b for b in blocks if b.num_rows]
+    cells = pa.concat_tables(live).to_pandas()
+    outs = []
+    lvl0 = cells.copy()
+    lvl0["lvl"] = np.int64(0)
+    outs.append(lvl0)
+    m1 = cells.groupby(d1, as_index=False)[aggs].sum()
+    m1[d2] = _ALL
+    m1["lvl"] = np.int64(1)
+    outs.append(m1)
+    m2 = cells.groupby(d2, as_index=False)[aggs].sum()
+    m2[d1] = _ALL
+    m2["lvl"] = np.int64(1)
+    outs.append(m2)
+    tot = cells[aggs].sum().to_frame().T
+    tot[d1] = _ALL
+    tot[d2] = _ALL
+    tot["lvl"] = np.int64(2)
+    outs.append(tot)
+    out = pd.concat(outs, ignore_index=True)[[d1, d2, "lvl"] + aggs]
+    out = out.sort_values(["lvl", d1, d2]).reset_index(drop=True)
+    cols = {d1: pa.array(out[d1], pa.string()),
+            d2: pa.array(out[d2], pa.string()),
+            "lvl": pa.array(out["lvl"].to_numpy(np.int64), pa.int64())}
+    for a in aggs:
+        cols[a] = pa.array(out[a].to_numpy(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def cube_counts(ds, d1: str, d2: str, sum_col: str,
+                n_alias: str = "n_rows", sum_alias: str = "total"
+                ) -> pa.Table:
+    """GROUP BY CUBE(d1, d2) — rollup_counts plus the transposed marginal:
+    all four grouping sets derive from the SAME single-exchange cell table
+    (integer sums are order-free), so the cube costs exactly one shuffle
+    regardless of how many grouping sets it answers."""
+    cells = _finest_cells(ds, d1, d2, sum_col, n_alias, sum_alias)
+    return ray.get(
+        _cube_cells.remote(d1, d2, [n_alias, sum_alias],
+                           *cells.to_arrow_refs())
     )
 
 

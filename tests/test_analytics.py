@@ -541,3 +541,38 @@ def test_ranksum_u2_matches_naive_pair_count():
             assert out.loc[g, "auc"] == u2 / (2 * len(va) * len(vb))
         assert np.isnan(out.loc["only_a", "auc"])
         assert int(out.loc["only_a", "u2"]) == 0
+
+
+def test_cube_counts_matches_pandas_grouping_sets():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.analytics import cube_counts
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 200),
+        "b": rng.choice(["p", "q"], 200),
+        "v": rng.integers(0, 100, 200).astype(np.int64),
+    })
+    out = cube_counts(rd.from_pandas(df).repartition(4), "a", "b", "v",
+                      n_alias="n", sum_alias="s").to_pandas()
+    # finest
+    fine = df.groupby(["a", "b"]).agg(n=("v", "size"), s=("v", "sum"))
+    for (a, b), row in fine.iterrows():
+        got = out[(out["a"] == a) & (out["b"] == b) & (out["lvl"] == 0)]
+        assert len(got) == 1
+        assert int(got["n"].iloc[0]) == row["n"]
+        assert int(got["s"].iloc[0]) == row["s"]
+    # both marginals share lvl 1
+    ma = df.groupby("a").agg(n=("v", "size"), s=("v", "sum"))
+    for a, row in ma.iterrows():
+        got = out[(out["a"] == a) & (out["b"] == "<all>")]
+        assert int(got["n"].iloc[0]) == row["n"]
+    mb = df.groupby("b").agg(n=("v", "size"), s=("v", "sum"))
+    for b, row in mb.iterrows():
+        got = out[(out["b"] == b) & (out["a"] == "<all>")]
+        assert int(got["s"].iloc[0]) == row["s"]
+    tot = out[(out["a"] == "<all>") & (out["b"] == "<all>")]
+    assert int(tot["n"].iloc[0]) == len(df)
+    assert int(tot["s"].iloc[0]) == int(df["v"].sum())
+    assert sorted(out["lvl"].unique().tolist()) == [0, 1, 2]

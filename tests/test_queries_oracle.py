@@ -61,6 +61,9 @@ NEW_QUERIES = [
     "events_autocorr",
     "events_twa",
     "hybrid_rrf",
+    "lang_source_cube",
+    "length_zscore",
+    "benford_digits",
 ]
 
 
