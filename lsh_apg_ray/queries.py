@@ -9093,6 +9093,201 @@ FROM c ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# order-invariant (bag-of-words) duplicate groups
+# ---------------------------------------------------------------------------
+
+def q_bow_dup_groups(sf_dir: str):
+    """Token-multiset identity dedup groups — the order-invariant tier
+    between normalized_dedup and shingle near-dup (see
+    stages/curation.py:bow_dup_groups; SQL compares true sorted token
+    lists, gating the commutative fingerprint).
+
+    The driver corpus contains NO multiset duplicates (verified: zero
+    exact-text and zero sorted-token-list dups at every SF), so this
+    external row gates the fingerprint's NO-FALSE-POSITIVE property over
+    the corpus — a spurious 3-component-fingerprint collision would emit
+    a phantom group and hash-mismatch. The positive (permuted-duplicate)
+    path is pytest-gated (tests/test_curation.py). An empty Ray Dataset
+    drops its schema through to_pandas, so the result is materialized
+    with the declared columns."""
+    import pandas as pd
+
+    from lsh_apg_ray.stages.curation import bow_dup_groups
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = bow_dup_groups(docs, _cfg()).sort("rep_id").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"rep_id": pd.array([], dtype="int64"),
+                            "n_docs": pd.array([], dtype="int64"),
+                            "n_tokens": pd.array([], dtype="int64")})
+    return out
+
+
+SQL_BOW_DUP_GROUPS = """
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9_]+'),
+                               x -> x <> '')) AS key
+  FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(len(key)) AS BIGINT) AS n_tokens
+FROM t GROUP BY key HAVING count(*) > 1 ORDER BY rep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-predicate join revenue
+# ---------------------------------------------------------------------------
+
+_Q19_PREDS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#2", 5, 25, 10, 40),
+    ("Brand#3", 20, 50, 20, 50),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) predicate triples. The part-side disjunction prunes AT
+    THE SCAN (each part row keeps only its matching predicate class, or is
+    dropped); the quantity range then applies per class after a
+    PARTITIONED join on partkey — only (partkey, class) + int cents cross
+    the exchange. Output: one exact-integer row (n_rows, total_e2)."""
+    from ray.data.aggregate import Sum
+
+    from lsh_apg_ray.joins import hash_join
+    from lsh_apg_ray.sources import read_table
+
+    i64 = pa.int64()
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+    brands = np.asarray([p[0] for p in _Q19_PREDS], object)
+    slo = np.asarray([p[1] for p in _Q19_PREDS], np.int64)
+    shi = np.asarray([p[2] for p in _Q19_PREDS], np.int64)
+    qlo = np.asarray([p[3] for p in _Q19_PREDS], np.int64)
+    qhi = np.asarray([p[4] for p in _Q19_PREDS], np.int64)
+
+    def classify(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["p_brand"].to_pandas(), dtype=object)
+        sz = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.full(len(b), -1, np.int64)
+        for c in range(len(_Q19_PREDS)):  # 3 predicate classes
+            hit = (b == brands[c]) & (sz >= slo[c]) & (sz <= shi[c])
+            cls[hit & (cls < 0)] = c
+        keep = cls >= 0
+        return pa.table({
+            "p_partkey": t["p_partkey"].filter(pa.array(keep)),
+            "cls": pa.array(cls[keep], i64),
+        })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty": pa.array(qty, i64),
+                         "cents": pa.array(cents, i64)})
+
+    j = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        part.map_batches(classify, batch_format="pyarrow"),
+        left_on="l_partkey", right_on="p_partkey",
+        left_schema=pa.schema([("l_partkey", i64), ("qty", i64),
+                               ("cents", i64)]),
+        right_schema=pa.schema([("p_partkey", i64), ("cls", i64)]),
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        cls = t["cls"].to_numpy(zero_copy_only=False)
+        keep = (qty >= qlo[cls]) & (qty <= qhi[cls])
+        cents = t["cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"n_rows": pa.array([int(keep.sum())], i64),
+                         "total_e2": pa.array([int(cents.sum())], i64)})
+
+    agg = j.map_batches(census, batch_format="pyarrow").sum(
+        ["n_rows", "total_e2"])
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_rows": pd.array([int(agg["sum(n_rows)"])], dtype="int64"),
+        "total_e2": pd.array([int(agg["sum(total_e2)"])], dtype="int64"),
+    })
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS total_e2
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user maximum drawdown of the running value balance
+# ---------------------------------------------------------------------------
+
+def q_user_drawdown(sf_dir: str):
+    """Per-user max drawdown of the running event-value balance (cents) —
+    segmented cumsum + segmented cummax doubling scan + per-key max
+    reduce, all exact integers (stages/windows.py:drawdown)."""
+    from lsh_apg_ray.sources import read_table
+    from lsh_apg_ray.stages.windows import drawdown
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "cents": pa.array(c, pa.int64())})
+
+    return drawdown(ev.map_batches(cents, batch_format="pyarrow"),
+                    "user_id", "ts", "cents").sort("user_id")
+
+
+SQL_USER_DRAWDOWN = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+b AS (
+  SELECT user_id, tu, event_id,
+         CAST(sum(c) OVER (PARTITION BY user_id
+                           ORDER BY tu, event_id) AS BIGINT) AS bal
+  FROM e),
+p AS (
+  SELECT user_id, bal,
+         CAST(max(bal) OVER (PARTITION BY user_id
+                             ORDER BY tu, event_id) AS BIGINT) AS peak
+  FROM b),
+d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(peak - bal) AS BIGINT) AS max_drawdown
+      FROM p GROUP BY 1),
+f AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS final_balance
+      FROM e GROUP BY 1)
+SELECT user_id, n_events, final_balance, max_drawdown
+FROM d JOIN f USING (user_id) ORDER BY user_id
+"""
+
+
 QUERIES = {
     # -- flagship dedup + similarity-join anchors -------------------------
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -9267,6 +9462,9 @@ QUERIES = {
     "lang_source_cube": q_lang_source_cube,
     "length_zscore": q_length_zscore,
     "benford_digits": q_benford_digits,
+    "bow_dup_groups": q_bow_dup_groups,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "user_drawdown": q_user_drawdown,
     "corr_stats": q_corr_stats,
     "user_growth": q_user_growth,
     "events_moving_avg": q_events_moving_avg,
@@ -9496,6 +9694,9 @@ ORACLE_SQL = {
     "lang_source_cube": SQL_LANG_SOURCE_CUBE,
     "length_zscore": SQL_LENGTH_ZSCORE,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "bow_dup_groups": SQL_BOW_DUP_GROUPS,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "user_drawdown": SQL_USER_DRAWDOWN,
     "corr_stats": SQL_CORR_STATS,
     "user_growth": SQL_USER_GROWTH,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

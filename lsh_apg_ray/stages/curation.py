@@ -517,3 +517,97 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("__npart")
         .map_groups(groups, batch_format="pyarrow")
     )
+
+
+def bow_dup_groups(ds, cfg, text_col: str = "text", id_col: str = "doc_id",
+                   num_partitions: int = 16):
+    """Order-invariant exact dedup: documents whose token MULTISETS are
+    identical collapse into one group (catches shuffled/reordered
+    boilerplate the byte-exact sha tier and whitespace-normalized tier
+    both miss — the tier between normalized_dedup and the shingle
+    near-dup pass, since shingles are order-sensitive by design).
+
+    Identity is a commutative 3-component multiset fingerprint —
+    (Σ mix64(h), Σ mix64(h ⊕ tweak), token count) folded through mix64 —
+    so per-doc work is two segment sums over the flat token-hash array
+    (no per-doc sort, no per-row Python). The SQL oracle compares TRUE
+    sorted token lists, so the driver value-hash also gates fingerprint
+    identity (the line_dedup hash-identity contract). Only (bow_key,
+    doc_id) 16-byte rows shuffle through ONE coarse exchange.
+
+    Output: one row per duplicate group — rep_id = min doc_id, n_docs,
+    n_tokens."""
+    from lsh_apg_ray.arrowutil import hash_partition
+    from lsh_apg_ray.hashing import (
+        TokenHasher,
+        arrow_token_hashes,
+        mix64,
+        segment_sums,
+    )
+
+    hasher = TokenHasher(cfg.token_pattern)
+    i64 = pa.int64()
+    _TWEAK = np.uint64(0x9E3779B97F4A7C15)
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bow_key": pa.array([], i64),
+                          id_col: pa.array([], i64),
+                          "n_tokens": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        tok = arrow_token_hashes(t[text_col], hasher, cfg.token_pattern)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tok is None:
+            raise ValueError("bow_dup_groups requires a char-class token "
+                             "pattern (arrow tokenizer)")
+        flat, offsets = tok
+        m1 = mix64(flat).view(np.int64)
+        m2 = mix64(flat ^ _TWEAK).view(np.int64)
+        s1 = segment_sums(m1, offsets)
+        s2 = segment_sums(m2, offsets)
+        n = np.diff(offsets).astype(np.int64)
+        key = mix64(
+            mix64(s1.view(np.uint64))
+            ^ mix64(s2.view(np.uint64) ^ _TWEAK)
+            ^ n.view(np.uint64)
+        ).view(np.int64)
+        return pa.table({"bow_key": pa.array(key, i64),
+                         id_col: pa.array(ids, i64),
+                         "n_tokens": pa.array(n, i64)})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_partition(t["bow_key"], num_partitions)
+        return t.append_column("__bpart", pa.array(part, pa.int64()))
+
+    def groups(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bpart"])
+        empty = pa.table({"rep_id": pa.array([], i64),
+                          "n_docs": pa.array([], i64),
+                          "n_tokens": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        k = t["bow_key"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        k_s, id_s, nt_s = k[order], ids[order], ntok[order]
+        change = np.empty(len(k_s), dtype=bool)
+        change[0] = True
+        change[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(k_s)))
+        dup = lens >= 2
+        if not dup.any():
+            return empty
+        return pa.table({
+            "rep_id": pa.array(id_s[starts[dup]].astype(np.int64), i64),
+            "n_docs": pa.array(lens[dup].astype(np.int64), i64),
+            "n_tokens": pa.array(nt_s[starts[dup]].astype(np.int64), i64),
+        })
+
+    return (
+        ds.map_batches(fingerprint, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(groups, batch_format="pyarrow")
+    )

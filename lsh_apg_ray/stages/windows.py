@@ -1267,3 +1267,77 @@ def time_weighted_avg(events, key: str, ts_col: str, value_col: str,
         .groupby(_TPART)
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def drawdown(events, key: str, ts_col: str, value_col: str,
+             num_partitions: int = 16, tie_col: str = "event_id"):
+    """Per-key maximum drawdown of the running value balance — the
+    risk/telemetry statistic max_t (peak_t − balance_t) over the (ts, tie)
+    -ordered stream (integer-cents value column, so every intermediate is
+    an exact int64).
+
+    Physical plan: ONE coarse hash partition on the key; per partition one
+    lexsort, a segmented cumsum (balance), a segmented inclusive cummax
+    (peak — the coalesce_intervals doubling scan: max is idempotent), and
+    a per-segment max-reduce of (peak − balance). A partition-total
+    |value| bound < 2^62 guards the cumsum (raises, never wraps —
+    repartition finer if hit). Output: key, n_events, final_balance,
+    max_drawdown."""
+    _DPART = "__dpart"
+    _LIM = float(1 << 62)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from lsh_apg_ray.arrowutil import hash_partition
+
+        part = hash_partition(t[key], num_partitions)
+        return t.append_column(_DPART, pa.array(part, pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_DPART])
+        n = t.num_rows
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "final_balance": pa.array([], pa.int64()),
+                          "max_drawdown": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        keys = t[key].to_numpy(zero_copy_only=False)
+        us = _epoch_us(t[ts_col])
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if float(np.abs(v).sum()) >= _LIM:
+            raise OverflowError(
+                "drawdown partition balance bound exceeded (sum|v| >= "
+                "2^62); raise num_partitions or rescale")
+        order = np.lexsort((tie, us, keys))
+        keys_s, v_s = keys[order], v[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys_s[1:] != keys_s[:-1]
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, n)
+        seg = np.cumsum(change) - 1
+        cs = np.cumsum(v_s)
+        bal = cs - np.repeat(np.concatenate(([0], cs[bounds[1:-1] - 1])),
+                             np.diff(bounds))
+        peak = bal.copy()
+        d = 1
+        while d < n:
+            same = seg[d:] == seg[:-d]
+            np.maximum(peak[d:], np.where(same, peak[:-d], peak[d:]),
+                       out=peak[d:])
+            d *= 2
+        dd = np.maximum.reduceat(peak - bal, starts)
+        return pa.table({
+            key: pa.array(keys_s[starts].astype(np.int64), pa.int64()),
+            "n_events": pa.array(np.diff(bounds).astype(np.int64),
+                                 pa.int64()),
+            "final_balance": pa.array(bal[bounds[1:] - 1], pa.int64()),
+            "max_drawdown": pa.array(dd, pa.int64()),
+        })
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby(_DPART)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -389,3 +389,29 @@ def test_normalized_dedup_matches_naive(ray_session, nblocks):
     for rep, (nc, nr) in want.items():
         row = got.loc[rep]
         assert (row["n_copies"], row["n_raw_variants"]) == (nc, nr), rep
+
+
+def test_bow_dup_groups_order_invariant_identity():
+    import pandas as pd
+    import ray.data as rd
+
+    from lsh_apg_ray.config import DedupConfig
+    from lsh_apg_ray.stages.curation import bow_dup_groups
+
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "gamma alpha beta"),          # permutation of 0
+        (2, "alpha beta beta gamma"),     # different multiset (extra beta)
+        (3, "beta beta alpha gamma"),     # permutation of 2
+        (4, "alpha beta gamma delta"),    # superset — unique
+        (5, "Alpha, BETA gamma!"),        # normalizes to doc 0's multiset
+        (6, "unrelated text here"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    for blocks in (1, 4):
+        out = (bow_dup_groups(rd.from_pandas(df).repartition(blocks),
+                              DedupConfig())
+               .to_pandas().sort_values("rep_id").reset_index(drop=True))
+        assert out["rep_id"].tolist() == [0, 2]
+        assert out["n_docs"].tolist() == [3, 2]
+        assert out["n_tokens"].tolist() == [3, 4]

@@ -64,6 +64,9 @@ NEW_QUERIES = [
     "lang_source_cube",
     "length_zscore",
     "benford_digits",
+    "bow_dup_groups",
+    "disjunctive_revenue",
+    "user_drawdown",
 ]
 
 

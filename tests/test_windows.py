@@ -605,3 +605,31 @@ def test_time_weighted_avg_overflow_guard_raises():
     with pytest.raises(Exception, match="area bound"):
         time_weighted_avg(rd.from_pandas(df), "user_id", "ts", "v",
                           tie_col="event_id").to_pandas()
+
+
+def test_drawdown_matches_naive_replay():
+    import ray.data as rd
+
+    from lsh_apg_ray.stages.windows import drawdown
+
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50_000, n), unit="s"),
+        "user_id": rng.integers(0, 9, n).astype(np.int64),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    for blocks in (1, 5):
+        out = (drawdown(rd.from_pandas(df).repartition(blocks),
+                        "user_id", "ts", "v", tie_col="event_id")
+               .to_pandas().set_index("user_id"))
+        for uid, sub in df.groupby("user_id"):
+            sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            bal = sub["v"].to_numpy(np.int64).cumsum()
+            peak = np.maximum.accumulate(bal)
+            row = out.loc[uid]
+            assert int(row["max_drawdown"]) == int((peak - bal).max())
+            assert int(row["final_balance"]) == int(bal[-1])
+            assert int(row["n_events"]) == len(sub)
