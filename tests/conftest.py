@@ -2,8 +2,22 @@
 
 from __future__ import annotations
 
+import gc
+
 import pytest
 import ray
+
+
+@pytest.fixture(autouse=True)
+def _finalize_leaked_executors():
+    """Collect after every test: a partially-consumed Dataset iterator keeps
+    its streaming executor (and its share of Ray Data's per-process resource
+    budget) alive until finalized; with the suite's 4-CPU session, enough
+    leaked executors eventually starve a later dataset's first task — the
+    observed symptom is a to_pandas() blocked in get_output_blocking while
+    ray::IDLE workers sit free. Deterministic finalization closes them."""
+    yield
+    gc.collect()
 
 
 @pytest.fixture(scope="session", autouse=True)
